@@ -1,0 +1,186 @@
+"""Spatial-memory read/write ops (the framework's signature kernels).
+
+TPU-native re-expression of the reference's memory machinery:
+  * read  — gather allocentric map cells into the egocentric frame + pyramid
+            pooling (ref: CustomRecurrentFPN.forward, timm.py:142-192, and
+            create_implicit_memory, custom_rcnn.py:762-823)
+  * write — splat detection features through instance masks into the image
+            plane, subsample pixels, and scatter-mean them into map cells
+            (ref: box_to_image_features custom_rcnn.py:884-901 and
+            project_image_features custom_rcnn.py:903-936)
+
+The reference materializes a [480, 640, 512] gathered feature image and a
+[cells, pixels] one-hot matmul in fp32 (custom_rcnn.py:917-931). Here the
+write is reformulated so the big contraction runs on the MXU with a
+[cells, 100] x [100, 512] matmul: per-pixel feature means are never
+materialized — the per-detection mask weights are scatter-reduced per cell
+first, then combined with the 100 detection features. fp32 accumulation is
+preserved (the reference notes fp16 overflows here).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize_memory(features: jax.Array, obs_count: jax.Array) -> jax.Array:
+    """Mean-normalize accumulated cell features by observation count.
+
+    ref: create_implicit_memory (custom_rcnn.py:774):
+    `memory_features[obs > 1] /= obs` — note the strict >1: cells observed
+    exactly once keep their raw sum (== their mean anyway after one visit,
+    so this also equals a plain mean with clamp; we preserve the branch).
+    """
+    denom = jnp.where(obs_count > 1.0, obs_count, 1.0)
+    return features / denom[:, None]
+
+
+@partial(jax.jit, static_argnames=("pool",))
+def memory_read(features: jax.Array, obs_count: jax.Array,
+                proj_indices: jax.Array, pool: int = 4) -> jax.Array:
+    """Project map memory into the egocentric frame, mean-pooled.
+
+    features:     [cells, D] accumulated sums
+    obs_count:    [cells]
+    proj_indices: [H, W] int32 flattened cell index per pixel
+    returns       [H//pool, W//pool, D] float32 egocentric memory
+
+    ref: timm.py:147 (`map_memory[i][proj_indices[i]]`) + timm.py:152
+    (F.avg_pool2d kernel 4) with the obs-count division done upstream in
+    create_implicit_memory. The gather and 4x4 mean are fused here: indices
+    are reshaped to [H/4, 4, W/4, 4] so XLA emits one gather feeding a local
+    reduction instead of materializing the full-resolution feature image.
+    """
+    h, w = proj_indices.shape
+    d = features.shape[-1]
+    mem = normalize_memory(features, obs_count)
+    idx = proj_indices.reshape(h // pool, pool, w // pool, pool)
+    gathered = jnp.take(mem, idx, axis=0)              # [H/p, p, W/p, p, D]
+    return jnp.mean(gathered.astype(jnp.float32), axis=(1, 3))
+
+
+def pyramid_pool(ego: jax.Array, num_levels: int) -> Tuple[jax.Array, ...]:
+    """Successive 2x2 mean pools for the FPN levels.
+
+    ref: timm.py:168 — the memory image is avg-pooled 2x2 *before* each level's
+    merge, so level l uses pool factor 2^(l+1) of the /4 base.
+    """
+    outs = []
+    cur = ego
+    for _ in range(num_levels):
+        h, w, d = cur.shape
+        cur = cur.reshape(h // 2, 2, w // 2, 2, d).mean(axis=(1, 3))
+        outs.append(cur)
+    return tuple(outs)
+
+
+class MemoryWriteResult(NamedTuple):
+    features_update: jax.Array   # [cells, D] additive update (zeros where untouched)
+    obs_update: jax.Array        # [cells] 1.0 for every cell visible in the frame
+    any_detection: jax.Array     # scalar bool — reference skips update when no dets
+
+
+@partial(jax.jit, static_argnames=("num_cells", "subsample", "exact_subsample"))
+def memory_write(det_features: jax.Array, det_masks: jax.Array,
+                 det_valid: jax.Array, proj_indices: jax.Array,
+                 outlier_mask: jax.Array, num_cells: int,
+                 subsample: int = 8, exact_subsample: bool = True
+                 ) -> MemoryWriteResult:
+    """Scatter detection features into map cells.
+
+    det_features: [N, D]   CLIP-space features (already 50 * l2-normalized,
+                           ref: custom_rcnn.py:848)
+    det_masks:    [N, H, W] bool pasted instance masks
+    det_valid:    [N] bool
+    proj_indices: [H, W] int32 flattened cell ids
+    outlier_mask: [H, W] bool — pixels whose projection is invalid (outside
+                  map / above z-clip). The reference's proj_indices for these
+                  point at cell 0; we exclude them from feature scatter but
+                  keep reference behavior for the visibility update.
+
+    Semantics preserved from the reference:
+      * per-pixel feature = mean of covering masks' features
+        (box_to_image_features, custom_rcnn.py:884-901)
+      * only every `subsample`-th *observed* pixel (row-major order over the
+        compacted observed set) feeds the scatter (custom_rcnn.py:913-914);
+        with exact_subsample=False a static every-`subsample`-th-pixel grid is
+        used instead (statistically identical, cheaper)
+      * cell value = mean over contributing pixels, fp32 accumulation
+        (custom_rcnn.py:917-934)
+      * obs_update = 1 for every unique cell id in proj_indices
+        (custom_rcnn.py:699-701)
+    """
+    n, h, w = det_masks.shape
+    d = det_features.shape[-1]
+    p = h * w
+    idx = proj_indices.reshape(p)
+    masks = (det_masks & det_valid[:, None, None]).reshape(n, p)
+    masks_f = masks.astype(jnp.float32)
+
+    # per-pixel mask count and observed set
+    c = jnp.sum(masks_f, axis=0)                       # [P]
+    observed = c > 0
+
+    if exact_subsample:
+        # every subsample-th pixel of the *compacted* observed list ==
+        # observed & (cumulative observed rank % subsample == 0)
+        rank = jnp.cumsum(observed.astype(jnp.int32)) - 1
+        sel = observed & (rank % subsample == 0)
+    else:
+        stride_mask = (jnp.arange(p, dtype=jnp.int32) % subsample) == 0
+        sel = observed & stride_mask
+
+    # weights w[p, i] = sel[p] * m_i[p] / c[p]; cell weight A[cell, i] =
+    # segment-sum over pixels. The P x N intermediate is the only large
+    # transient; the D-wide contraction below runs on the MXU.
+    pix_w = jnp.where((sel & observed)[:, None], masks_f.T / jnp.maximum(c, 1.0)[:, None], 0.0)
+    a = jax.ops.segment_sum(pix_w, idx, num_segments=num_cells)   # [cells, N]
+    cell_count = jax.ops.segment_sum(sel.astype(jnp.float32), idx,
+                                     num_segments=num_cells)      # [cells]
+
+    cell_sum = jnp.dot(a, det_features.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)        # [cells, D]
+    features_update = jnp.where(cell_count[:, None] > 0,
+                                cell_sum / jnp.maximum(cell_count, 1.0)[:, None],
+                                0.0)
+
+    # visibility: every cell id present in proj_indices gets +1 observation.
+    # NOTE (preserved reference quirk, custom_rcnn.py:699-701): outlier pixels
+    # carry index 0, so cell 0 counts as visible whenever any outlier exists.
+    obs_update = jnp.zeros((num_cells,), jnp.float32).at[idx].max(1.0)
+
+    any_detection = jnp.any(det_valid)
+    return MemoryWriteResult(
+        features_update=jnp.where(any_detection, features_update, 0.0),
+        obs_update=jnp.where(any_detection, obs_update, 0.0),
+        any_detection=any_detection,
+    )
+
+
+def semmap_classes(features: jax.Array, obs_count: jax.Array,
+                   zs_weight: jax.Array, obs_thresh: float,
+                   norm_temperature: float = 50.0) -> jax.Array:
+    """Argmax-class snapshot of the memory (the `semmap` the reference saves).
+
+    ref: visualise_clip_image_features (custom_rcnn.py:938-1017) as called at
+    :756 — per-cell 50*l2-normalized feature dotted with CLIP class
+    embeddings, softmaxed; cells whose normalized observation intensity falls
+    below `obs_thresh` get class -1.
+    """
+    c = zs_weight.shape[1] - 1
+    norm = jnp.linalg.norm(features, axis=-1, keepdims=True)
+    feats = norm_temperature * features / jnp.maximum(norm, 1e-12)
+    logits = jnp.dot(feats, zs_weight, preferred_element_type=jnp.float32)[:, :c]
+    probs = jax.nn.softmax(logits, axis=-1)
+    cls = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+
+    intensity = jnp.mean(jnp.abs(features), axis=-1)
+    intensity = jnp.where(obs_count > 1, intensity / jnp.maximum(obs_count, 1.0), intensity)
+    lo = jnp.min(intensity)
+    hi = jnp.max(intensity)
+    intensity = (intensity - lo) / jnp.maximum(hi - lo, 1e-12)
+    return jnp.where(intensity < obs_thresh, -1, cls)

@@ -1,0 +1,144 @@
+"""Device-side padded NMS.
+
+TPU-native replacement for the CUDA `batched_nms` the reference leans on
+(ref: third_party/CenterNet2/centernet/modeling/layers/ml_nms.py:4-31 and
+detectron2 fast_rcnn_inference). CUDA NMS is a serial greedy scan; here we
+compute the *same greedy fixpoint* with data-parallel Jacobi iterations over a
+static [N, N] IoU mask:
+
+    keep[j] = valid[j] and no kept i with score_i > score_j and IoU(i,j) > t
+
+The suppression relation is a DAG (strictly ordered by score), so iterating
+    active <- valid & ~any(active_i & mask[i, j])
+converges to the unique greedy solution in at most `depth(DAG)` steps; we run a
+`lax.while_loop` with change detection. Everything is fixed-shape: inputs are
+padded with valid=False rows, outputs are top-k padded Detections.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..structures import Detections, pairwise_iou
+
+NEG_INF = -1e10
+
+
+def _greedy_keep(iou_mask: jax.Array, valid: jax.Array, max_iters: int) -> jax.Array:
+    """Fixpoint of greedy suppression. iou_mask[i, j] True iff i (higher score,
+    i < j in sorted order) suppresses j. Returns keep mask [N]."""
+
+    def cond(state):
+        active, prev, it = state
+        return jnp.logical_and(it < max_iters, jnp.any(active != prev))
+
+    def body(state):
+        active, _, it = state
+        suppressed = jnp.any(iou_mask & active[:, None], axis=0)
+        return (valid & ~suppressed, active, it + 1)
+
+    init = (valid, jnp.zeros_like(valid), jnp.int32(0))
+    active, _, _ = jax.lax.while_loop(cond, body, init)
+    return active
+
+
+def _nms_core(boxes, scores, valid, classes, iou_threshold, max_iters):
+    """Sort by score desc, run greedy NMS. Returns (order, keep, sorted arrays)."""
+    n = boxes.shape[0]
+    scores = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    scores_s = scores[order]
+    valid_s = valid[order]
+    classes_s = classes[order]
+
+    iou = pairwise_iou(boxes_s, boxes_s)
+    same_class = classes_s[:, None] == classes_s[None, :]
+    upper = jnp.triu(jnp.ones((n, n), bool), k=1)      # i < j strictly (i higher score)
+    iou_mask = (iou > iou_threshold) & same_class & upper & valid_s[:, None] & valid_s[None, :]
+    keep = _greedy_keep(iou_mask, valid_s, max_iters)
+    return order, keep, boxes_s, scores_s, classes_s
+
+
+@partial(jax.jit, static_argnames=("topk", "max_iters"))
+def nms_padded(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
+               iou_threshold: float, topk: int,
+               classes: Optional[jax.Array] = None,
+               max_iters: int = 64) -> Detections:
+    """Greedy NMS over padded candidates; returns top-`topk` by score.
+
+    If `classes` is given, suppression only happens within a class
+    (ml_nms / batched_nms semantics). Padded rows have valid=False.
+    """
+    n = boxes.shape[0]
+    if classes is None:
+        classes = jnp.zeros((n,), jnp.int32)
+    _, keep, boxes_s, scores_s, classes_s = _nms_core(
+        boxes, scores, valid, classes, iou_threshold, max_iters)
+
+    kept_scores = jnp.where(keep, scores_s, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(kept_scores, topk)
+    out_valid = top_scores > NEG_INF / 2
+    return Detections(
+        boxes=jnp.where(out_valid[:, None], boxes_s[top_idx], 0.0),
+        scores=jnp.where(out_valid, top_scores, 0.0),
+        classes=jnp.where(out_valid, classes_s[top_idx], 0).astype(jnp.int32),
+        valid=out_valid,
+    )
+
+
+@partial(jax.jit, static_argnames=("topk", "max_iters"))
+def class_aware_nms(boxes: jax.Array, scores: jax.Array, classes: jax.Array,
+                    valid: jax.Array, iou_threshold: float, topk: int,
+                    max_iters: int = 64) -> Detections:
+    """Per-class NMS + global top-k (detectron2 `batched_nms` semantics)."""
+    return nms_padded(boxes, scores, valid, iou_threshold, topk,
+                      classes=classes, max_iters=max_iters)
+
+
+@partial(jax.jit, static_argnames=("topk", "max_iters"))
+def multiclass_nms(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
+                   score_thresh: float, iou_threshold: float, topk: int,
+                   max_iters: int = 64) -> Tuple[Detections, jax.Array]:
+    """`fast_rcnn_inference` for class-agnostic boxes.
+
+    ref: detectron2 fast_rcnn_inference as invoked from
+    detic_roi_heads.py:214-221 and custom_rcnn.py:862-869:
+      * scores [R, C+1]; drop the background column
+      * flatten (box r, class c) pairs with score > score_thresh
+      * per-class NMS at `iou_threshold`, keep global top-`topk`
+
+    Returns (Detections[topk], kept_proposal_rows [topk] int32, -1 where
+    invalid) — the row output mirrors the `proposal_indices` the reference
+    uses to pick which proposals feed the memory write
+    (custom_rcnn.py:875-879).
+    """
+    r = boxes.shape[0]
+    c = scores.shape[1] - 1
+    fg = scores[:, :c]                                  # [R, C]
+    cand_valid = (fg > score_thresh) & valid[:, None]
+    flat_scores = fg.reshape(-1)                        # [R*C]
+    flat_valid = cand_valid.reshape(-1)
+    flat_classes = jnp.tile(jnp.arange(c, dtype=jnp.int32)[None, :], (r, 1)).reshape(-1)
+    flat_rows = jnp.repeat(jnp.arange(r, dtype=jnp.int32), c)
+    flat_boxes = jnp.repeat(boxes, c, axis=0)           # class-agnostic boxes tiled
+
+    order, keep, boxes_s, scores_s, classes_s = _nms_core(
+        flat_boxes, flat_scores, flat_valid, flat_classes, iou_threshold, max_iters)
+    rows_s = flat_rows[order]
+
+    kept_scores = jnp.where(keep, scores_s, NEG_INF)
+    top_scores, top_idx = jax.lax.top_k(kept_scores, topk)
+    out_valid = top_scores > NEG_INF / 2
+    det = Detections(
+        boxes=jnp.where(out_valid[:, None], boxes_s[top_idx], 0.0),
+        scores=jnp.where(out_valid, top_scores, 0.0),
+        classes=jnp.where(out_valid, classes_s[top_idx], 0).astype(jnp.int32),
+        valid=out_valid,
+    )
+    kept_rows = jnp.where(out_valid, rows_s[top_idx], -1)
+    return det, kept_rows

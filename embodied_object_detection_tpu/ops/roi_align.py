@@ -1,0 +1,139 @@
+"""Multilevel ROIAlign (ROIAlignV2 / `aligned=True` semantics) in pure XLA.
+
+TPU-native replacement for the detectron2/torchvision CUDA ROIAlign used by
+the box/mask poolers (ref: detic_roi_heads.py:332 box_pooler, :265 mask_pooler;
+detectron2 ROIPooler with POOLER_TYPE ROIAlignV2).
+
+Design: instead of per-level ragged dispatch (the CUDA pooler partitions ROIs
+by level), all FPN levels are flattened into one [sum(H*W), C] table and every
+ROI gathers its bilinear sample points from the flat table using offsets for
+its assigned level — one big gather + einsum that XLA vectorizes, no dynamic
+shapes. Level assignment follows detectron2's canonical rule
+    level = floor(canonical_level + log2(sqrt(area) / canonical_box_size))
+clamped to [min_level, max_level].
+
+Sampling: `sampling_ratio` points per bin axis (the reference default of 0 =>
+adaptive ceil(bin/size) is data-dependent; we use a fixed 2, which matches the
+adaptive count for ROIs below 2x the pooled resolution at their level and is
+the standard fixed-shape choice).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def assign_levels(boxes: jax.Array, min_level: int, max_level: int,
+                  canonical_box_size: int = 224, canonical_level: int = 4) -> jax.Array:
+    """detectron2 assign_boxes_to_levels. boxes [R,4] -> level ids [R] int32."""
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * \
+           jnp.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    sqrt_area = jnp.sqrt(area)
+    lvl = jnp.floor(canonical_level + jnp.log2(sqrt_area / canonical_box_size + 1e-8))
+    return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
+
+
+def _bilinear_flat(flat_table: jax.Array, x: jax.Array, y: jax.Array,
+                   h: jax.Array, w: jax.Array, base: jax.Array) -> jax.Array:
+    """Bilinear sample from a flattened level table.
+
+    flat_table: [T, C]; x, y: [...] continuous coords in the level's grid;
+    h, w: [...] level dims; base: [...] flat offset of the level's first row.
+    Out-of-range coords are clamped (matching ROIAlign's behavior of clipping
+    sample points: torchvision clamps x,y to [0, w-1]/[0, h-1] after the <-1
+    / >w checks; ROIs are pre-clipped to the image so this matches).
+    """
+    x = jnp.clip(x, 0.0, w.astype(x.dtype) - 1.0)
+    y = jnp.clip(y, 0.0, h.astype(y.dtype) - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = jnp.minimum(x0 + 1, w.astype(x.dtype) - 1.0)
+    y1 = jnp.minimum(y0 + 1, h.astype(y.dtype) - 1.0)
+    lx = x - x0
+    ly = y - y0
+
+    def idx(yy, xx):
+        return (base + yy.astype(jnp.int32) * w + xx.astype(jnp.int32)).astype(jnp.int32)
+
+    v00 = flat_table[idx(y0, x0)]
+    v01 = flat_table[idx(y0, x1)]
+    v10 = flat_table[idx(y1, x0)]
+    v11 = flat_table[idx(y1, x1)]
+    w00 = ((1 - ly) * (1 - lx))[..., None]
+    w01 = ((1 - ly) * lx)[..., None]
+    w10 = (ly * (1 - lx))[..., None]
+    w11 = (ly * lx)[..., None]
+    return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "strides",
+                                   "canonical_box_size", "canonical_level"))
+def multilevel_roi_align(features: Sequence[jax.Array], boxes: jax.Array,
+                         strides: Tuple[int, ...], output_size: int,
+                         sampling_ratio: int = 2,
+                         canonical_box_size: int = 224,
+                         canonical_level: int = 4) -> jax.Array:
+    """ROIAlignV2 over an FPN pyramid.
+
+    features: per-level [H_l, W_l, C] (NHWC, single image)
+    boxes:    [R, 4] xyxy in image pixels
+    strides:  per-level stride (e.g. (8, 16, 32))
+    returns:  [R, output_size, output_size, C]
+    """
+    num_levels = len(features)
+    c = features[0].shape[-1]
+    hs = jnp.array([f.shape[0] for f in features], jnp.int32)
+    ws = jnp.array([f.shape[1] for f in features], jnp.int32)
+    sizes = [f.shape[0] * f.shape[1] for f in features]
+    bases_list = [0]
+    for s in sizes[:-1]:
+        bases_list.append(bases_list[-1] + s)
+    bases = jnp.array(bases_list, jnp.int32)
+    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+
+    # levels are log2(stride): (8,16,32) -> (3,4,5)
+    lvls = [int(math.log2(s)) for s in strides]
+    lvl_of_roi = assign_levels(boxes, lvls[0], lvls[-1], canonical_box_size,
+                               canonical_level) - lvls[0]        # [R] in [0, L)
+
+    r = boxes.shape[0]
+    stride_arr = jnp.array(strides, jnp.float32)
+    roi_stride = stride_arr[lvl_of_roi]                          # [R]
+    roi_h = hs[lvl_of_roi]
+    roi_w = ws[lvl_of_roi]
+    roi_base = bases[lvl_of_roi]
+
+    # aligned=True: continuous coords, no +0.5 offset hack
+    x1 = boxes[:, 0] / roi_stride
+    y1 = boxes[:, 1] / roi_stride
+    x2 = boxes[:, 2] / roi_stride
+    y2 = boxes[:, 3] / roi_stride
+    bin_w = (x2 - x1) / output_size                              # [R]
+    bin_h = (y2 - y1) / output_size
+
+    s = sampling_ratio
+    # sample grid: for bin (i,j), samples at x1 + (j + (k+0.5)/s) * bin_w
+    grid = (jnp.arange(output_size * s, dtype=jnp.float32) + 0.5) / s  # [P]
+    sx = x1[:, None] + grid[None, :] * bin_w[:, None]            # [R, P]
+    sy = y1[:, None] + grid[None, :] * bin_h[:, None]            # [R, P]
+    # full sample lattice [R, P, P]
+    sxx = jnp.broadcast_to(sx[:, None, :], (r, output_size * s, output_size * s))
+    syy = jnp.broadcast_to(sy[:, :, None], (r, output_size * s, output_size * s))
+    # ROIAlign samples at (coord - 0.5) in pixel-center convention
+    sxx = sxx - 0.5
+    syy = syy - 0.5
+
+    vals = _bilinear_flat(
+        flat, sxx, syy,
+        jnp.broadcast_to(roi_h[:, None, None], sxx.shape),
+        jnp.broadcast_to(roi_w[:, None, None], sxx.shape),
+        jnp.broadcast_to(roi_base[:, None, None], sxx.shape))    # [R, P, P, C]
+
+    # average the s x s samples per bin
+    vals = vals.reshape(r, output_size, s, output_size, s, c)
+    return jnp.mean(vals, axis=(2, 4))

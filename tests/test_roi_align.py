@@ -1,0 +1,58 @@
+"""ROIAlign checks: constant fields, linear-ramp exactness, level routing."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from embodied_object_detection_tpu.ops.roi_align import (
+    multilevel_roi_align, assign_levels)
+
+
+def test_constant_field_preserved():
+    # on a constant feature map every pooled value must equal the constant
+    feats = [jnp.full((60, 80, 4), 7.0), jnp.full((30, 40, 4), 7.0),
+             jnp.full((15, 20, 4), 7.0)]
+    boxes = jnp.asarray(np.array([[10, 10, 100, 100], [0, 0, 600, 440],
+                                  [300, 200, 340, 230]], np.float32))
+    out = multilevel_roi_align(feats, boxes, strides=(8, 16, 32), output_size=7)
+    np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-5)
+
+
+def test_linear_ramp_exact():
+    # bilinear sampling of a linear function is exact; mean of samples per bin
+    # equals the function at the bin center.
+    h, w = 64, 64
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # f(x, y) = x (in feature grid units)
+    feat = xs.astype(np.float32)[..., None]
+    feats = [jnp.asarray(feat)]
+    box = np.array([[8.0, 8.0, 8.0 + 7 * 8, 8.0 + 7 * 8]], np.float32)  # small -> lvl3
+    out = np.asarray(multilevel_roi_align(feats, jnp.asarray(box),
+                                          strides=(8,), output_size=7))
+    # bin j center in image coords: 8 + (j+0.5)*8 ; in grid coords /8 - 0.5
+    expected = (8.0 + (np.arange(7) + 0.5) * 8.0) / 8.0 - 0.5
+    np.testing.assert_allclose(out[0, 3, :, 0], expected, atol=1e-4)
+
+
+def test_level_assignment():
+    boxes = jnp.asarray(np.array([
+        [0, 0, 32, 32],        # tiny -> level 3
+        [0, 0, 224, 224],      # canonical -> level 4
+        [0, 0, 448, 448],      # 2x canonical -> level 5
+        [0, 0, 2000, 2000],    # huge -> clamped to 5
+    ], np.float32))
+    lv = np.asarray(assign_levels(boxes, 3, 5))
+    assert list(lv) == [3, 4, 5, 5]
+
+
+def test_multilevel_routing_uses_right_level():
+    # make each level's features a distinct constant; pooled output reveals
+    # which level was sampled.
+    feats = [jnp.full((60, 80, 1), 3.0), jnp.full((30, 40, 1), 4.0),
+             jnp.full((15, 20, 1), 5.0)]
+    boxes = jnp.asarray(np.array([[0, 0, 32, 32], [0, 0, 224, 224],
+                                  [0, 0, 440, 440]], np.float32))
+    out = np.asarray(multilevel_roi_align(feats, boxes, strides=(8, 16, 32),
+                                          output_size=7))
+    np.testing.assert_allclose(out[0], 3.0, atol=1e-5)
+    np.testing.assert_allclose(out[1], 4.0, atol=1e-5)
+    np.testing.assert_allclose(out[2], 5.0, atol=1e-5)
