@@ -1,0 +1,284 @@
+"""The embodied detector meta-architecture.
+
+ref: CustomRCNN / CustomRCNNRecurrent (Detic/detic/modeling/meta_arch/
+custom_rcnn.py:80-331, 333-1081). The reference drives a serial Python loop
+over frames with mutable module state (self.semmap_features / implicit_memory,
+custom_rcnn.py:441-546); here one frame is a pure function
+
+    params x frame x MemoryState -> detections x MemoryState'
+
+and an episode is `jax.lax.scan` over frames, so a whole 20-frame chunk
+compiles into one XLA program with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config import DetectorConfig
+from ..ops.mask_paste import paste_masks
+from ..ops.memory_ops import memory_read, memory_write, MemoryWriteResult
+from ..ops.nms import multiclass_nms
+from ..structures import Detections, MemoryState
+from .centernet import CenterNetHead, decode_proposals
+from .fpn import RecurrentFPN
+from .resnet import ResNet50
+from .roi_heads import CascadeROIHeads, CascadeOutputs
+
+
+class FrameInputs(NamedTuple):
+    """One frame of an episode (padded, fixed shapes).
+
+    ref: the per-frame dict assembled by map_mp3d_batch_to_coco
+    (train_mp3d.py:452-507) + SMNetDetectionLoader (loader.py:296-303).
+    """
+    image: jax.Array           # [H, W, 3] float32 RGB (0..255, unnormalized)
+    proj_indices: jax.Array    # [H, W] int32 flattened map-cell index
+    outlier_mask: jax.Array    # [H, W] bool invalid projections
+    memory_reset: jax.Array    # [] bool — reset memory before this frame
+    episode_start: jax.Array   # [] bool — first frame of an episode chunk
+
+
+class FrameOutputs(NamedTuple):
+    detections: Detections           # [300] final per-frame detections
+    proposals: Detections            # [256] CenterNet proposals
+    write: MemoryWriteResult
+    write_boxes: jax.Array           # [K, 4] boxes fed to the memory write
+    write_valid: jax.Array           # [K]
+
+
+class EmbodiedDetector(nn.Module):
+    """backbone + FPN(+memory fusion) + CenterNet + cascade heads.
+
+    Equivalent of detectron2 build_model for META_ARCHITECTURE
+    CustomRCNNRecurrent with BACKBONE build_p67_timm_fpn_backbone_recurrent
+    (train_mp3d.py:700, timm.py:507-531).
+    """
+    cfg: DetectorConfig
+
+    def setup(self):
+        dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.backbone = ResNet50(depths=self.cfg.backbone.depths, dtype=dtype,
+                                 name="backbone")
+        self.fpn = RecurrentFPN(
+            out_channels=self.cfg.backbone.fpn_channels,
+            memory_dim=self.cfg.memory.memory_dim,
+            feat_fusion=self.cfg.memory.feat_fusion,
+            map_feature_weight=self.cfg.memory.map_feature_weight,
+            dtype=dtype, name="fpn")
+        self.centernet = CenterNetHead(
+            num_levels=len(self.cfg.centernet.strides),
+            in_channels=self.cfg.backbone.fpn_channels,
+            num_box_convs=self.cfg.centernet.num_box_convs,
+            prior_prob=self.cfg.centernet.prior_prob,
+            dtype=dtype, name="centernet")
+        self.roi_heads = CascadeROIHeads(self.cfg.roi, dtype=dtype,
+                                         name="roi_heads")
+
+    # ---------------------------------------------------------------- utils
+    def _normalize(self, image: jax.Array) -> jax.Array:
+        mean = jnp.asarray(self.cfg.input.pixel_mean, jnp.float32)
+        std = jnp.asarray(self.cfg.input.pixel_std, jnp.float32)
+        return (image - mean) / std
+
+    def _features(self, image: jax.Array, ego_memory: Optional[jax.Array]):
+        x = self._normalize(image)
+        c3, c4, c5 = self.backbone(x)
+        return self.fpn(c3, c4, c5, ego_memory)
+
+    # ------------------------------------------------------------ inference
+    def frame_step(self, image: jax.Array, zs_weight: jax.Array,
+                   mem_features: jax.Array, mem_obs: jax.Array,
+                   proj_indices: jax.Array, outlier_mask: jax.Array
+                   ) -> FrameOutputs:
+        """Full single-frame inference + memory write proposal computation.
+
+        ref: CustomRCNNRecurrent.inference (custom_rcnn.py:548-582) +
+        update_implicit_memory (:681-760).
+        """
+        cfg = self.cfg
+        h, w = cfg.input.height, cfg.input.width
+
+        use_memory = cfg.memory.memory_type == "implicit_memory"
+        ego = memory_read(mem_features, mem_obs, proj_indices) if use_memory else None
+        p3, p4, p5, p6, p7 = self._features(image, ego)
+
+        # proposals (ref: CenterNet.inference, centernet.py:603-632)
+        agn_hms, regs = self.centernet((p3, p4, p5, p6, p7))
+        proposals = decode_proposals(agn_hms, regs, cfg.centernet, training=False)
+
+        # cascade heads (ref: detic_roi_heads.py:88-222)
+        cascade = self.roi_heads.run_cascade((p3, p4, p5), proposals, zs_weight,
+                                             (h, w))
+        # mult_proposal_score: scores = sqrt(mean_sigmoid * objectness)
+        # (ref: detic_roi_heads.py:171-173)
+        scores = cascade.mean_scores
+        if cfg.roi.mult_proposal_score:
+            scores = jnp.sqrt(scores * jnp.maximum(proposals.scores[:, None], 0.0))
+        if cfg.roi.one_class_per_proposal:  # demo knob (robot_demo.py:357-359)
+            fg = scores[:, :-1]
+            best = jnp.max(fg, axis=1, keepdims=True)
+            scores = scores * (scores == best).astype(scores.dtype)
+
+        detections, _ = multiclass_nms(
+            cascade.final_boxes, scores, proposals.valid,
+            cfg.roi.score_thresh_test, cfg.roi.nms_thresh_test,
+            cfg.roi.detections_per_image)
+
+        write, wboxes, wvalid = self._memory_write(
+            proposals, cascade, zs_weight, (p3, p4, p5), proj_indices,
+            outlier_mask)
+
+        return FrameOutputs(detections=detections, proposals=proposals,
+                            write=write, write_boxes=wboxes, write_valid=wvalid)
+
+    def _memory_write(self, proposals: Detections, cascade: CascadeOutputs,
+                      zs_weight: jax.Array, features, proj_indices, outlier_mask
+                      ) -> Tuple[MemoryWriteResult, jax.Array, jax.Array]:
+        """Select proposals for the memory write, run the mask head on them,
+        splat + scatter (ref: update_implicit_memory / inference_with_proposals
+        / box_to_image_features / project_image_features,
+        custom_rcnn.py:681-936).
+        """
+        cfg = self.cfg
+        h, w = cfg.input.height, cfg.input.width
+        k = cfg.memory.write_topk
+
+        # boxes/feats handed to the write are the *last cascade stage inputs*
+        # (the stage-2 regressed boxes) and the stage-3 CLIP features — in the
+        # reference these are what `proposals.proposal_boxes` / `p.feat` hold
+        # after roi_heads.forward (detic_roi_heads.py:326-349 sets .feat per
+        # stage; the returned Instances are the stage-3 ones).
+        boxes = cascade.stages[-1].boxes
+        feats = cascade.clip_feats                       # 50 * l2-normalized
+        obj = proposals.scores
+
+        # training-time GT filter: drop injected GT proposals (score >= 1)
+        # ref: custom_rcnn.py:837-844
+        valid = proposals.valid & (obj < 1.0)
+
+        # write scores: sigmoid(feat @ zs_weight) equals sigmoid(stage-3
+        # logits) since feats are the stage-3 embeddings and zs_weight is the
+        # same matrix (ref: custom_rcnn.py:846-855).
+        sig = jax.nn.sigmoid(cascade.stages[-1].logits)
+        wscores = jnp.sqrt(sig * jnp.maximum(obj[:, None], 0.0))
+
+        _, rows = multiclass_nms(boxes, wscores, valid,
+                                 cfg.memory.cls_score_thresh,
+                                 cfg.memory.write_nms_thresh, k)
+
+        # unique kept proposal rows (ref: custom_rcnn.py:875) — scatter into a
+        # per-row flag, then take up to K rows in ascending row order.
+        r = boxes.shape[0]
+        row_kept = jnp.zeros((r,), bool).at[jnp.where(rows >= 0, rows, 0)].set(
+            rows >= 0)
+        key = row_kept.astype(jnp.float32) * (2.0 - jnp.arange(r) / r)
+        _, sel = jax.lax.top_k(key, k)
+        wvalid = row_kept[sel]
+        wboxes = boxes[sel]
+        wfeats = feats[sel]
+
+        # mask head only on the <=K selected rows (the reference runs it on
+        # all 256 proposals — forward_mask_memory, custom_rcnn.py:573 — which
+        # is redundant work; results are identical per-ROI).
+        mask_logits = self.roi_heads.mask_logits(features, wboxes)
+        masks = paste_masks(jax.nn.sigmoid(mask_logits), wboxes, h, w,
+                            cfg.memory.mask_thresh)
+
+        write = memory_write(wfeats, masks, wvalid, proj_indices, outlier_mask,
+                             num_cells=cfg.memory.max_cells,
+                             subsample=cfg.memory.pixel_subsample)
+        return write, wboxes, wvalid
+
+    # ------------------------------------------------- single-frame, no mem
+    def __call__(self, image: jax.Array, zs_weight: jax.Array,
+                 mem_features: jax.Array, mem_obs: jax.Array,
+                 proj_indices: jax.Array, outlier_mask: jax.Array):
+        """Init/inspection entry — exercises every parameterized path."""
+        return self.frame_step(image, zs_weight, mem_features, mem_obs,
+                               proj_indices, outlier_mask)
+
+
+# =========================================================================
+# Episode driver
+# =========================================================================
+
+class EpisodeOutputs(NamedTuple):
+    detections: Detections       # [T, 300]
+    memory: MemoryState          # final live memory
+    any_detection: jax.Array     # [T]
+
+
+def _tree_where(pred, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
+    """Build a jittable episode function.
+
+    ref: CustomRCNNRecurrent.forward eval branch (custom_rcnn.py:466-539):
+      * memory reset when frame.memory_reset (zeros, :470-479)
+      * test_type 'default'/'episodic': the *read* memory tracks the live
+        memory every frame (:489-491)
+      * test_type 'longterm': the read memory is snapshotted only at episode
+        starts (:482-486), so within an episode the model sees frozen memory
+        while the live memory keeps accumulating
+      * per-frame inference + memory write
+    """
+    test_type = cfg.memory.test_type
+
+    def episode(params, frames: FrameInputs, zs_weight: jax.Array,
+                init_memory: MemoryState) -> EpisodeOutputs:
+        zeros = MemoryState.zeros(cfg.memory.max_cells, cfg.memory.memory_dim)
+
+        def step(carry, frame: FrameInputs):
+            live, snap = carry
+            live = _tree_where(frame.memory_reset, zeros, live)
+            snap = _tree_where(frame.memory_reset, zeros, snap)
+            if test_type in ("default", "episodic"):
+                snap = live
+            else:  # longterm
+                snap = _tree_where(frame.episode_start, live, snap)
+
+            out = model.apply(params, frame.image, zs_weight, snap.features,
+                              snap.obs_count, frame.proj_indices,
+                              frame.outlier_mask, method=EmbodiedDetector.frame_step)
+            live = MemoryState(
+                features=live.features + out.write.features_update,
+                obs_count=live.obs_count + out.write.obs_update)
+            return (live, snap), (out.detections, out.write.any_detection)
+
+        (live, _), (dets, any_det) = jax.lax.scan(
+            step, (init_memory, init_memory), frames)
+        return EpisodeOutputs(detections=dets, memory=live, any_detection=any_det)
+
+    return episode
+
+
+def build_detector(cfg: Optional[DetectorConfig] = None,
+                   rng: Optional[jax.Array] = None,
+                   ) -> Tuple[EmbodiedDetector, Any]:
+    """Construct the model and initialize parameters."""
+    cfg = cfg or DetectorConfig()
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    model = EmbodiedDetector(cfg)
+    h, w = cfg.input.height, cfg.input.width
+    dummy = dict(
+        image=jnp.zeros((h, w, 3), jnp.float32),
+        zs_weight=jnp.zeros((cfg.roi.zs_weight_dim, cfg.roi.num_classes + 1),
+                            jnp.float32),
+        mem_features=jnp.zeros((cfg.memory.max_cells, cfg.memory.memory_dim),
+                               jnp.float32),
+        mem_obs=jnp.zeros((cfg.memory.max_cells,), jnp.float32),
+        proj_indices=jnp.zeros((h, w), jnp.int32),
+        outlier_mask=jnp.zeros((h, w), bool),
+    )
+    params = model.init(rng, **dummy)
+    return model, params

@@ -142,8 +142,11 @@ def memory_write(det_features: jax.Array, det_masks: jax.Array,
     cell_count = jax.ops.segment_sum(sel.astype(jnp.float32), idx,
                                      num_segments=num_cells)      # [cells]
 
+    # full-f32 MXU accumulation — the reference explicitly disables fp16
+    # autocast for this contraction because it overflows (custom_rcnn.py:929-931)
     cell_sum = jnp.dot(a, det_features.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)        # [cells, D]
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)       # [cells, D]
     features_update = jnp.where(cell_count[:, None] > 0,
                                 cell_sum / jnp.maximum(cell_count, 1.0)[:, None],
                                 0.0)
