@@ -1,0 +1,189 @@
+"""Episode dataset: drop-in reader for the reference's on-disk format.
+
+ref: Detic/SMNet/loader.py:58-308 (SMNetDetectionLoader). Keeps the quirky
+formats for dataset compatibility:
+  * memory_data/<seq>.h5: memory_features [cells, D], proj_indices
+    [T, H, W, 1], semmap_gt
+  * sensor_data/<seq>.h5: rgb [T, H, W, 3], detection_data — *stringified
+    python dicts* parsed with string splits + ast.literal_eval
+    (loader.py:255-267), segmentation_data
+  * JPEGImages/<file_name>.jpg — the actual eval images
+  * class filtering to the 15-id subset (loader.py:134)
+  * memory-reset flags per test_type (loader.py:288-293)
+  * longterm episode doubling (loader.py:108-117)
+
+Output is fixed-shape numpy per chunk (padded GT), ready to stack into the
+device episode scan.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+# ref: loader.py:134 — classes included for detections
+CLASS_IDS = [0, 2, 3, 4, 5, 6, 7, 9, 12, 13, 14, 15, 16, 17, 19]
+
+# ref: custom_rcnn.py:988-989 / loader.py:132 — the 20-class mp3d vocabulary
+OBJECT_LVIS = ['bed', 'stool', 'towel', 'fireplace', 'picture', 'cabinet',
+               'toilet', 'curtain', 'lighting', 'table', 'shelving', 'mirror',
+               'sofa', 'cushion', 'bathtub', 'chair', 'chest_of_drawers',
+               'sink', 'seating', 'tv_monitor']
+
+
+def sort_episode_files(files: Sequence[str]) -> List[str]:
+    """ref: loader.py:97-105 (custom_sort): sort by (scene prefix, chunk id)."""
+    def key(string):
+        parts = string.split("_")
+        name = "_".join(parts[:-1]) + "_"
+        num = int(parts[-1].split(".")[0])
+        return (name, num)
+    return sorted(files, key=key)
+
+
+def parse_detection_record(record: bytes | str) -> Tuple[str, np.ndarray, np.ndarray]:
+    """Parse one stringified detection dict.
+
+    ref: loader.py:255-267 — the GT is stored as a python-dict string; the
+    reference slices it with string splits, converts xywh->xyxy, and filters
+    to CLASS_IDS. Reproduced bit-for-bit (including the [1:-1] quote strip).
+    """
+    s = record.decode() if isinstance(record, bytes) else str(record)
+    s = s.replace("'", '"')
+    file_name = s.split('"file_name": ')[1].split(', "image": ')[0]
+    gt_box_s, gt_class_s = s.split('"gt_boxes": ')[1].split(', "gt_classes": ')
+    gt_class = ast.literal_eval(gt_class_s[:-1])
+    gt_box = ast.literal_eval(gt_box_s)
+    gt_box = [[b[0], b[1], b[2] + b[0], b[3] + b[1]] for b in gt_box]
+    keep = [i for i, c in enumerate(gt_class) if c in CLASS_IDS]
+    boxes = np.array([gt_box[i] for i in keep], np.float32).reshape(-1, 4)
+    classes = np.array([gt_class[i] for i in keep], np.int32)
+    return file_name[1:-1], boxes, classes
+
+
+@dataclass
+class EpisodeChunk:
+    """One <=20-frame episode chunk, fixed shapes."""
+    sequence_name: str
+    file_names: List[str]
+    images: np.ndarray            # [T, H, W, 3] uint8 RGB
+    proj_indices: np.ndarray      # [T, H, W] int32
+    gt_boxes: np.ndarray          # [T, G, 4] float32 xyxy
+    gt_classes: np.ndarray        # [T, G] int32
+    gt_valid: np.ndarray          # [T, G] bool
+    memory_reset: np.ndarray      # [T] bool
+    episode_start: np.ndarray     # [T] bool
+    num_cells: int                # memory cells for this scene
+    frame_valid: np.ndarray       # [T] bool (padding when chunk < T frames)
+
+
+class EpisodeDataset:
+    """Iterates episode chunks in the reference order.
+
+    data_path layout (ref: loader.py:64-66):
+      <data_path>/memory_data/*.h5, <data_path>/sensor_data/*.h5,
+      <data_path>/JPEGImages/*.jpg
+    """
+
+    def __init__(self, data_path: str, test_type: str = "default",
+                 max_sequence_length: int = 20, max_gt: int = 64,
+                 load_jpeg: bool = True):
+        if h5py is None:
+            raise RuntimeError("h5py required for EpisodeDataset")
+        self.data_path = data_path
+        self.memory_path = os.path.join(data_path, "memory_data")
+        self.sensor_path = os.path.join(data_path, "sensor_data")
+        self.image_root = os.path.join(data_path, "JPEGImages")
+        self.test_type = test_type
+        self.max_sequence_length = max_sequence_length
+        self.max_gt = max_gt
+        self.load_jpeg = load_jpeg
+
+        files = sort_episode_files(os.listdir(self.memory_path))
+        if test_type == "longterm":
+            # ref: loader.py:108-117 — replay each 50-chunk block twice; the
+            # first chunk of each replayed block is replaced by the block's
+            # last chunk so memory state carries over.
+            blocks = [files[i:i + 50] for i in range(0, len(files), 50)]
+            files = sorted(blocks * 2)
+            files = [f for blk in files for f in blk]
+            for j in range(50, len(files), 100):
+                files[j] = files[j - 1]
+        self.files = files
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _load_image(self, file_name: str, fallback: np.ndarray) -> np.ndarray:
+        if not self.load_jpeg:
+            return fallback
+        path = os.path.join(self.image_root, file_name)
+        if not os.path.exists(path):
+            return fallback
+        from PIL import Image
+        with open(path, "rb") as f:
+            img = Image.open(f)
+            img = img.convert("RGB")
+            return np.asarray(img)
+
+    def __getitem__(self, index: int) -> EpisodeChunk:
+        file = self.files[index]
+        t_max = self.max_sequence_length
+
+        with h5py.File(os.path.join(self.memory_path, file), "r") as h5:
+            memory = np.array(h5["memory_features"])
+            proj = np.array(h5["proj_indices"])
+        if proj.ndim == 4:
+            proj = proj[..., 0]
+        num_cells = int(memory.shape[0])
+
+        with h5py.File(os.path.join(self.sensor_path, file), "r") as h5:
+            rgb = np.array(h5["rgb"])
+            det_records = [h5["detection_data"][i]
+                           for i in range(min(t_max, len(h5["detection_data"])))]
+
+        t = len(det_records)
+        h, w = rgb.shape[1], rgb.shape[2]
+        images = np.zeros((t_max, h, w, 3), np.uint8)
+        proj_out = np.zeros((t_max, h, w), np.int32)
+        boxes = np.zeros((t_max, self.max_gt, 4), np.float32)
+        classes = np.zeros((t_max, self.max_gt), np.int32)
+        gt_valid = np.zeros((t_max, self.max_gt), bool)
+        resets = np.zeros(t_max, bool)
+        starts = np.zeros(t_max, bool)
+        frame_valid = np.zeros(t_max, bool)
+        file_names = []
+
+        seq_id = int(file.split("_")[-1].split(".")[0])
+        for i in range(t):
+            file_name, b, c = parse_detection_record(det_records[i])
+            file_names.append(file_name)
+            images[i] = self._load_image(file_name, rgb[i])
+            proj_out[i] = proj[i]
+            g = min(len(b), self.max_gt)
+            boxes[i, :g] = b[:g]
+            classes[i, :g] = c[:g]
+            gt_valid[i, :g] = True
+            # ref: loader.py:288-293
+            if self.test_type in ("default", "longterm"):
+                resets[i] = (seq_id == 0 and i == 0)
+            else:  # episodic
+                resets[i] = (i == 0)
+            starts[i] = (i == 0)
+            frame_valid[i] = True
+
+        return EpisodeChunk(sequence_name=file, file_names=file_names,
+                            images=images, proj_indices=proj_out,
+                            gt_boxes=boxes, gt_classes=classes,
+                            gt_valid=gt_valid, memory_reset=resets,
+                            episode_start=starts, num_cells=num_cells,
+                            frame_valid=frame_valid)

@@ -1,0 +1,136 @@
+"""Recurrent episode evaluation — the mp3d_inference_on_dataset protocol.
+
+ref: Detic/train_mp3d.py:85-363. Protocol reproduced:
+  * stream episode chunks in sorted order; memory carries across chunks of a
+    scene (reset flags come from the loader)
+  * score every 5th frame (train_mp3d.py:187-188)
+  * rebuild COCO GT on the fly from the streamed annotations (:229-239)
+  * temporal-quartile image buckets by chunk_idx % 100 (:210-217)
+  * report overall + per-quartile bbox AP (:300-358)
+  * data/compute/eval timing split (:136-284)
+
+The device side is one jitted `lax.scan` per chunk (all chunks share shapes,
+so there is exactly one XLA compilation); the host only pulls the scored
+frames' padded detections back.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DetectorConfig
+from ..data.episode_dataset import EpisodeDataset, EpisodeChunk, OBJECT_LVIS
+from ..evaluation.coco_eval import COCOEvaluator
+from ..models.detector import (EmbodiedDetector, FrameInputs,
+                               make_episode_runner)
+from ..structures import MemoryState
+
+
+@dataclass
+class EvalResults:
+    overall: Dict[str, float]
+    quartiles: List[Dict[str, float]] = field(default_factory=list)
+    timing: Dict[str, float] = field(default_factory=dict)
+    num_images: int = 0
+
+
+def chunk_to_frame_inputs(chunk: EpisodeChunk) -> FrameInputs:
+    return FrameInputs(
+        image=jnp.asarray(chunk.images, jnp.float32),
+        proj_indices=jnp.asarray(chunk.proj_indices),
+        outlier_mask=jnp.zeros(chunk.proj_indices.shape, bool),
+        memory_reset=jnp.asarray(chunk.memory_reset),
+        episode_start=jnp.asarray(chunk.episode_start),
+    )
+
+
+def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
+                     dataset: EpisodeDataset, zs_weight: np.ndarray,
+                     max_chunks: Optional[int] = None,
+                     verbose: bool = True) -> EvalResults:
+    runner = jax.jit(make_episode_runner(model, cfg))
+    zs = jnp.asarray(zs_weight, jnp.float32)
+
+    evaluator = COCOEvaluator(list(range(cfg.roi.num_classes)),
+                              OBJECT_LVIS[:cfg.roi.num_classes])
+    quartile_ids: List[List[int]] = [[], [], [], []]
+    score_every = cfg.input.score_every
+
+    memory = MemoryState.zeros(cfg.memory.max_cells, cfg.memory.memory_dim)
+    im_id = 0
+    t_data = t_compute = t_eval = 0.0
+    n_chunks = len(dataset) if max_chunks is None else min(max_chunks,
+                                                           len(dataset))
+    t_total0 = time.perf_counter()
+    frames_scored = 0
+    total_frames = 0
+
+    for idx in range(n_chunks):
+        t0 = time.perf_counter()
+        chunk = dataset[idx]
+        frames = chunk_to_frame_inputs(chunk)
+        t_data += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        out = runner(params, frames, zs, memory)
+        memory = jax.tree_util.tree_map(jax.block_until_ready, out.memory)
+        t_compute += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        # every-5th-frame scoring (ref: train_mp3d.py:187-188)
+        t_len = chunk.images.shape[0]
+        det_boxes = np.asarray(out.detections.boxes)
+        det_scores = np.asarray(out.detections.scores)
+        det_classes = np.asarray(out.detections.classes)
+        det_valid = np.asarray(out.detections.valid)
+        for i in range(0, t_len, score_every):
+            if not chunk.frame_valid[i]:
+                continue
+            # quartile bucket by chunk index (ref: train_mp3d.py:210-217)
+            q = min(3, (idx % 100) // 25)
+            quartile_ids[q].append(im_id)
+            evaluator.add_image(im_id)
+            gv = chunk.gt_valid[i]
+            # the reference writes integer-truncated xywh with area=0
+            # (train_mp3d.py:237)
+            gb = chunk.gt_boxes[i][gv].astype(np.int64).astype(np.float64)
+            evaluator.add_ground_truth(im_id, gb, chunk.gt_classes[i][gv],
+                                       areas=np.zeros(int(gv.sum())))
+            v = det_valid[i]
+            evaluator.add_detections(im_id, det_boxes[i][v], det_scores[i][v],
+                                     det_classes[i][v])
+            im_id += 1
+            frames_scored += 1
+        total_frames += int(chunk.frame_valid.sum())
+        t_eval += time.perf_counter() - t0
+        if verbose and (idx + 1) % 10 == 0:
+            done = idx + 1
+            print(f"inference {done}/{n_chunks} "
+                  f"data {t_data/done:.3f}s/it compute {t_compute/done:.3f}s/it "
+                  f"eval {t_eval/done:.3f}s/it")
+
+    t_total = time.perf_counter() - t_total0
+    results = EvalResults(
+        overall=evaluator.evaluate(),
+        quartiles=[evaluator.evaluate(q) if q else {} for q in quartile_ids],
+        timing=dict(
+            data_s_per_chunk=t_data / max(n_chunks, 1),
+            compute_s_per_chunk=t_compute / max(n_chunks, 1),
+            eval_s_per_chunk=t_eval / max(n_chunks, 1),
+            total_s=t_total,
+            frames_per_s=total_frames / max(t_compute, 1e-9),
+        ),
+        num_images=im_id,
+    )
+    if verbose:
+        print("AP (overall):", {k: round(v, 2)
+                                for k, v in results.overall.items()
+                                if not k.startswith("AP-")})
+        print("timing:", {k: round(v, 4) for k, v in results.timing.items()})
+    return results

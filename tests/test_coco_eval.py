@@ -1,0 +1,103 @@
+"""COCO evaluator sanity tests against analytically known cases."""
+
+import numpy as np
+
+from embodied_object_detection_tpu.evaluation import COCOEvaluator
+
+
+def _box(x, y, w, h):
+    return [x, y, x + w, y + h]
+
+
+def test_perfect_detections_ap_100():
+    ev = COCOEvaluator([0, 1])
+    for img in range(3):
+        gt = np.array([_box(10, 10, 50, 50), _box(100, 100, 30, 40)], float)
+        cls = np.array([0, 1])
+        ev.add_image(img)
+        ev.add_ground_truth(img, gt, cls)
+        ev.add_detections(img, gt, np.array([0.9, 0.8]), cls)
+    res = ev.evaluate()
+    assert abs(res["AP"] - 100.0) < 1e-6
+    assert abs(res["AP50"] - 100.0) < 1e-6
+
+
+def test_no_detections_ap_0():
+    ev = COCOEvaluator([0])
+    ev.add_image(0)
+    ev.add_ground_truth(0, np.array([_box(0, 0, 10, 10)], float), np.array([0]))
+    ev.add_detections(0, np.zeros((0, 4)), np.zeros(0), np.zeros(0))
+    res = ev.evaluate()
+    assert res["AP"] == 0.0
+
+
+def test_half_recall():
+    # 2 GTs, only one detected perfectly, no false positives:
+    # precision = 1 up to recall 0.5 -> AP50 ~ 50.49 (51 of 101 recall points)
+    ev = COCOEvaluator([0])
+    ev.add_image(0)
+    ev.add_ground_truth(0, np.array([_box(0, 0, 10, 10), _box(50, 50, 10, 10)],
+                                    float), np.array([0, 0]))
+    ev.add_detections(0, np.array([_box(0, 0, 10, 10)], float),
+                      np.array([0.9]), np.array([0]))
+    res = ev.evaluate()
+    assert abs(res["AP50"] - 100 * 51 / 101) < 1e-6
+
+
+def test_localization_quality_affects_high_ious():
+    # det with IoU ~0.6 counts at thresholds 0.5, 0.55, 0.6 but not above
+    ev = COCOEvaluator([0])
+    ev.add_image(0)
+    ev.add_ground_truth(0, np.array([_box(0, 0, 100, 100)], float),
+                        np.array([0]))
+    # shifted box with IoU = (100-20)*100 / (100*100*2 - 80*100) = 8000/12000 = 0.667
+    ev.add_detections(0, np.array([_box(20, 0, 100, 100)], float),
+                      np.array([0.9]), np.array([0]))
+    res = ev.evaluate()
+    assert abs(res["AP50"] - 100.0) < 1e-6
+    assert res["AP75"] == 0.0
+    # AP = mean over 10 thresholds: passes at 0.5,0.55,0.6,0.65 -> 4/10
+    assert abs(res["AP"] - 40.0) < 1e-6
+
+
+def test_false_positive_lowers_precision():
+    ev = COCOEvaluator([0])
+    ev.add_image(0)
+    ev.add_ground_truth(0, np.array([_box(0, 0, 10, 10)], float), np.array([0]))
+    # high-scoring FP before the TP
+    ev.add_detections(0, np.array([_box(200, 200, 10, 10), _box(0, 0, 10, 10)],
+                                  float),
+                      np.array([0.95, 0.9]), np.array([0, 0]))
+    res = ev.evaluate()
+    # precision at full recall = 1/2 -> all recall points get 0.5
+    assert abs(res["AP50"] - 50.0) < 1e-6
+
+
+def test_subset_evaluation():
+    ev = COCOEvaluator([0])
+    for img in range(2):
+        ev.add_image(img)
+        ev.add_ground_truth(img, np.array([_box(0, 0, 10, 10)], float),
+                            np.array([0]))
+    # perfect on img 0, nothing on img 1
+    ev.add_detections(0, np.array([_box(0, 0, 10, 10)], float),
+                      np.array([0.9]), np.array([0]))
+    res_all = ev.evaluate()
+    res_0 = ev.evaluate(img_ids=[0])
+    res_1 = ev.evaluate(img_ids=[1])
+    assert abs(res_0["AP"] - 100.0) < 1e-6
+    assert res_1["AP"] == 0.0
+    assert res_1["AP"] < res_all["AP"] < res_0["AP"]
+
+
+def test_area_zero_annotations_fall_in_all_range():
+    # the reference writes area=0 for every GT (train_mp3d.py:237): the 'all'
+    # range must still count them
+    ev = COCOEvaluator([0])
+    ev.add_image(0)
+    ev.add_ground_truth(0, np.array([_box(0, 0, 50, 50)], float),
+                        np.array([0]), areas=np.array([0.0]))
+    ev.add_detections(0, np.array([_box(0, 0, 50, 50)], float),
+                      np.array([0.9]), np.array([0]))
+    res = ev.evaluate()
+    assert abs(res["AP"] - 100.0) < 1e-6

@@ -1,0 +1,96 @@
+"""Data layer + end-to-end eval protocol on a synthetic fixture."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from embodied_object_detection_tpu.data import (
+    EpisodeDataset, generate_synthetic_dataset, sort_episode_files)
+from embodied_object_detection_tpu.data.episode_dataset import (
+    parse_detection_record)
+
+from common import tiny_config
+
+
+def test_sort_episode_files():
+    files = ["sceneB_lvl0_2.h5", "sceneA_lvl0_10.h5", "sceneA_lvl0_2.h5",
+             "sceneA_lvl0_0.h5", "sceneB_lvl0_0.h5"]
+    got = sort_episode_files(files)
+    assert got == ["sceneA_lvl0_0.h5", "sceneA_lvl0_2.h5", "sceneA_lvl0_10.h5",
+                   "sceneB_lvl0_0.h5", "sceneB_lvl0_2.h5"]
+
+
+def test_parse_detection_record():
+    rec = str({"file_name": "img_0.jpg", "image": 0,
+               "gt_boxes": [[10.0, 20.0, 30.0, 40.0], [5.0, 5.0, 10.0, 10.0]],
+               "gt_classes": [0, 1]})
+    name, boxes, classes = parse_detection_record(rec)
+    assert name == "img_0.jpg"
+    # class 1 is not in CLASS_IDS -> filtered; xywh -> xyxy
+    assert len(classes) == 1 and classes[0] == 0
+    np.testing.assert_allclose(boxes[0], [10, 20, 40, 60])
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    generate_synthetic_dataset(root, num_scenes=1, chunks_per_scene=2,
+                               frames=4, height=128, width=160,
+                               map_h=8, map_w=8, seed=0)
+    return root
+
+
+def test_episode_dataset_loads(synth_root):
+    ds = EpisodeDataset(synth_root, max_sequence_length=4, max_gt=8)
+    assert len(ds) == 2
+    chunk = ds[0]
+    assert chunk.images.shape == (4, 128, 160, 3)
+    assert chunk.proj_indices.shape == (4, 128, 160)
+    assert chunk.num_cells == 64
+    assert chunk.memory_reset[0]           # first chunk of scene resets
+    assert not chunk.memory_reset[1:].any()
+    chunk2 = ds[1]
+    assert not chunk2.memory_reset.any()   # seq 1: no reset (default mode)
+    assert chunk2.episode_start[0] and not chunk2.episode_start[1:].any()
+    # at least one frame has GT
+    assert chunk.gt_valid.any()
+
+
+def test_episodic_mode_resets_every_chunk(synth_root):
+    ds = EpisodeDataset(synth_root, test_type="episodic",
+                        max_sequence_length=4, max_gt=8)
+    for i in range(2):
+        chunk = ds[i]
+        assert chunk.memory_reset[0]
+        assert not chunk.memory_reset[1:].any()
+
+
+def test_longterm_doubles_files(synth_root):
+    ds_default = EpisodeDataset(synth_root, max_sequence_length=4)
+    ds_long = EpisodeDataset(synth_root, test_type="longterm",
+                             max_sequence_length=4)
+    assert len(ds_long) == 2 * len(ds_default)
+
+
+@pytest.mark.slow
+def test_full_eval_protocol(synth_root):
+    import jax
+    from embodied_object_detection_tpu.models.detector import build_detector
+    from embodied_object_detection_tpu.engine import evaluate_dataset
+
+    cfg = tiny_config()
+    cfg = cfg.replace(input=dataclasses.replace(cfg.input, height=128,
+                                                width=160,
+                                                max_sequence_length=4,
+                                                score_every=2, max_gt_boxes=8))
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    ds = EpisodeDataset(synth_root, max_sequence_length=4, max_gt=8)
+    zs = np.random.RandomState(0).randn(cfg.roi.zs_weight_dim,
+                                        cfg.roi.num_classes + 1).astype(np.float32)
+    res = evaluate_dataset(model, params, cfg, ds, zs, verbose=False)
+    assert res.num_images == 4              # 2 chunks x 2 scored frames
+    assert "AP" in res.overall
+    assert np.isfinite(res.overall["AP"]) or np.isnan(res.overall["AP"])
+    assert res.timing["frames_per_s"] > 0
