@@ -1,0 +1,99 @@
+"""Optimizer / LR schedule / parameter freezing.
+
+ref: Detic/detic/custom_solver.py (build_custom_optimizer): AdamW with
+per-parameter LR multipliers — BACKBONE_MULTIPLIER for backbone params,
+CUSTOM_MULTIPLIER (x10) for names containing CUSTOM_MULTIPLIER_NAME
+("map_merge") — plus full-model gradient clipping; WarmupCosineLR schedule;
+backbone freezing via MODEL.FREEZE_BACKBONE / UNFROZEN_LAYERS
+(train_mp3d.py:704-710).
+
+In optax this becomes: multi_transform over a label tree (lr groups),
+masked zero-updates for frozen params, clip_by_global_norm, and a cosine
+schedule with linear warmup.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import SolverConfig
+
+# FrozenBN statistics / affine are never trained (detectron2 FrozenBatchNorm2d)
+FROZEN_BN_KEYS = ("running_mean", "running_var")
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def param_labels(params, cfg: SolverConfig) -> Any:
+    """Label tree: 'frozen' | 'backbone' | 'custom' | 'default'.
+
+    Mirrors custom_solver.py:24-44: name-substring routing. Our param paths
+    use 'backbone' for the ResNet trunk and 'map_merge' for the memory
+    projections (same substrings as the reference state_dict)."""
+    def label(path, leaf):
+        name = _path_str(path)
+        if any(k in name for k in FROZEN_BN_KEYS):
+            return "frozen"
+        if "bn" in name.split("/")[-2:][0] and name.endswith(("weight", "bias")):
+            # FrozenBN affine: also frozen (converted FrozenBatchNorm2d)
+            if "/bn" in name or "downsample_bn" in name:
+                return "frozen"
+        if cfg.freeze_backbone:
+            if not any(l in name for l in cfg.unfrozen_layers):
+                # map our module names onto the reference's UNFROZEN_LAYERS
+                # vocabulary: 'roi' -> roi_heads, 'proposal_generator' ->
+                # centernet, 'map_merge' -> fpn map_merge projections
+                alias = {"roi": "roi_heads", "proposal_generator": "centernet",
+                         "map_merge": "map_merge"}
+                if not any(alias.get(l, l) in name for l in cfg.unfrozen_layers):
+                    return "frozen"
+        if any(n in name for n in cfg.custom_multiplier_name):
+            return "custom"
+        if "backbone" in name:
+            return "backbone"
+        return "default"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def warmup_cosine_schedule(cfg: SolverConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """WarmupCosineLR (detectron2): linear warmup from warmup_factor, then
+    0.5 * (1 + cos(pi * t / max_iter))."""
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = cfg.warmup_factor + (1 - cfg.warmup_factor) * \
+            jnp.minimum(step / max(cfg.warmup_iters, 1), 1.0)
+        cos = 0.5 * (1 + jnp.cos(math.pi * step / max(cfg.max_iter, 1)))
+        return cfg.base_lr * jnp.where(step < cfg.warmup_iters, warm, cos)
+    return schedule
+
+
+def build_optimizer(params, cfg: SolverConfig) -> optax.GradientTransformation:
+    schedule = warmup_cosine_schedule(cfg)
+
+    def adamw(mult: float):
+        return optax.chain(
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.scale_by_learning_rate(lambda s: schedule(s) * mult),
+        )
+
+    labels = param_labels(params, cfg)
+    tx = optax.multi_transform(
+        {
+            "default": adamw(1.0),
+            "backbone": adamw(cfg.backbone_multiplier),
+            "custom": adamw(cfg.custom_multiplier),
+            "frozen": optax.set_to_zero(),
+        },
+        labels)
+    if cfg.clip_gradients:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.clip_value), tx)
+    return tx

@@ -30,7 +30,7 @@ from ..structures import Detections, MemoryState
 from .centernet import CenterNetHead, decode_proposals
 from .fpn import RecurrentFPN
 from .resnet import ResNet50
-from .roi_heads import CascadeROIHeads, CascadeOutputs
+from .roi_heads import CascadeROIHeads, CascadeOutputs, apply_deltas
 
 
 class FrameInputs(NamedTuple):
@@ -196,6 +196,77 @@ class EmbodiedDetector(nn.Module):
                              num_cells=cfg.memory.max_cells,
                              subsample=cfg.memory.pixel_subsample)
         return write, wboxes, wvalid
+
+    # -------------------------------------------------------------- training
+    def frame_train(self, image: jax.Array, zs_weight: jax.Array,
+                    mem_features: jax.Array, mem_obs: jax.Array,
+                    proj_indices: jax.Array, gt) -> dict:
+        """Per-frame training losses.
+
+        ref: CustomRCNNRecurrent training branch (custom_rcnn.py:444-464 +
+        forward_model :584-679). Training reads *precomputed* memory (loaded
+        from SEMMAP_PATH h5 snapshots, loader.py:216-227) — it never writes
+        memory online, so frames are independent and batchable (no scan).
+        The reference's training-time mask forward on proposals
+        (custom_rcnn.py:652-653) is dead compute (outputs unused) and is
+        omitted; the mask loss is zero for mp3d data which has no GT masks
+        (detic_roi_heads.py:248-251 -> _get_empty_mask_loss).
+        """
+        from .losses import (add_gt_to_proposals, centernet_targets,
+                             centernet_losses, match_proposals, stage_losses)
+        cfg = self.cfg
+        h, w = cfg.input.height, cfg.input.width
+
+        use_memory = cfg.memory.memory_type == "implicit_memory"
+        ego = memory_read(mem_features, mem_obs, proj_indices) if use_memory else None
+        p3, p4, p5, p6, p7 = self._features(image, ego)
+        feats = (p3, p4, p5, p6, p7)
+
+        agn_hms, regs = self.centernet(feats)
+        shapes = tuple((f.shape[0], f.shape[1]) for f in feats)
+        targets = centernet_targets(gt, shapes, cfg.centernet)
+        agn_flat = jnp.concatenate([x.reshape(-1) for x in agn_hms])
+        reg_flat = jnp.concatenate([x.reshape(-1, 4) for x in regs])
+        num_pos = jnp.sum(targets.pos_mask.astype(jnp.float32))
+        losses = centernet_losses(agn_flat, reg_flat, targets, cfg.centernet,
+                                  num_pos)
+
+        proposals = decode_proposals(agn_hms, regs, cfg.centernet,
+                                     training=True)
+        # ref: label_and_sample_proposals appends GT (detic_roi_heads.py:236);
+        # with <=320 proposals the reference's 512-batch subsample is the
+        # identity, so no random sampling is performed here.
+        proposals = add_gt_to_proposals(proposals, gt)
+        from ..structures import clip_boxes as _clip, nonempty as _nonempty
+        boxes = _clip(jax.lax.stop_gradient(proposals.boxes), h, w)
+        valid = proposals.valid
+
+        def grad_scale(x, s):
+            # ref: _ScaleGradient 1/num_stages (detic_roi_heads.py:333)
+            return x * s + jax.lax.stop_gradient(x) * (1.0 - s)
+
+        num_stages = len(cfg.roi.cascade_ious)
+        matched = match_proposals(boxes, valid, gt, cfg.roi.cascade_ious[0],
+                                  cfg.roi.num_classes)
+        for k in range(num_stages):
+            if k > 0:
+                boxes = _clip(jax.lax.stop_gradient(prev_boxes), h, w)
+                valid = valid & _nonempty(boxes)
+                matched = match_proposals(boxes, valid, gt,
+                                          cfg.roi.cascade_ious[k],
+                                          cfg.roi.num_classes)
+            pooled = self.roi_heads._pool((p3, p4, p5), boxes,
+                                          cfg.roi.pooler_resolution)
+            pooled = grad_scale(pooled, 1.0 / num_stages)
+            x = self.roi_heads.box_heads[k](pooled)
+            logits, deltas, _ = self.roi_heads.predictors[k](x, zs_weight)
+            sl = stage_losses(logits, deltas, matched,
+                              cfg.roi.cascade_bbox_reg_weights[k],
+                              cfg.roi.num_classes)
+            losses.update({f"{n}_stage{k}": v for n, v in sl.items()})
+            prev_boxes = apply_deltas(deltas, boxes,
+                                      cfg.roi.cascade_bbox_reg_weights[k])
+        return losses
 
     # ------------------------------------------------- single-frame, no mem
     def __call__(self, image: jax.Array, zs_weight: jax.Array,

@@ -1,0 +1,269 @@
+"""Training losses: CenterNet heatmap/regression + cascade R-CNN stages.
+
+ref: third_party/CenterNet2/centernet/modeling/dense_heads/centernet.py
+(_get_ground_truth :342-440, _get_label_inds :443-491, losses :241-318),
+layers/heatmap_focal_loss.py, layers/iou_loss.py, and
+detic/modeling/roi_heads/detic_fast_rcnn.py (losses :157-300).
+
+All formulations are masked fixed-shape re-expressions of the reference's
+dynamic-shape indexing: ground-truth boxes are padded to [G] with a valid
+mask, FPN locations are a fixed [M], and every gather/select becomes a
+where/argmin over the [M, G] interaction matrix.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CenterNetConfig, ROIHeadsConfig
+from ..structures import Detections, GroundTruth, pairwise_iou
+from .centernet import level_grids
+from .roi_heads import apply_deltas, get_deltas
+
+INF = 1e8
+
+
+# =========================================================================
+# CenterNet ground truth assignment (only_proposal mode)
+# =========================================================================
+
+class CenterNetTargets(NamedTuple):
+    agn_heatmap: jax.Array     # [M] gaussian-ish heatmap
+    reg_targets: jax.Array     # [M, 4] ltrb in stride units; -INF where invalid
+    pos_mask: jax.Array        # [M] bool — peak-positive locations
+
+
+def centernet_targets(gt: GroundTruth, shapes: Sequence[Tuple[int, int]],
+                      cfg: CenterNetConfig) -> CenterNetTargets:
+    """ref: CenterNet._get_ground_truth (centernet.py:342-440) +
+    _get_label_inds (:443-491), agnostic branch."""
+    grids_per_level = level_grids(shapes, cfg.strides)
+    grids = jnp.concatenate(grids_per_level, axis=0)              # [M, 2]
+    m = grids.shape[0]
+    num_loc = [h * w for h, w in shapes]
+    strides = jnp.concatenate([jnp.full((n,), s, jnp.float32)
+                               for n, s in zip(num_loc, cfg.strides)])
+    size_ranges = jnp.concatenate([
+        jnp.tile(jnp.asarray(r, jnp.float32)[None, :], (n, 1))
+        for n, r in zip(num_loc, cfg.sizes_of_interest)])          # [M, 2]
+
+    boxes = gt.boxes                                               # [G, 4]
+    g = boxes.shape[0]
+    valid = gt.valid
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * \
+           jnp.maximum(boxes[:, 3] - boxes[:, 1], 0)
+
+    l = grids[:, 0:1] - boxes[None, :, 0]                          # [M, G]
+    t = grids[:, 1:2] - boxes[None, :, 1]
+    r = boxes[None, :, 2] - grids[:, 0:1]
+    b = boxes[None, :, 3] - grids[:, 1:2]
+    reg = jnp.stack([l, t, r, b], axis=-1)                         # [M, G, 4]
+
+    centers = (boxes[:, :2] + boxes[:, 2:]) / 2                    # [G, 2]
+    s_m = strides[:, None, None]                                   # [M, 1, 1]
+    centers_discret = (jnp.floor(centers[None] / s_m) * s_m + s_m / 2)  # [M,G,2]
+
+    is_peak = jnp.sum((grids[:, None, :] - centers_discret) ** 2, -1) == 0
+    is_in_boxes = jnp.min(reg, axis=-1) > 0
+    dist_xy = jnp.abs(grids[:, None, :] - centers_discret)
+    is_center3x3 = (dist_xy[..., 0] <= strides[:, None]) & \
+                   (dist_xy[..., 1] <= strides[:, None]) & is_in_boxes
+    crit = jnp.sqrt(jnp.sum((reg[..., :2] + reg[..., 2:]) ** 2, -1)) / 2
+    is_cared = (crit >= size_ranges[:, 0:1]) & (crit <= size_ranges[:, 1:2])
+    reg_mask = is_center3x3 & is_cared & valid[None, :]
+
+    dist2 = jnp.sum((grids[:, None, :] - centers[None]) ** 2, -1)  # [M, G]
+    dist2 = jnp.where(is_peak, 0.0, dist2)
+    delta = (1 - cfg.hm_min_overlap) / (1 + cfg.hm_min_overlap)
+    radius2 = jnp.maximum(delta ** 2 * 2 * area, cfg.min_radius ** 2)
+    wdist2 = dist2 / jnp.maximum(radius2[None, :], 1e-12)          # [M, G]
+    wdist2 = jnp.where(valid[None, :], wdist2, INF)
+
+    # regression target: nearest (weighted) center among reg_mask'd gts
+    wd_reg = jnp.where(reg_mask, wdist2, INF)
+    min_idx = jnp.argmin(wd_reg, axis=1)                            # [M]
+    min_dist = jnp.min(wd_reg, axis=1)
+    reg_targets = jnp.take_along_axis(
+        reg, min_idx[:, None, None].repeat(4, -1), axis=1)[:, 0, :]
+    reg_targets = jnp.where((min_dist < INF)[:, None], reg_targets, -INF)
+    # normalize by per-location stride (ref: centernet.py:435-436)
+    reg_targets = jnp.where(reg_targets <= -INF / 2, reg_targets,
+                            reg_targets / strides[:, None])
+
+    # agnostic heatmap: exp(-min wdist2) zeroed below 1e-4
+    # (ref: _create_agn_heatmaps_from_dist, centernet.py:559-570)
+    hm = jnp.exp(-jnp.min(wdist2, axis=1))
+    hm = jnp.where(hm < 1e-4, 0.0, hm)
+    hm = jnp.where(jnp.any(valid), hm, jnp.zeros_like(hm))
+
+    # peak positives (ref: _get_label_inds): per gt x level, the discretized
+    # center cell, if the box diag/2 falls in the level size range.
+    level_bases = []
+    base = 0
+    for n in num_loc:
+        level_bases.append(base)
+        base += n
+    diag = jnp.sqrt(jnp.sum((boxes[:, 2:] - boxes[:, :2]) ** 2, -1)) / 2  # [G]
+    pos_mask = jnp.zeros((m,), bool)
+    for lvl, ((h, w), stride, rng_) in enumerate(
+            zip(shapes, cfg.strides, cfg.sizes_of_interest)):
+        cx = (centers[:, 0] / stride).astype(jnp.int32)
+        cy = (centers[:, 1] / stride).astype(jnp.int32)
+        inside = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+        cared = (diag >= rng_[0]) & (diag <= rng_[1]) & valid & inside
+        flat = level_bases[lvl] + jnp.clip(cy, 0, h - 1) * w + jnp.clip(cx, 0, w - 1)
+        pos_mask = pos_mask.at[flat].max(cared)
+    return CenterNetTargets(agn_heatmap=hm, reg_targets=reg_targets,
+                            pos_mask=pos_mask)
+
+
+def binary_heatmap_focal_loss(logits: jax.Array, targets: jax.Array,
+                              pos_mask: jax.Array, cfg: CenterNetConfig
+                              ) -> Tuple[jax.Array, jax.Array]:
+    """ref: layers/heatmap_focal_loss.py:51-85 (binary variant).
+
+    Returns (pos_loss_sum, neg_loss_sum) — the caller normalizes by the
+    cross-device positive count (centernet.py:258-281)."""
+    pred = jnp.clip(jax.nn.sigmoid(logits), cfg.sigmoid_clamp,
+                    1 - cfg.sigmoid_clamp)
+    neg_weights = jnp.power(1 - targets, cfg.hm_focal_beta)
+    pos_loss = jnp.log(pred) * jnp.power(1 - pred, cfg.loss_gamma)
+    pos_loss = jnp.sum(jnp.where(pos_mask, pos_loss, 0.0))
+    neg_loss = jnp.log(1 - pred) * jnp.power(pred, cfg.loss_gamma) * neg_weights
+    if cfg.ignore_high_fp > 0:
+        neg_loss = neg_loss * (pred < cfg.ignore_high_fp)
+    neg_loss = jnp.sum(neg_loss)
+    if cfg.hm_focal_alpha >= 0:
+        pos_loss = cfg.hm_focal_alpha * pos_loss
+        neg_loss = (1 - cfg.hm_focal_alpha) * neg_loss
+    return -pos_loss, -neg_loss
+
+
+def giou_loss_ltrb(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """gIoU on ltrb distances (ref: layers/iou_loss.py:5-63, 'giou')."""
+    pl, pt, pr, pb = pred[:, 0], pred[:, 1], pred[:, 2], pred[:, 3]
+    tl, tt, tr, tb = target[:, 0], target[:, 1], target[:, 2], target[:, 3]
+    t_area = (tl + tr) * (tt + tb)
+    p_area = (pl + pr) * (pt + pb)
+    w_i = jnp.minimum(pl, tl) + jnp.minimum(pr, tr)
+    h_i = jnp.minimum(pb, tb) + jnp.minimum(pt, tt)
+    gw_i = jnp.maximum(pl, tl) + jnp.maximum(pr, tr)
+    gh_i = jnp.maximum(pb, tb) + jnp.maximum(pt, tt)
+    ac_union = gw_i * gh_i
+    inter = w_i * h_i
+    union = t_area + p_area - inter
+    ious = (inter + 1.0) / (union + 1.0)
+    gious = ious - (ac_union - union) / jnp.maximum(ac_union, 1e-12)
+    return 1 - gious
+
+
+def centernet_losses(agn_logits_flat: jax.Array, reg_pred_flat: jax.Array,
+                     targets: CenterNetTargets, cfg: CenterNetConfig,
+                     num_pos_avg: jax.Array) -> dict:
+    """ref: CenterNet.losses (centernet.py:241-318), only_proposal branch.
+
+    agn_logits_flat [M], reg_pred_flat [M, 4] (stride-normalized, relu'd),
+    num_pos_avg: cross-device-averaged positive count (pass the local count
+    on one device)."""
+    pos_loss, neg_loss = binary_heatmap_focal_loss(
+        agn_logits_flat, targets.agn_heatmap, targets.pos_mask, cfg)
+    num_pos_avg = jnp.maximum(num_pos_avg, 1.0)
+    losses = {
+        "loss_centernet_agn_pos": cfg.pos_weight * pos_loss / num_pos_avg,
+        "loss_centernet_agn_neg": cfg.neg_weight * neg_loss / num_pos_avg,
+    }
+    reg_valid = jnp.max(targets.reg_targets, axis=1) >= 0
+    reg_norm = jnp.maximum(jnp.sum(reg_valid.astype(jnp.float32)), 1.0)
+    per_loc = giou_loss_ltrb(reg_pred_flat,
+                             jnp.where(reg_valid[:, None],
+                                       targets.reg_targets, 0.0))
+    reg_loss = jnp.sum(jnp.where(reg_valid, per_loc, 0.0))
+    losses["loss_centernet_loc"] = cfg.reg_weight * reg_loss / reg_norm
+    return losses
+
+
+# =========================================================================
+# Cascade R-CNN stage losses
+# =========================================================================
+
+class MatchedProposals(NamedTuple):
+    boxes: jax.Array        # [R, 4]
+    gt_boxes: jax.Array     # [R, 4] matched gt (or proposal itself for bg)
+    gt_classes: jax.Array   # [R] in [0, C]; C == background
+    valid: jax.Array        # [R]
+
+
+def match_proposals(boxes: jax.Array, valid: jax.Array, gt: GroundTruth,
+                    iou_threshold: float, num_classes: int) -> MatchedProposals:
+    """detectron2 Matcher with a single threshold, labels (0, 1) — fg iff
+    max IoU >= threshold (ref: CascadeROIHeads._match_and_label_boxes)."""
+    iou = pairwise_iou(boxes, gt.boxes)                     # [R, G]
+    iou = jnp.where(gt.valid[None, :], iou, -1.0)
+    best = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1)
+    fg = best_iou >= iou_threshold
+    g_boxes = gt.boxes[best]
+    g_classes = jnp.where(fg, gt.classes[best], num_classes)
+    # background rows regress nothing; keep proposal box as dummy target
+    g_boxes = jnp.where(fg[:, None], g_boxes, boxes)
+    return MatchedProposals(boxes=boxes, gt_boxes=g_boxes,
+                            gt_classes=jnp.where(valid, g_classes, num_classes),
+                            valid=valid)
+
+
+def add_gt_to_proposals(proposals: Detections, gt: GroundTruth) -> Detections:
+    """ref: detectron2 add_ground_truth_to_proposals via
+    label_and_sample_proposals (detic_roi_heads.py:236-238) — GT boxes are
+    appended with near-1 objectness (logit ~23; after the sqrt-score
+    convention the reference's memory write filters them with score < 1,
+    custom_rcnn.py:837-844 — we give them score exactly 1)."""
+    boxes = jnp.concatenate([proposals.boxes, gt.boxes], axis=0)
+    scores = jnp.concatenate([proposals.scores,
+                              jnp.where(gt.valid, 1.0, 0.0)], axis=0)
+    classes = jnp.concatenate(
+        [proposals.classes, jnp.zeros_like(gt.classes)], axis=0)
+    valid = jnp.concatenate([proposals.valid, gt.valid], axis=0)
+    return Detections(boxes=boxes, scores=scores, classes=classes, valid=valid)
+
+
+def stage_losses(logits: jax.Array, deltas: jax.Array,
+                 matched: MatchedProposals, reg_weights: Tuple[float, ...],
+                 num_classes: int) -> dict:
+    """ref: DeticFastRCNNOutputLayers.losses (detic_fast_rcnn.py:157-300)
+    with USE_SIGMOID_CE, cls-agnostic gIoU box regression.
+
+    loss_cls     = sum(BCE(logits[:, :C], onehot)) / B
+    loss_box_reg = sum(giou(apply_deltas(fg), gt_fg)) / B
+    (B = number of proposals)."""
+    c = num_classes
+    b = jnp.maximum(jnp.sum(matched.valid.astype(jnp.float32)), 1.0)
+    onehot = jax.nn.one_hot(matched.gt_classes, c + 1)[:, :c]
+    logit_fg = logits[:, :c]
+    bce = jnp.maximum(logit_fg, 0) - logit_fg * onehot + \
+        jnp.log1p(jnp.exp(-jnp.abs(logit_fg)))
+    loss_cls = jnp.sum(jnp.where(matched.valid[:, None], bce, 0.0)) / b
+
+    fg = (matched.gt_classes < c) & matched.valid
+    pred_boxes = apply_deltas(deltas, matched.boxes, reg_weights)
+    # giou on xyxy (ref: fvcore giou_loss via box_reg_loss :293-297)
+    px1, py1, px2, py2 = [pred_boxes[:, i] for i in range(4)]
+    gx1, gy1, gx2, gy2 = [matched.gt_boxes[:, i] for i in range(4)]
+    ix1 = jnp.maximum(px1, gx1)
+    iy1 = jnp.maximum(py1, gy1)
+    ix2 = jnp.minimum(px2, gx2)
+    iy2 = jnp.minimum(py2, gy2)
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    union = (px2 - px1) * (py2 - py1) + (gx2 - gx1) * (gy2 - gy1) - inter
+    iou = inter / jnp.maximum(union, 1e-7)
+    cx1 = jnp.minimum(px1, gx1)
+    cy1 = jnp.minimum(py1, gy1)
+    cx2 = jnp.maximum(px2, gx2)
+    cy2 = jnp.maximum(py2, gy2)
+    area_c = (cx2 - cx1) * (cy2 - cy1)
+    giou = iou - (area_c - union) / jnp.maximum(area_c, 1e-7)
+    loss_box = jnp.sum(jnp.where(fg, 1 - giou, 0.0)) / b
+    return {"loss_cls": loss_cls, "loss_box_reg": loss_box}

@@ -132,8 +132,19 @@ class MaskHead(nn.Module):
             x = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
                         name=f"mask_fcn{i + 1}")(x)
             x = nn.relu(x)
-        x = nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2),
-                             dtype=self.dtype, name="deconv")(x)
+        # 2x2 stride-2 deconv, written as an einsum + pixel-shuffle: with
+        # kernel==stride there is no overlap, so
+        # y[2i+a, 2j+b, d] = sum_c x[i, j, c] W[a, b, c, d] — exactly torch
+        # ConvTranspose2d semantics, with no kernel-flip ambiguity (keeps the
+        # torch->jax weight conversion a pure transpose).
+        w_dc = self.param("deconv_kernel", nn.initializers.he_normal(),
+                          (2, 2, self.channels, self.channels))
+        b_dc = self.param("deconv_bias", nn.initializers.zeros,
+                          (self.channels,))
+        r, hh, ww, c = x.shape
+        y = jnp.einsum("rhwc,abcd->rhawbd", x.astype(jnp.float32),
+                       w_dc.astype(jnp.float32))
+        x = (y.reshape(r, hh * 2, ww * 2, self.channels) + b_dc).astype(self.dtype)
         x = nn.relu(x)
         logits = nn.Conv(1, (1, 1), dtype=jnp.float32, name="predictor")(
             x.astype(jnp.float32))

@@ -1,0 +1,88 @@
+"""Sharded training step (the analog of the reference's DDP iteration).
+
+ref: Detic/train_mp3d.py:585-642 (do_train loop body): forward over a batch
+of episode frames, loss sum, backward, AdamW step, loss reduce across ranks.
+Here: one jitted step over a Mesh — the batch is sharded on the 'data' axis,
+params/optimizer state replicated; XLA inserts the gradient all-reduce over
+ICI where DDP used NCCL buckets, and the returned loss dict is the global
+mean (the analog of comm.reduce_dict, :620-621).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DetectorConfig
+from ..engine.solver import build_optimizer
+from ..models.detector import EmbodiedDetector
+from ..structures import GroundTruth
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class TrainBatch(NamedTuple):
+    """A batch of independent frames (training never carries memory online —
+    memory comes precomputed per frame, ref: custom_rcnn.py:444-464)."""
+    image: jax.Array          # [B, H, W, 3]
+    proj_indices: jax.Array   # [B, H, W]
+    mem_features: jax.Array   # [B, cells, D]
+    mem_obs: jax.Array        # [B, cells]
+    gt_boxes: jax.Array       # [B, G, 4]
+    gt_classes: jax.Array     # [B, G]
+    gt_valid: jax.Array       # [B, G]
+
+
+def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None):
+    """Returns (init_state_fn, step_fn). step_fn is jit-compiled with batch
+    sharded over the mesh data axis."""
+
+    def loss_fn(params, batch: TrainBatch, zs_weight):
+        def one_frame(image, proj, memf, memo, gb, gc, gv):
+            gt = GroundTruth(boxes=gb, classes=gc, valid=gv)
+            return model.apply(params, image, zs_weight, memf, memo, proj, gt,
+                               method=EmbodiedDetector.frame_train)
+        losses = jax.vmap(one_frame)(batch.image, batch.proj_indices,
+                                     batch.mem_features, batch.mem_obs,
+                                     batch.gt_boxes, batch.gt_classes,
+                                     batch.gt_valid)
+        # average over frames (ref: custom_rcnn.py:541-544)
+        losses = {k: jnp.mean(v) for k, v in losses.items()}
+        total = sum(losses.values())
+        return total, losses
+
+    def init_state(params) -> Tuple[TrainState, Any]:
+        nonlocal tx
+        if tx is None:
+            tx = build_optimizer(params, cfg.solver)
+        return TrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32)), tx
+
+    def step_fn(state: TrainState, batch: TrainBatch, zs_weight
+                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, zs_weight)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        losses["total_loss"] = total
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), losses
+
+    return init_state, step_fn
+
+
+def jit_train_step(step_fn, mesh: Mesh, data_axis: str = "data"):
+    """Compile step_fn with params/state replicated; batch sharding is taken
+    from the committed input arrays (use parallel.mesh.shard_batch). XLA
+    inserts the gradient all-reduce over ICI."""
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(step_fn, out_shardings=(replicated, replicated),
+                   donate_argnums=(0,))

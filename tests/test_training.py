@@ -1,0 +1,195 @@
+"""Training: loss correctness + a sharded train step on the 8-device CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from embodied_object_detection_tpu.config import SolverConfig
+from embodied_object_detection_tpu.models.losses import (
+    centernet_targets, centernet_losses, binary_heatmap_focal_loss,
+    giou_loss_ltrb, match_proposals, stage_losses, add_gt_to_proposals)
+from embodied_object_detection_tpu.structures import GroundTruth, Detections
+from embodied_object_detection_tpu.engine.solver import (
+    build_optimizer, warmup_cosine_schedule, param_labels)
+
+from common import tiny_config
+
+
+def _gt(boxes, classes, capacity=8):
+    g = len(boxes)
+    b = np.zeros((capacity, 4), np.float32)
+    c = np.zeros((capacity,), np.int32)
+    v = np.zeros((capacity,), bool)
+    b[:g] = boxes
+    c[:g] = classes
+    v[:g] = True
+    return GroundTruth(jnp.asarray(b), jnp.asarray(c), jnp.asarray(v))
+
+
+def test_centernet_targets_peak_and_heatmap():
+    cfg = tiny_config().centernet
+    shapes = [(16, 20), (8, 10), (4, 5), (2, 3), (1, 2)]
+    # one box of diag/2 ~ 28 -> level 0 (range 0..80) and maybe level 1 (64..160): no
+    gt = _gt([[32, 32, 72, 72]], [0])
+    tg = centernet_targets(gt, shapes, cfg)
+    m = sum(h * w for h, w in shapes)
+    assert tg.agn_heatmap.shape == (m,)
+    assert tg.reg_targets.shape == (m, 4)
+    # the discretized center cell at level 0: center (52,52)//8 = (6,6)
+    flat = 6 * 20 + 6
+    assert bool(tg.pos_mask[flat])
+    assert float(tg.agn_heatmap[flat]) == 1.0       # peak -> exp(0)
+    # its reg target: grid center (52, 52) -> l=t=20, r=b=20, /stride 8
+    np.testing.assert_allclose(np.asarray(tg.reg_targets[flat]),
+                               [20 / 8] * 4, atol=1e-5)
+    # positives only at one level for this size
+    assert int(jnp.sum(tg.pos_mask)) == 1
+
+
+def test_centernet_targets_empty_gt():
+    cfg = tiny_config().centernet
+    shapes = [(16, 20), (8, 10), (4, 5), (2, 3), (1, 2)]
+    gt = _gt(np.zeros((0, 4)), np.zeros(0))
+    tg = centernet_targets(gt, shapes, cfg)
+    assert float(jnp.sum(tg.agn_heatmap)) == 0.0
+    assert int(jnp.sum(tg.pos_mask)) == 0
+    assert bool(jnp.all(tg.reg_targets < -1e7))
+
+
+def test_focal_loss_perfect_prediction_small():
+    cfg = tiny_config().centernet
+    m = 100
+    target = np.zeros(m, np.float32)
+    target[3] = 1.0
+    pos = np.zeros(m, bool)
+    pos[3] = True
+    logits = np.full(m, -20.0, np.float32)
+    logits[3] = 20.0
+    pos_l, neg_l = binary_heatmap_focal_loss(
+        jnp.asarray(logits), jnp.asarray(target), jnp.asarray(pos), cfg)
+    # near-perfect prediction -> tiny losses (sigmoid clamp bounds them)
+    assert float(pos_l) < 1e-2
+    assert float(neg_l) < 1e-2
+
+
+def test_giou_ltrb_zero_for_exact():
+    pred = jnp.asarray(np.array([[1.0, 2.0, 3.0, 4.0]], np.float32))
+    loss = giou_loss_ltrb(pred, pred)
+    assert abs(float(loss[0])) < 1e-6
+
+
+def test_match_proposals():
+    gt = _gt([[0, 0, 100, 100]], [7], capacity=4)
+    boxes = jnp.asarray(np.array([
+        [0, 0, 100, 100],       # IoU 1 -> fg
+        [0, 0, 50, 100],        # IoU .5 -> bg at 0.6
+        [200, 200, 300, 300],   # IoU 0 -> bg
+    ], np.float32))
+    m = match_proposals(boxes, jnp.ones(3, bool), gt, 0.6, num_classes=20)
+    assert int(m.gt_classes[0]) == 7
+    assert int(m.gt_classes[1]) == 20
+    assert int(m.gt_classes[2]) == 20
+
+
+def test_stage_losses_perfect():
+    gt = _gt([[10, 10, 50, 50]], [2], capacity=4)
+    boxes = jnp.asarray(np.array([[10, 10, 50, 50]], np.float32))
+    m = match_proposals(boxes, jnp.ones(1, bool), gt, 0.6, num_classes=5)
+    logits = np.full((1, 6), -20.0, np.float32)
+    logits[0, 2] = 20.0
+    deltas = np.zeros((1, 4), np.float32)
+    out = stage_losses(jnp.asarray(logits), jnp.asarray(deltas), m,
+                       (10., 10., 5., 5.), num_classes=5)
+    assert float(out["loss_cls"]) < 1e-6
+    assert float(out["loss_box_reg"]) < 1e-5
+
+
+def test_add_gt_to_proposals_scores_one():
+    props = Detections(boxes=jnp.zeros((4, 4)), scores=jnp.full((4,), 0.5),
+                       classes=jnp.zeros((4,), jnp.int32),
+                       valid=jnp.ones((4,), bool))
+    gt = _gt([[0, 0, 10, 10]], [0], capacity=2)
+    out = add_gt_to_proposals(props, gt)
+    assert out.boxes.shape == (6, 4)
+    assert float(out.scores[4]) == 1.0      # appended GT has score 1
+    assert not bool(out.valid[5])           # padded GT row invalid
+
+
+def test_warmup_cosine_schedule():
+    cfg = SolverConfig(base_lr=1e-3, warmup_iters=100, warmup_factor=0.01,
+                       max_iter=1000)
+    s = warmup_cosine_schedule(cfg)
+    assert abs(float(s(0)) - 1e-3 * 0.01) < 1e-12
+    assert abs(float(s(100)) - 1e-3 * 0.5 * (1 + np.cos(np.pi * 0.1))) < 1e-9
+    assert float(s(999)) < 1e-5
+
+
+def test_param_labels_and_freezing():
+    params = {"params": {
+        "backbone": {"layer1_0": {"bn1": {"running_mean": jnp.zeros(3),
+                                          "weight": jnp.zeros(3)},
+                                  "conv1": {"kernel": jnp.zeros((1, 1, 3, 3))}}},
+        "fpn": {"map_merge_projection1": {"kernel": jnp.zeros((1, 1, 4, 4))}},
+        "roi_heads": {"box_head0": {"fc1": {"kernel": jnp.zeros((4, 4))}}},
+    }}
+    labels = param_labels(params, SolverConfig())
+    p = labels["params"]
+    assert p["backbone"]["layer1_0"]["bn1"]["running_mean"] == "frozen"
+    assert p["backbone"]["layer1_0"]["conv1"]["kernel"] == "backbone"
+    assert p["fpn"]["map_merge_projection1"]["kernel"] == "custom"
+    assert p["roi_heads"]["box_head0"]["fc1"]["kernel"] == "default"
+
+
+@pytest.mark.slow
+def test_train_step_runs_and_decreases_loss(rng):
+    from embodied_object_detection_tpu.models.detector import build_detector
+    from embodied_object_detection_tpu.parallel import (
+        make_mesh, shard_batch, replicate)
+    from embodied_object_detection_tpu.parallel.train_step import (
+        make_train_step, jit_train_step, TrainBatch)
+
+    cfg = tiny_config()
+    # small training top-k so the cascade stays cheap on CPU
+    cfg = cfg.replace(centernet=dataclasses.replace(
+        cfg.centernet, post_nms_topk_train=32, pre_nms_topk_train=128))
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    init_state, step_fn = make_train_step(model, cfg)
+    state, _ = init_state(params)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8           # virtual CPU mesh
+
+    b = 8
+    h, w = cfg.input.height, cfg.input.width
+    g = cfg.input.max_gt_boxes
+    gt_boxes = np.zeros((b, g, 4), np.float32)
+    gt_valid = np.zeros((b, g), bool)
+    gt_boxes[:, 0] = [20, 20, 90, 90]
+    gt_valid[:, 0] = True
+    batch = TrainBatch(
+        image=rng.randint(0, 255, (b, h, w, 3)).astype(np.float32),
+        proj_indices=rng.randint(0, cfg.memory.max_cells, (b, h, w)).astype(np.int32),
+        mem_features=np.zeros((b, cfg.memory.max_cells, cfg.memory.memory_dim),
+                              np.float32),
+        mem_obs=np.zeros((b, cfg.memory.max_cells), np.float32),
+        gt_boxes=gt_boxes,
+        gt_classes=np.zeros((b, g), np.int32),
+        gt_valid=gt_valid,
+    )
+    zs = rng.randn(cfg.roi.zs_weight_dim, cfg.roi.num_classes + 1).astype(np.float32)
+
+    with mesh:
+        batch_d = shard_batch(mesh, batch)
+        state = replicate(mesh, state)
+        zs_d = replicate(mesh, jnp.asarray(zs))
+        step = jit_train_step(step_fn, mesh)
+        state, losses0 = step(state, batch_d, zs_d)
+        l0 = float(losses0["total_loss"])
+        for _ in range(3):
+            state, losses = step(state, batch_d, zs_d)
+        l1 = float(losses["total_loss"])
+    assert np.isfinite(l0) and np.isfinite(l1)
+    assert l1 < l0          # same batch, loss must drop
