@@ -84,6 +84,9 @@ class EpisodeChunk:
     episode_start: np.ndarray     # [T] bool
     num_cells: int                # memory cells for this scene
     frame_valid: np.ndarray       # [T] bool (padding when chunk < T frames)
+    # training-time precomputed memory (None for eval; ref: loader.py:216-227)
+    memory_features: "np.ndarray | None" = None   # [cells, D]
+    observations: "np.ndarray | None" = None      # [cells]
 
 
 class EpisodeDataset:
@@ -96,7 +99,7 @@ class EpisodeDataset:
 
     def __init__(self, data_path: str, test_type: str = "default",
                  max_sequence_length: int = 20, max_gt: int = 64,
-                 load_jpeg: bool = True):
+                 load_jpeg: bool = True, semmap_path: str = ""):
         if h5py is None:
             raise RuntimeError("h5py required for EpisodeDataset")
         self.data_path = data_path
@@ -107,6 +110,10 @@ class EpisodeDataset:
         self.max_sequence_length = max_sequence_length
         self.max_gt = max_gt
         self.load_jpeg = load_jpeg
+        # training-time precomputed memory snapshots (MODEL.SEMMAP_PATH;
+        # ref: loader.py:216-227) — h5 files with `impicit_memory` [sic] +
+        # `observations` produced by an eval pass with TEST_SAVE_SEMMAP
+        self.semmap_path = semmap_path
 
         files = sort_episode_files(os.listdir(self.memory_path))
         if test_type == "longterm":
@@ -145,6 +152,15 @@ class EpisodeDataset:
         if proj.ndim == 4:
             proj = proj[..., 0]
         num_cells = int(memory.shape[0])
+
+        mem_features = observations = None
+        if self.semmap_path:
+            snap = os.path.join(self.semmap_path, file)
+            if os.path.exists(snap):
+                with h5py.File(snap, "r") as h5:
+                    mem_features = np.array(h5["impicit_memory"], np.float32)
+                    observations = np.array(h5["observations"], np.float32)
+                num_cells = int(mem_features.shape[0])
 
         with h5py.File(os.path.join(self.sensor_path, file), "r") as h5:
             rgb = np.array(h5["rgb"])
@@ -186,4 +202,6 @@ class EpisodeDataset:
                             gt_boxes=boxes, gt_classes=classes,
                             gt_valid=gt_valid, memory_reset=resets,
                             episode_start=starts, num_cells=num_cells,
-                            frame_valid=frame_valid)
+                            frame_valid=frame_valid,
+                            memory_features=mem_features,
+                            observations=observations)

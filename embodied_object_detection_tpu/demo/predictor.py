@@ -1,0 +1,203 @@
+"""Streaming inference with persistent spatial memory (the serving layer).
+
+ref: Detic/detic/predictor.py (EmbodiedVisualizationDemo :183,
+EmbodiedPredictor :361) and the vocabulary registry (:25-65). The reference
+holds memory as module state and feeds 1-frame episodes per call
+(predictor.py:406-439, custom_rcnn.py:472-477); here the predictor owns an
+explicit MemoryState and calls the jitted frame_step — identical recurrence,
+no host round-trip inside the model.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DetectorConfig
+from ..data.episode_dataset import OBJECT_LVIS
+from ..models.detector import EmbodiedDetector, build_detector
+from ..ops.memory_ops import semmap_classes
+from ..structures import Detections, MemoryState
+
+# vocabulary registry (ref: predictor.py:25-44 BUILDIN_CLASSIFIER /
+# BUILDIN_METADATA_PATH) — metadata .npy files of CLIP text embeddings
+BUILTIN_CLASSIFIERS = {
+    "mp3d": "datasets/metadata/mp3d_clip.npy",
+    "lvis": "datasets/metadata/lvis_v1_clip_a+cname.npy",
+    "objects365": "datasets/metadata/o365_clip_a+cnamefix.npy",
+    "openimages": "datasets/metadata/oid_clip_a+cname.npy",
+    "coco": "datasets/metadata/coco_clip_a+cname.npy",
+}
+
+
+def get_clip_embeddings(vocabulary: List[str], prompt: str = "a ",
+                        text_encoder=None) -> np.ndarray:
+    """Embed an arbitrary vocabulary with the CLIP text encoder.
+
+    ref: predictor.py:61-65 (get_clip_embeddings). Requires CLIP text-encoder
+    weights (models/text_encoder.py); returns [C, 512]."""
+    if text_encoder is None:
+        from ..models.text_encoder import load_default_text_encoder
+        text_encoder = load_default_text_encoder()
+    texts = [prompt + x.replace("_", " ") for x in vocabulary]
+    return np.asarray(text_encoder(texts), np.float32)
+
+
+def build_zs_weight(class_embeddings: np.ndarray,
+                    normalize: bool = True) -> np.ndarray:
+    """[C, D] class embeddings -> the [D, C+1] zs_weight input
+    (bg column zero, column-normalized).
+
+    ref: reset_cls_test (detic/modeling/utils.py:32-50) — in this framework
+    the vocabulary swap is just passing a different zs_weight array."""
+    w = np.asarray(class_embeddings, np.float32).T          # D x C
+    w = np.concatenate([w, np.zeros((w.shape[0], 1), np.float32)], axis=1)
+    if normalize:
+        n = np.linalg.norm(w, axis=0, keepdims=True)
+        w = w / np.maximum(n, 1e-12)
+    return w
+
+
+def load_zs_weight_npy(path: str) -> np.ndarray:
+    """Load a metadata .npy ([C, D] CLIP embeddings, e.g. mp3d_clip.npy)."""
+    return build_zs_weight(np.load(path).astype(np.float32))
+
+
+# a simple distinct-color palette for the semantic map overlay (the reference
+# hard-codes a 41-color list, custom_rcnn.py:36-78; colors are arbitrary)
+def _palette(n: int) -> np.ndarray:
+    rng = np.random.RandomState(7)
+    base = np.array([
+        [230, 25, 75], [60, 180, 75], [255, 225, 25], [0, 130, 200],
+        [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
+        [210, 245, 60], [250, 190, 212], [0, 128, 128], [220, 190, 255],
+        [170, 110, 40], [255, 250, 200], [128, 0, 0], [170, 255, 195],
+        [128, 128, 0], [255, 215, 180], [0, 0, 128], [128, 128, 128]],
+        np.uint8)
+    if n <= len(base):
+        return base[:n]
+    extra = rng.randint(0, 255, (n - len(base), 3)).astype(np.uint8)
+    return np.concatenate([base, extra], 0)
+
+
+class EmbodiedPredictor:
+    """Persistent-memory streaming predictor.
+
+    Usage:
+        pred = EmbodiedPredictor(cfg, params, zs_weight)
+        dets = pred(image_rgb, proj_indices)        # memory persists
+        pred.reset_memory()                         # new scene
+        semmap = pred.semantic_map(map_h, map_w)    # live map snapshot
+    """
+
+    def __init__(self, cfg: DetectorConfig, params=None,
+                 zs_weight: Optional[np.ndarray] = None,
+                 class_names: Optional[List[str]] = None):
+        self.cfg = cfg
+        if params is None:
+            self.model, self.params = build_detector(cfg)
+        else:
+            self.model = EmbodiedDetector(cfg)
+            self.params = params
+        if zs_weight is None:
+            zs_weight = np.zeros((cfg.roi.zs_weight_dim,
+                                  cfg.roi.num_classes + 1), np.float32)
+        self.zs_weight = jnp.asarray(zs_weight, jnp.float32)
+        self.class_names = class_names or OBJECT_LVIS[:cfg.roi.num_classes]
+        self.palette = _palette(cfg.roi.num_classes)
+
+        model = self.model
+
+        def _step(params, image, zs, memf, memo, proj, outl):
+            return model.apply(params, image, zs, memf, memo, proj, outl,
+                               method=EmbodiedDetector.frame_step)
+
+        self._step = jax.jit(_step)
+        self._semmap = jax.jit(
+            lambda f, o, zs: semmap_classes(f, o, zs,
+                                            cfg.memory.obs_score_thresh,
+                                            cfg.roi.norm_temperature))
+        self.reset_memory()
+
+    def reset_memory(self):
+        """ref: custom_rcnn.py:470-479 (memory reset)."""
+        self.memory = MemoryState.zeros(self.cfg.memory.max_cells,
+                                        self.cfg.memory.memory_dim)
+
+    def set_vocabulary(self, zs_weight: np.ndarray,
+                       class_names: Optional[List[str]] = None):
+        """Runtime vocabulary swap (reset_cls_test analog)."""
+        self.zs_weight = jnp.asarray(zs_weight, jnp.float32)
+        if class_names:
+            self.class_names = class_names
+            self.palette = _palette(len(class_names))
+
+    def _prep_image(self, image: np.ndarray) -> np.ndarray:
+        h, w = self.cfg.input.height, self.cfg.input.width
+        if image.shape[:2] != (h, w):
+            from PIL import Image
+            image = np.asarray(
+                Image.fromarray(image.astype(np.uint8)).resize((w, h)))
+        return image.astype(np.float32)
+
+    def __call__(self, image_rgb: np.ndarray,
+                 proj_indices: Optional[np.ndarray] = None,
+                 outlier_mask: Optional[np.ndarray] = None) -> Detections:
+        """Run one frame; memory persists across calls
+        (ref: EmbodiedPredictor.__call__, predictor.py:406-439)."""
+        h, w = self.cfg.input.height, self.cfg.input.width
+        image = jnp.asarray(self._prep_image(image_rgb))
+        if proj_indices is None:
+            proj_indices = np.zeros((h, w), np.int32)
+        if outlier_mask is None:
+            outlier_mask = np.zeros((h, w), bool)
+        out = self._step(self.params, image, self.zs_weight,
+                         self.memory.features, self.memory.obs_count,
+                         jnp.asarray(proj_indices, jnp.int32),
+                         jnp.asarray(outlier_mask))
+        self.memory = MemoryState(
+            features=self.memory.features + out.write.features_update,
+            obs_count=self.memory.obs_count + out.write.obs_update)
+        return out.detections
+
+    def semantic_map(self, map_h: int, map_w: int) -> np.ndarray:
+        """Live CLIP-argmax class map [map_h, map_w] int32 (-1 = unobserved).
+
+        ref: visualise_clip_image_features via update_implicit_memory
+        (custom_rcnn.py:756, 938-1017)."""
+        cls = self._semmap(self.memory.features, self.memory.obs_count,
+                           self.zs_weight)
+        cls = np.asarray(cls)[: map_h * map_w]
+        return cls.reshape(map_h, map_w)
+
+    def render_map(self, map_h: int, map_w: int, scale: int = 4) -> np.ndarray:
+        """RGB visualization of the semantic map."""
+        cls = self.semantic_map(map_h, map_w)
+        img = np.zeros((map_h, map_w, 3), np.uint8)
+        observed = cls >= 0
+        img[observed] = self.palette[cls[observed] % len(self.palette)]
+        return np.kron(img, np.ones((scale, scale, 1), np.uint8))
+
+    def render_detections(self, image_rgb: np.ndarray, dets: Detections,
+                          score_thresh: float = 0.3) -> np.ndarray:
+        """Draw boxes + labels (host-side, cv2)."""
+        import cv2
+        img = np.ascontiguousarray(image_rgb.astype(np.uint8))
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        classes = np.asarray(dets.classes)
+        valid = np.asarray(dets.valid)
+        for b, s, c, v in zip(boxes, scores, classes, valid):
+            if not v or s < score_thresh:
+                continue
+            color = tuple(int(x) for x in self.palette[int(c) % len(self.palette)])
+            cv2.rectangle(img, (int(b[0]), int(b[1])), (int(b[2]), int(b[3])),
+                          color, 2)
+            label = f"{self.class_names[int(c)]} {s:.2f}"
+            cv2.putText(img, label, (int(b[0]), max(int(b[1]) - 4, 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
+        return img

@@ -1,0 +1,153 @@
+"""Training loop (the do_train analog).
+
+ref: Detic/train_mp3d.py:509-659. Protocol reproduced:
+  * random chunk sampling (TrainingSampler), IMS_PER_BATCH chunks per step
+  * per-frame losses averaged over the whole batch of frames
+    (custom_rcnn.py:541-544)
+  * precomputed memory per frame from SEMMAP_PATH snapshots
+  * finite-loss assert (train_mp3d.py:618), metrics.json JSON-lines writer
+    (:537), periodic checkpoint + eval
+
+The reference's serial per-frame python loop becomes one jitted sharded step
+over a [B_frames] batch (frames are independent in training — the memory is
+precomputed, never written online).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DetectorConfig
+from ..data.episode_dataset import EpisodeDataset, EpisodeChunk
+from ..models.detector import EmbodiedDetector
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.train_step import (TrainBatch, TrainState, jit_train_step,
+                                   make_train_step)
+from .checkpoint import PeriodicCheckpointer, latest_checkpoint, restore_checkpoint
+
+
+def chunks_to_train_batch(chunks: List[EpisodeChunk], cfg: DetectorConfig,
+                          frames_per_chunk: Optional[int] = None,
+                          rng: Optional[np.random.RandomState] = None
+                          ) -> TrainBatch:
+    """Flatten chunks into a frame batch with padded precomputed memory."""
+    cells = cfg.memory.max_cells
+    d = cfg.memory.memory_dim
+    images, projs, memfs, memos, gbs, gcs, gvs = [], [], [], [], [], [], []
+    for ch in chunks:
+        t = int(ch.frame_valid.sum())
+        ids = range(t)
+        if frames_per_chunk is not None and frames_per_chunk < t:
+            r = rng or np.random
+            ids = sorted(r.choice(t, frames_per_chunk, replace=False))
+        memf = np.zeros((cells, d), np.float32)
+        memo = np.zeros((cells,), np.float32)
+        if ch.memory_features is not None:
+            n = min(cells, ch.memory_features.shape[0])
+            dd = min(d, ch.memory_features.shape[1])
+            memf[:n, :dd] = ch.memory_features[:n, :dd]
+            if ch.observations is not None:
+                memo[:n] = ch.observations[:n]
+        for i in ids:
+            images.append(ch.images[i].astype(np.float32))
+            projs.append(ch.proj_indices[i])
+            memfs.append(memf)
+            memos.append(memo)
+            gbs.append(ch.gt_boxes[i])
+            gcs.append(ch.gt_classes[i])
+            gvs.append(ch.gt_valid[i])
+    return TrainBatch(
+        image=np.stack(images), proj_indices=np.stack(projs),
+        mem_features=np.stack(memfs), mem_obs=np.stack(memos),
+        gt_boxes=np.stack(gbs), gt_classes=np.stack(gcs),
+        gt_valid=np.stack(gvs))
+
+
+class MetricsWriter:
+    """detectron2 JSONWriter analog: one JSON line per logging period."""
+
+    def __init__(self, output_dir: str):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, "metrics.json")
+
+    def write(self, iteration: int, scalars: Dict[str, float]):
+        rec = {"iteration": iteration,
+               **{k: float(v) for k, v in scalars.items()}}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
+          dataset: EpisodeDataset, zs_weight: np.ndarray,
+          max_iter: Optional[int] = None, resume: bool = False,
+          frames_per_chunk: Optional[int] = None,
+          eval_fn: Optional[Callable[[TrainState], None]] = None,
+          eval_period: int = 0, log_period: int = 20,
+          seed: int = 0, verbose: bool = True) -> TrainState:
+    solver = cfg.solver
+    max_iter = max_iter if max_iter is not None else solver.max_iter
+    mesh = make_mesh(cfg.parallel)
+
+    init_state, step_fn = make_train_step(model, cfg)
+    state, _ = init_state(params)
+    start_iter = 0
+    if resume:
+        ck = latest_checkpoint(cfg.output_dir)
+        if ck:
+            state = restore_checkpoint(ck, state)
+            start_iter = int(state.step)
+            if verbose:
+                print(f"resumed from {ck} @ iter {start_iter}")
+
+    writer = MetricsWriter(cfg.output_dir)
+    checkpointer = PeriodicCheckpointer(cfg.output_dir,
+                                        solver.checkpoint_period, max_iter)
+    rng = np.random.RandomState(seed)
+    zs = jnp.asarray(zs_weight, jnp.float32)
+
+    with mesh:
+        state = replicate(mesh, state)
+        zs_d = replicate(mesh, zs)
+        step = jit_train_step(step_fn, mesh)
+        t_start = time.perf_counter()
+        data_t = step_t = 0.0
+        for it in range(start_iter, max_iter):
+            t0 = time.perf_counter()
+            idx = rng.choice(len(dataset), solver.ims_per_batch,
+                             replace=len(dataset) < solver.ims_per_batch)
+            chunks = [dataset[int(i)] for i in idx]
+            batch = chunks_to_train_batch(chunks, cfg, frames_per_chunk, rng)
+            batch = shard_batch(mesh, batch)
+            data_t += time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            state, losses = step(state, batch, zs_d)
+            total = float(losses["total_loss"])
+            step_t += time.perf_counter() - t0
+            # ref: train_mp3d.py:618 — finite-loss assert
+            assert math.isfinite(total), \
+                {k: float(v) for k, v in losses.items()}
+
+            if (it + 1) % log_period == 0:
+                scalars = {k: float(v) for k, v in losses.items()}
+                scalars["data_time"] = data_t / log_period
+                scalars["time"] = step_t / log_period
+                writer.write(it + 1, scalars)
+                if verbose:
+                    eta = (max_iter - it - 1) * (time.perf_counter() - t_start) \
+                        / max(it + 1 - start_iter, 1)
+                    print(f"iter {it + 1}/{max_iter} total_loss {total:.4f} "
+                          f"step {step_t / log_period:.3f}s eta {eta/60:.1f}m")
+                data_t = step_t = 0.0
+            checkpointer.step(it, state)
+            if eval_period > 0 and (it + 1) % eval_period == 0 and eval_fn:
+                eval_fn(state)
+    return state
