@@ -212,7 +212,31 @@ class COCOEvaluator:
         }
         for name, ap in ap_per_cat.items():
             results[f"AP-{name}"] = ap * 100
+        self._last_precisions = precisions
         return results
+
+    def evaluate_split(self, seen_ids: Sequence[int],
+                       img_ids: Optional[Sequence[int]] = None
+                       ) -> Dict[str, float]:
+        """Seen/unseen-class AP split (CustomCOCOEvaluator analog; ref:
+        Detic/detic/evaluation/custom_coco_eval.py:28 — reports mAP over a
+        'seen' category subset and its 'unseen' complement, the
+        generalized-zero-shot COCO protocol)."""
+        base = self.evaluate(img_ids)
+        precisions = self._last_precisions          # [T, R, C]
+        seen = [i for i, c in enumerate(self.category_ids) if c in set(seen_ids)]
+        unseen = [i for i in range(len(self.category_ids)) if i not in seen]
+
+        def _mean(ixs, t=None):
+            p = precisions[:, :, ixs] if t is None else precisions[t][:, ixs]
+            p = p[p > -1]
+            return float(np.mean(p)) * 100 if p.size else float("nan")
+
+        base["AP-seen"] = _mean(seen)
+        base["AP50-seen"] = _mean(seen, 0)
+        base["AP-unseen"] = _mean(unseen)
+        base["AP50-unseen"] = _mean(unseen, 0)
+        return base
 
 
 def coco_ap(gt_by_img, dt_by_img, category_ids) -> Dict[str, float]:

@@ -1,0 +1,143 @@
+"""CLI entry point — the train_mp3d.py analog.
+
+ref: Detic/train_mp3d.py:661-857 (setup / main / argument_parser). The
+detectron2 launch/DDP/dist-url machinery (:747-857) is replaced by the JAX
+runtime: single-process SPMD over all local devices; multi-host runs call
+jax.distributed.initialize (--coordinator) instead of TCPStore rendezvous.
+
+Examples (mirroring README.md:44-62):
+  # eval, pretrained image-only:
+  python -m embodied_object_detection_tpu.run --eval-only \
+      --data-path embodied_data/mp3d_example \
+      --weights models/vanilla_training.pth \
+      --opts memory.memory_type=image_only
+  # eval, implicit object memory:
+  python -m embodied_object_detection_tpu.run --eval-only \
+      --weights models/implicit_object_memory.pth \
+      --opts memory.memory_type=implicit_memory memory.feat_fusion=sum \
+             memory.map_feature_weight=5
+  # train:
+  python -m embodied_object_detection_tpu.run \
+      --weights models/detic_pretrained.pth --semmap-path output/.../semmap
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+
+def argument_parser():
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--data-path", default="embodied_data/mp3d_example")
+    p.add_argument("--semmap-path", default="",
+                   help="precomputed memory snapshots for training "
+                        "(MODEL.SEMMAP_PATH)")
+    p.add_argument("--weights", default="",
+                   help=".pth (converted on the fly) or orbax checkpoint dir")
+    p.add_argument("--zs-weight", default="",
+                   help="CLIP class embedding .npy (default: "
+                        "datasets/metadata/mp3d_clip.npy under --data-path "
+                        "parents or the reference layout)")
+    p.add_argument("--output-dir", default="output/eodt")
+    p.add_argument("--test-type", default="default",
+                   choices=["default", "episodic", "longterm"])
+    p.add_argument("--max-iter", type=int, default=None)
+    p.add_argument("--max-chunks", type=int, default=None)
+    p.add_argument("--save-semmap", action="store_true",
+                   help="TEST_SAVE_SEMMAP: write per-sequence memory h5")
+    p.add_argument("--coordinator", default="",
+                   help="jax.distributed coordinator address for multi-host")
+    p.add_argument("--opts", nargs="*", default=[],
+                   help="config overrides: section.field=value")
+    return p
+
+
+def find_zs_weight(args, num_classes: int) -> np.ndarray:
+    from .demo.predictor import load_zs_weight_npy
+    candidates = [args.zs_weight] if args.zs_weight else []
+    candidates += ["datasets/metadata/mp3d_clip.npy"]
+    for c in candidates:
+        if c and os.path.exists(c):
+            print(f"zs_weight from {c}")
+            return load_zs_weight_npy(c)
+    print("WARNING: no CLIP class embeddings found; using random zs_weight")
+    rng = np.random.RandomState(0)
+    w = rng.randn(num_classes, 512).astype(np.float32)
+    from .demo.predictor import build_zs_weight
+    return build_zs_weight(w)
+
+
+def main(argv=None):
+    args = argument_parser().parse_args(argv)
+    if args.coordinator:
+        import jax
+        jax.distributed.initialize(coordinator_address=args.coordinator)
+
+    import jax
+    from .config import DetectorConfig, apply_opts
+    from .data.episode_dataset import EpisodeDataset
+    from .models.detector import build_detector
+
+    cfg = DetectorConfig()
+    cfg = cfg.replace(
+        output_dir=args.output_dir,
+        test_data_path=args.data_path,
+        train_data_path=args.data_path,
+        semmap_path=args.semmap_path,
+        memory=dataclasses.replace(cfg.memory, test_type=args.test_type,
+                                   save_semmap=args.save_semmap))
+    cfg = apply_opts(cfg, args.opts)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    if args.weights:
+        if args.weights.endswith((".pth", ".pkl")):
+            from .convert.torch_weights import (load_torch_checkpoint,
+                                                verify_against_model)
+            converted, zs = load_torch_checkpoint(args.weights)
+            missing, extra, mismatch = verify_against_model(converted, params)
+            print(f"converted {args.weights}: missing={len(missing)} "
+                  f"extra={len(extra)} mismatch={len(mismatch)}")
+            if not missing and not mismatch:
+                import jax.numpy as jnp
+                params = jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x),
+                    {"params": converted["params"]})
+        else:
+            from .engine.checkpoint import restore_checkpoint
+            params = restore_checkpoint(args.weights, params)
+
+    zs_weight = find_zs_weight(args, cfg.roi.num_classes)
+
+    if args.eval_only:
+        from .engine.eval import evaluate_dataset
+        dataset = EpisodeDataset(cfg.test_data_path,
+                                 test_type=cfg.memory.test_type,
+                                 max_sequence_length=cfg.input.max_sequence_length,
+                                 max_gt=cfg.input.max_gt_boxes)
+        results = evaluate_dataset(model, params, cfg, dataset, zs_weight,
+                                   max_chunks=args.max_chunks)
+        print("overall:", {k: round(v, 3) for k, v in results.overall.items()})
+        for i, q in enumerate(results.quartiles):
+            if q:
+                print(f"quartile {i + 1}: AP={q.get('AP', float('nan')):.3f}")
+        return results
+
+    from .engine.train import train
+    dataset = EpisodeDataset(cfg.train_data_path,
+                             max_sequence_length=cfg.input.max_sequence_length,
+                             max_gt=cfg.input.max_gt_boxes,
+                             semmap_path=cfg.semmap_path)
+    return train(model, params, cfg, dataset, zs_weight,
+                 max_iter=args.max_iter, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

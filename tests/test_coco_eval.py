@@ -101,3 +101,19 @@ def test_area_zero_annotations_fall_in_all_range():
                       np.array([0.9]), np.array([0]))
     res = ev.evaluate()
     assert abs(res["AP"] - 100.0) < 1e-6
+
+
+def test_seen_unseen_split():
+    from embodied_object_detection_tpu.evaluation import COCOEvaluator
+    ev = COCOEvaluator([0, 1])
+    ev.add_image(0)
+    ev.add_ground_truth(0, np.array([_box(0, 0, 10, 10),
+                                     _box(50, 50, 10, 10)], float),
+                        np.array([0, 1]))
+    # perfect on class 0, nothing on class 1
+    ev.add_detections(0, np.array([_box(0, 0, 10, 10)], float),
+                      np.array([0.9]), np.array([0]))
+    res = ev.evaluate_split(seen_ids=[0])
+    assert abs(res["AP-seen"] - 100.0) < 1e-6
+    assert res["AP-unseen"] == 0.0
+    assert abs(res["AP"] - 50.0) < 1e-6
