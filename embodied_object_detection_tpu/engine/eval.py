@@ -26,6 +26,7 @@ import numpy as np
 
 from ..config import DetectorConfig
 from ..data.episode_dataset import EpisodeDataset, EpisodeChunk, OBJECT_LVIS
+from ..data.prefetch import prefetch_iterator
 from ..evaluation.coco_eval import COCOEvaluator
 from ..models.detector import (EmbodiedDetector, FrameInputs,
                                make_episode_runner)
@@ -53,7 +54,7 @@ def chunk_to_frame_inputs(chunk: EpisodeChunk) -> FrameInputs:
 def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
                      dataset: EpisodeDataset, zs_weight: np.ndarray,
                      max_chunks: Optional[int] = None,
-                     verbose: bool = True) -> EvalResults:
+                     verbose: bool = True, num_workers: int = 2) -> EvalResults:
     runner = jax.jit(make_episode_runner(model, cfg))
     zs = jnp.asarray(zs_weight, jnp.float32)
 
@@ -71,9 +72,13 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
     frames_scored = 0
     total_frames = 0
 
+    # host prefetch overlapping device compute (DataLoader-workers analog;
+    # ref: train_mp3d.py:404-413)
+    chunk_iter = prefetch_iterator(dataset.__getitem__, range(n_chunks),
+                                   num_workers=num_workers)
     for idx in range(n_chunks):
         t0 = time.perf_counter()
-        chunk = dataset[idx]
+        chunk = next(chunk_iter)
         frames = chunk_to_frame_inputs(chunk)
         t_data += time.perf_counter() - t0
 

@@ -336,20 +336,35 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
 def build_detector(cfg: Optional[DetectorConfig] = None,
                    rng: Optional[jax.Array] = None,
                    ) -> Tuple[EmbodiedDetector, Any]:
-    """Construct the model and initialize parameters."""
+    """Construct the model and initialize parameters.
+
+    Parameter shapes are independent of the input resolution / proposal
+    capacities (convs are size-agnostic, the box-head FCs see the fixed
+    pooled 7x7x256), so initialization traces a miniature config — a full
+    480x640 frame-step trace just for init costs minutes on a slow link.
+    """
     cfg = cfg or DetectorConfig()
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     model = EmbodiedDetector(cfg)
-    h, w = cfg.input.height, cfg.input.width
+
+    icfg = cfg.replace(
+        input=dataclasses.replace(cfg.input, height=64, width=96),
+        centernet=dataclasses.replace(cfg.centernet, pre_nms_topk_test=32,
+                                      post_nms_topk_test=8),
+        roi=dataclasses.replace(cfg.roi, detections_per_image=4),
+        memory=dataclasses.replace(cfg.memory, max_cells=32, write_topk=4),
+    )
+    init_model = EmbodiedDetector(icfg)
+    h, w = icfg.input.height, icfg.input.width
     dummy = dict(
         image=jnp.zeros((h, w, 3), jnp.float32),
-        zs_weight=jnp.zeros((cfg.roi.zs_weight_dim, cfg.roi.num_classes + 1),
+        zs_weight=jnp.zeros((icfg.roi.zs_weight_dim, icfg.roi.num_classes + 1),
                             jnp.float32),
-        mem_features=jnp.zeros((cfg.memory.max_cells, cfg.memory.memory_dim),
+        mem_features=jnp.zeros((icfg.memory.max_cells, icfg.memory.memory_dim),
                                jnp.float32),
-        mem_obs=jnp.zeros((cfg.memory.max_cells,), jnp.float32),
+        mem_obs=jnp.zeros((icfg.memory.max_cells,), jnp.float32),
         proj_indices=jnp.zeros((h, w), jnp.int32),
         outlier_mask=jnp.zeros((h, w), bool),
     )
-    params = model.init(rng, **dummy)
+    params = init_model.init(rng, **dummy)
     return model, params
