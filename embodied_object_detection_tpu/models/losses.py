@@ -230,9 +230,80 @@ def add_gt_to_proposals(proposals: Detections, gt: GroundTruth) -> Detections:
     return Detections(boxes=boxes, scores=scores, classes=classes, valid=valid)
 
 
+def fed_loss_class_weight(gt_classes: jax.Array, valid: jax.Array,
+                          freq_weight: jax.Array, num_sample_cats: int,
+                          num_classes: int, rng: jax.Array) -> jax.Array:
+    """Federated-loss class mask: appeared GT classes + frequency-weighted
+    random extras, fixed shape.
+
+    ref: get_fed_loss_inds (detic/modeling/utils.py:16-29) — torch.multinomial
+    without replacement becomes a Gumbel top-k over masked log-frequencies;
+    appeared classes are forced in with an +inf key (the reference's rare
+    '#appeared > num_sample_cats keeps all' edge differs: here exactly
+    `num_sample_cats` classes are selected). Returns a [C] 0/1 weight.
+    """
+    c = num_classes
+    appeared = jnp.zeros((c + 1,), bool).at[
+        jnp.where(valid, gt_classes, c)].set(valid)[:c]
+    logw = jnp.log(jnp.maximum(freq_weight[:c], 1e-20))
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(rng, (c,), minval=1e-10, maxval=1.0)))
+    key = jnp.where(appeared, jnp.inf, logw + gumbel)
+    k = min(num_sample_cats, c)
+    thresh = jnp.sort(key)[-k]
+    return (key >= thresh).astype(jnp.float32)
+
+
+def image_label_loss(logits: jax.Array, boxes: jax.Array, valid: jax.Array,
+                     labels: jax.Array, labels_valid: jax.Array,
+                     num_classes: int, variant: str = "max_size",
+                     image_loss_weight: float = 0.1) -> jax.Array:
+    """Weak supervision from image-level labels (vanilla-Detic co-training).
+
+    ref: DeticFastRCNNOutputLayers.image_label_losses + the selection
+    variants (detic_fast_rcnn.py:342-434, 509-581). For each image label,
+    pick one proposal and apply BCE on its full class row:
+      max_size:  the largest proposal (ref :567-581, Detic's headline choice)
+      max_score: the proposal scoring highest for that label (:524-531)
+      first:     proposal 0 (:547-554)
+      image:     the whole-image box appended last (:557-564)
+    Returns the scalar weighted loss (loss / num_labels * weight as in
+    :400,418,432).
+    """
+    c = num_classes
+    r = logits.shape[0]
+    areas = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * \
+        jnp.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    areas = jnp.where(valid, areas, -1.0)
+
+    def per_label(label, lvalid):
+        if variant == "max_size":
+            # ref :572 — argmax of sizes excluding the appended image box
+            ind = jnp.argmax(areas.at[r - 1].set(-1.0))
+        elif variant == "max_score":
+            score_col = jnp.where(valid, logits[:, label], -1e10)
+            ind = jnp.argmax(score_col)
+        elif variant == "first":
+            ind = 0
+        elif variant == "image":
+            ind = r - 1
+        else:
+            raise ValueError(variant)
+        target = jax.nn.one_hot(label, c + 1)
+        row = logits[ind]
+        bce = jnp.maximum(row, 0) - row * target + \
+            jnp.log1p(jnp.exp(-jnp.abs(row)))
+        return jnp.where(lvalid, jnp.sum(bce), 0.0)
+
+    losses = jax.vmap(per_label)(labels, labels_valid)
+    n = jnp.maximum(jnp.sum(labels_valid.astype(jnp.float32)), 1.0)
+    return jnp.sum(losses) / n * image_loss_weight
+
+
 def stage_losses(logits: jax.Array, deltas: jax.Array,
                  matched: MatchedProposals, reg_weights: Tuple[float, ...],
-                 num_classes: int) -> dict:
+                 num_classes: int,
+                 class_weight: "jax.Array | None" = None) -> dict:
     """ref: DeticFastRCNNOutputLayers.losses (detic_fast_rcnn.py:157-300)
     with USE_SIGMOID_CE, cls-agnostic gIoU box regression.
 
@@ -245,6 +316,10 @@ def stage_losses(logits: jax.Array, deltas: jax.Array,
     logit_fg = logits[:, :c]
     bce = jnp.maximum(logit_fg, 0) - logit_fg * onehot + \
         jnp.log1p(jnp.exp(-jnp.abs(logit_fg)))
+    if class_weight is not None:
+        # federated loss: only sampled classes contribute
+        # (ref: detic_fast_rcnn.py:214-224)
+        bce = bce * class_weight[None, :]
     loss_cls = jnp.sum(jnp.where(matched.valid[:, None], bce, 0.0)) / b
 
     fg = (matched.gt_classes < c) & matched.valid

@@ -100,10 +100,11 @@ def class_aware_nms(boxes: jax.Array, scores: jax.Array, classes: jax.Array,
                       classes=classes, max_iters=max_iters)
 
 
-@partial(jax.jit, static_argnames=("topk", "max_iters"))
+@partial(jax.jit, static_argnames=("topk", "max_iters", "candidate_cap"))
 def multiclass_nms(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
                    score_thresh: float, iou_threshold: float, topk: int,
-                   max_iters: int = 64) -> Tuple[Detections, jax.Array]:
+                   max_iters: int = 64, candidate_cap: int = 2048
+                   ) -> Tuple[Detections, jax.Array]:
     """`fast_rcnn_inference` for class-agnostic boxes.
 
     ref: detectron2 fast_rcnn_inference as invoked from
@@ -126,6 +127,19 @@ def multiclass_nms(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     flat_classes = jnp.tile(jnp.arange(c, dtype=jnp.int32)[None, :], (r, 1)).reshape(-1)
     flat_rows = jnp.repeat(jnp.arange(r, dtype=jnp.int32), c)
     flat_boxes = jnp.repeat(boxes, c, axis=0)           # class-agnostic boxes tiled
+
+    # cap the NMS working set: the O(N^2) IoU matrix over all R*C candidates
+    # is wasted work — only the top `candidate_cap` by score can influence
+    # the final top-`topk` in practice (suppression only removes
+    # lower-scored boxes).
+    if candidate_cap and candidate_cap < flat_boxes.shape[0]:
+        key = jnp.where(flat_valid, flat_scores, NEG_INF)
+        _, keep_idx = jax.lax.top_k(key, candidate_cap)
+        flat_boxes = flat_boxes[keep_idx]
+        flat_scores = flat_scores[keep_idx]
+        flat_valid = flat_valid[keep_idx]
+        flat_classes = flat_classes[keep_idx]
+        flat_rows = flat_rows[keep_idx]
 
     order, keep, boxes_s, scores_s, classes_s = _nms_core(
         flat_boxes, flat_scores, flat_valid, flat_classes, iou_threshold, max_iters)

@@ -1,0 +1,77 @@
+"""Catalog / COCO dataset / multi-dataset sampler tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from embodied_object_detection_tpu.data.catalog import (
+    CocoDetectionDataset, DatasetEntry, MultiDatasetSampler,
+    register_coco_instances, get_dataset)
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    from PIL import Image
+    images, annotations = [], []
+    aid = 0
+    for i in range(4):
+        arr = np.full((60, 80, 3), 100 + i, np.uint8)
+        Image.fromarray(arr).save(img_dir / f"img{i}.jpg")
+        images.append({"id": i, "file_name": f"img{i}.jpg",
+                       "height": 60, "width": 80})
+        # image 0,1: class 10; image 2: class 20 (rare); image 3: empty
+        cats = [10] if i < 2 else ([20] if i == 2 else [])
+        for c in cats:
+            annotations.append({"id": aid, "image_id": i, "category_id": c,
+                                "bbox": [10, 10, 30, 20], "iscrowd": 0,
+                                "area": 600})
+            aid += 1
+    coco = {"images": images, "annotations": annotations,
+            "categories": [{"id": 10, "name": "cat"},
+                           {"id": 20, "name": "dog"}]}
+    jf = root / "annotations.json"
+    jf.write_text(json.dumps(coco))
+    return str(jf), str(img_dir)
+
+
+def test_coco_dataset(coco_root):
+    jf, img_dir = coco_root
+    register_coco_instances("unit_coco", jf, img_dir)
+    ds = CocoDetectionDataset("unit_coco", height=64, width=96, max_gt=4)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["image"].shape == (64, 96, 3)
+    assert item["gt_valid"].sum() == 1
+    # scaled boxes: scale = min(64/60, 96/80) = 1.0667 -> x1 = 10*1.0667
+    s = item["scale"]
+    np.testing.assert_allclose(item["gt_boxes"][0],
+                               np.array([10, 10, 40, 30]) * s, rtol=1e-5)
+    assert item["gt_classes"][0] == 0      # contiguous remap of id 10
+    assert get_dataset("unit_coco").thing_classes == ["cat", "dog"]
+
+
+def test_repeat_factors_favor_rare(coco_root):
+    jf, img_dir = coco_root
+    ds = CocoDetectionDataset(DatasetEntry(jf, img_dir), height=64, width=96)
+    f = ds.class_repeat_factors(repeat_thresh=0.9)
+    # image with the rare class (1/4 images) gets a larger factor than the
+    # common class (2/4)
+    assert f[2] > f[0]
+    assert f[3] == 1.0                    # empty image -> factor 1
+
+
+def test_multi_dataset_sampler(coco_root):
+    jf, img_dir = coco_root
+    ds1 = CocoDetectionDataset(DatasetEntry(jf, img_dir), height=64, width=96)
+    ds2 = CocoDetectionDataset(DatasetEntry(jf, img_dir), height=64, width=96)
+    sampler = MultiDatasetSampler([ds1, ds2], ratios=[3.0, 1.0],
+                                  use_rfs=[True, False], seed=0)
+    picks = sampler.sample(2000)
+    d_counts = np.bincount([d for d, _ in picks], minlength=2)
+    assert d_counts[0] > 2.0 * d_counts[1]   # ~3:1 ratio
+    assert all(0 <= i < 4 for _, i in picks)

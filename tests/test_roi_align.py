@@ -50,7 +50,7 @@ def test_multilevel_routing_uses_right_level():
     feats = [jnp.full((60, 80, 1), 3.0), jnp.full((30, 40, 1), 4.0),
              jnp.full((15, 20, 1), 5.0)]
     boxes = jnp.asarray(np.array([[0, 0, 32, 32], [0, 0, 224, 224],
-                                  [0, 0, 440, 440]], np.float32))
+                                  [0, 0, 450, 450]], np.float32))
     out = np.asarray(multilevel_roi_align(feats, boxes, strides=(8, 16, 32),
                                           output_size=7))
     np.testing.assert_allclose(out[0], 3.0, atol=1e-5)

@@ -193,3 +193,39 @@ def test_train_step_runs_and_decreases_loss(rng):
         l1 = float(losses["total_loss"])
     assert np.isfinite(l0) and np.isfinite(l1)
     assert l1 < l0          # same batch, loss must drop
+
+
+def test_image_label_loss_max_size():
+    from embodied_object_detection_tpu.models.losses import image_label_loss
+    r, c = 5, 4
+    logits = np.full((r, c + 1), -10.0, np.float32)
+    # proposal 2 is the largest; give it a perfect score for label 1
+    logits[2, 1] = 10.0
+    boxes = np.array([[0, 0, 10, 10], [0, 0, 20, 20], [0, 0, 100, 100],
+                      [0, 0, 5, 5], [0, 0, 640, 480]], np.float32)
+    valid = np.ones(r, bool)
+    labels = np.array([1], np.int32)
+    lvalid = np.ones(1, bool)
+    # note: max_size excludes the last (image) box per the reference
+    loss_good = float(image_label_loss(
+        jnp.asarray(logits), jnp.asarray(boxes), jnp.asarray(valid),
+        jnp.asarray(labels), jnp.asarray(lvalid), c))
+    logits[2, 1] = -10.0
+    loss_bad = float(image_label_loss(
+        jnp.asarray(logits), jnp.asarray(boxes), jnp.asarray(valid),
+        jnp.asarray(labels), jnp.asarray(lvalid), c))
+    assert loss_good < loss_bad
+
+
+def test_fed_loss_class_weight():
+    from embodied_object_detection_tpu.models.losses import fed_loss_class_weight
+    c = 50
+    gt = np.array([3, 7, 7, 0], np.int32)
+    valid = np.array([True, True, True, False])
+    freq = np.ones(c, np.float32)
+    w = np.asarray(fed_loss_class_weight(
+        jnp.asarray(gt), jnp.asarray(valid), jnp.asarray(freq),
+        num_sample_cats=10, num_classes=c, rng=jax.random.PRNGKey(0)))
+    assert w[3] == 1 and w[7] == 1       # appeared classes always in
+    assert w[0] in (0.0, 1.0)            # class 0 not forced (gt row invalid)
+    assert w.sum() == 10                 # exactly num_sample_cats selected
