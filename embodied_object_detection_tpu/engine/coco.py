@@ -1,0 +1,105 @@
+"""Vanilla single-frame train / eval over COCO-format datasets.
+
+ref: Detic/train_net.py (the non-embodied Detic trainer: standard
+detectron2 loop over LVIS/COCO with CustomRCNN — same model layer as the
+embodied path, no memory, no recurrence; train_net.py:92, 164, 264) and
+detectron2 inference_on_dataset for the eval side.
+
+The single-frame model is the embodied detector with memory_type "" — the
+fusion and write paths compile away; frames batch via vmap.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DetectorConfig
+from ..data.catalog import CocoDetectionDataset, MultiDatasetSampler
+from ..data.prefetch import prefetch_iterator
+from ..evaluation.coco_eval import COCOEvaluator
+from ..models.detector import EmbodiedDetector
+from ..parallel.train_step import TrainBatch
+
+
+def items_to_train_batch(items: List[dict], cfg: DetectorConfig) -> TrainBatch:
+    cells, d = cfg.memory.max_cells, cfg.memory.memory_dim
+    b = len(items)
+    h, w = cfg.input.height, cfg.input.width
+    return TrainBatch(
+        image=np.stack([it["image"].astype(np.float32) for it in items]),
+        proj_indices=np.zeros((b, h, w), np.int32),
+        mem_features=np.zeros((b, cells, d), np.float32),
+        mem_obs=np.zeros((b, cells), np.float32),
+        gt_boxes=np.stack([it["gt_boxes"] for it in items]),
+        gt_classes=np.stack([it["gt_classes"] for it in items]),
+        gt_valid=np.stack([it["gt_valid"] for it in items]))
+
+
+def coco_train_batches(sampler: MultiDatasetSampler,
+                       datasets: List[CocoDetectionDataset],
+                       cfg: DetectorConfig, batch_size: int):
+    """Infinite batch generator for the vanilla trainer (pair with
+    engine.train's step function or parallel.train_step directly)."""
+    while True:
+        picks = sampler.sample(batch_size)
+        items = [datasets[d][i] for d, i in picks]
+        yield items_to_train_batch(items, cfg)
+
+
+def evaluate_coco(model: EmbodiedDetector, params, cfg: DetectorConfig,
+                  dataset: CocoDetectionDataset, zs_weight: np.ndarray,
+                  batch: int = 8, max_images: Optional[int] = None,
+                  verbose: bool = True) -> Dict[str, float]:
+    """Single-frame inference + COCO bbox AP (inference_on_dataset analog).
+
+    Images are letterboxed by the dataset; predictions are rescaled back to
+    original coordinates (detector_postprocess analog)."""
+    zs = jnp.asarray(zs_weight, jnp.float32)
+    h, w = cfg.input.height, cfg.input.width
+    dummy_proj = jnp.zeros((h, w), jnp.int32)
+    dummy_out = jnp.zeros((h, w), bool)
+    memf = jnp.zeros((cfg.memory.max_cells, cfg.memory.memory_dim), jnp.float32)
+    memo = jnp.zeros((cfg.memory.max_cells,), jnp.float32)
+
+    def one(params, image):
+        out = model.apply(params, image, zs, memf, memo, dummy_proj,
+                          dummy_out, method=EmbodiedDetector.frame_step)
+        return out.detections
+
+    batched = jax.jit(jax.vmap(one, in_axes=(None, 0)))
+
+    n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    ev = COCOEvaluator(list(range(cfg.roi.num_classes)),
+                       dataset.entry.thing_classes or None)
+    t0 = time.perf_counter()
+    items_iter = prefetch_iterator(dataset.__getitem__, range(n))
+    done = 0
+    while done < n:
+        items = [next(items_iter) for _ in range(min(batch, n - done))]
+        pad = batch - len(items)
+        images = np.stack([it["image"].astype(np.float32) for it in items] +
+                          [np.zeros((h, w, 3), np.float32)] * pad)
+        dets = batched(params, jnp.asarray(images))
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        classes = np.asarray(dets.classes)
+        valid = np.asarray(dets.valid)
+        for k, it in enumerate(items):
+            img_id = it["image_id"]
+            ev.add_image(img_id)
+            gv = it["gt_valid"]
+            s = it["scale"]
+            ev.add_ground_truth(img_id, it["gt_boxes"][gv] / s,
+                                it["gt_classes"][gv])
+            v = valid[k]
+            ev.add_detections(img_id, boxes[k][v] / s, scores[k][v],
+                              classes[k][v])
+        done += len(items)
+        if verbose and done % (batch * 10) == 0:
+            print(f"eval {done}/{n} ({(time.perf_counter()-t0)/done:.3f}s/img)")
+    return ev.evaluate()
