@@ -74,6 +74,10 @@ class CenterNetConfig:
     post_nms_topk_test: int = 256
     nms_thresh_train: float = 0.9
     nms_thresh_test: float = 0.9
+    # cap on the joint cross-level NMS working set (top-k by score before the
+    # O(N^2) suppression matrix); 0 disables. At NMS 0.9 suppression is rare,
+    # so candidates beyond ~4x post_nms_topk cannot enter the output.
+    nms_candidate_cap: int = 1024
 
     # losses; ref: centernet.py:42-57 + yaml REG_WEIGHT/POS_WEIGHT/NEG_WEIGHT
     hm_min_overlap: float = 0.8
@@ -160,6 +164,11 @@ class MemoryConfig:
     write_topk: int = 100
     mask_thresh: float = 0.5
     pixel_subsample: int = 8                    # proj = proj[::8] (custom_rcnn.py:913)
+    # True reproduces the reference's every-8th-of-*compacted*-observed-pixels
+    # selection bit-for-bit (full-res mask pasting + cumsum ranking). False
+    # (default) selects observed pixels on a static stride-8 column grid —
+    # statistically identical means, ~2x faster write path.
+    exact_write_subsample: bool = False
     save_semmap: bool = False                   # MODEL.TEST_SAVE_SEMMAP
     # run the memory write at eval time (the reference always does,
     # custom_rcnn.py:515 — disable to skip dead work for image_only evals

@@ -99,7 +99,8 @@ class EpisodeDataset:
 
     def __init__(self, data_path: str, test_type: str = "default",
                  max_sequence_length: int = 20, max_gt: int = 64,
-                 load_jpeg: bool = True, semmap_path: str = ""):
+                 load_jpeg: bool = True, semmap_path: str = "",
+                 clip_path: str = "", memory_type: str = ""):
         if h5py is None:
             raise RuntimeError("h5py required for EpisodeDataset")
         self.data_path = data_path
@@ -114,6 +115,15 @@ class EpisodeDataset:
         # ref: loader.py:216-227) — h5 files with `impicit_memory` [sic] +
         # `observations` produced by an eval pass with TEST_SAVE_SEMMAP
         self.semmap_path = semmap_path
+        # GT-memory baselines (ref: loader.py:139-142, 233-246): for
+        # semantic_gt / map_gt the "memory" is the CLIP class-embedding table
+        # (zero row 0 prepended) and proj indices point at classes
+        self.memory_type = memory_type
+        self.clip_embeddings = None
+        if clip_path:
+            emb = np.load(clip_path).astype(np.float32)     # [C, D]
+            self.clip_embeddings = np.concatenate(
+                [np.zeros((1, emb.shape[1]), np.float32), emb], axis=0)
 
         files = sort_episode_files(os.listdir(self.memory_path))
         if test_type == "longterm":
@@ -162,10 +172,27 @@ class EpisodeDataset:
                     observations = np.array(h5["observations"], np.float32)
                 num_cells = int(mem_features.shape[0])
 
+        with h5py.File(os.path.join(self.memory_path, file), "r") as h5m:
+            semmap_gt = np.array(h5m["semmap_gt"]) if "semmap_gt" in h5m else None
+
         with h5py.File(os.path.join(self.sensor_path, file), "r") as h5:
             rgb = np.array(h5["rgb"])
             det_records = [h5["detection_data"][i]
                            for i in range(min(t_max, len(h5["detection_data"])))]
+            segmentation = np.array(h5["segmentation_data"]) \
+                if (self.memory_type == "semantic_gt" and
+                    "segmentation_data" in h5) else None
+
+        # GT-memory remapping (ref: loader.py:233-246, 269-273)
+        if self.clip_embeddings is not None:
+            mem_features = self.clip_embeddings
+            observations = np.ones((mem_features.shape[0],), np.float32)
+            num_cells = mem_features.shape[0]
+            if self.memory_type == "semantic_gt" and segmentation is not None:
+                # per-pixel class id becomes the "projection" into the table
+                proj = segmentation.astype(np.int64)
+            elif self.memory_type == "map_gt" and semmap_gt is not None:
+                proj = semmap_gt[proj]
 
         t = len(det_records)
         h, w = rgb.shape[1], rgb.shape[2]

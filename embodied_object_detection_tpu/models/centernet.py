@@ -133,4 +133,9 @@ def decode_proposals(agn_hms: Sequence[jax.Array], regs: Sequence[jax.Array],
     boxes = jnp.concatenate(all_boxes, axis=0)
     scores = jnp.concatenate(all_scores, axis=0)
     valid = jnp.concatenate(all_valid, axis=0)
+    cap = cfg.nms_candidate_cap
+    if cap and cap < boxes.shape[0]:
+        key = jnp.where(valid, scores, -1e10)
+        _, keep = jax.lax.top_k(key, cap)
+        boxes, scores, valid = boxes[keep], scores[keep], valid[keep]
     return nms_padded(boxes, scores, valid, nms_thresh, post_topk)

@@ -106,7 +106,12 @@ class EmbodiedDetector(nn.Module):
         cfg = self.cfg
         h, w = cfg.input.height, cfg.input.width
 
-        use_memory = cfg.memory.memory_type == "implicit_memory"
+        # implicit_memory: recurrent map (read fused in the FPN). External
+        # GT-memory baselines (semantic_gt / map_gt / explicit_map,
+        # ref: loader.py:233-246): the "memory" is a fixed table (CLIP class
+        # embeddings or a precomputed map) read through the same gather path.
+        use_memory = cfg.memory.memory_type in (
+            "implicit_memory", "semantic_gt", "map_gt", "explicit_map")
         ego = memory_read(mem_features, mem_obs, proj_indices) if use_memory else None
         p3, p4, p5, p6, p7 = self._features(image, ego)
 
@@ -132,7 +137,9 @@ class EmbodiedDetector(nn.Module):
             cfg.roi.score_thresh_test, cfg.roi.nms_thresh_test,
             cfg.roi.detections_per_image)
 
-        if cfg.memory.write_memory:
+        external = cfg.memory.memory_type in ("semantic_gt", "map_gt",
+                                              "explicit_map")
+        if cfg.memory.write_memory and not external:
             write, wboxes, wvalid = self._memory_write(
                 proposals, cascade, zs_weight, (p3, p4, p5), proj_indices,
                 outlier_mask)
@@ -198,12 +205,25 @@ class EmbodiedDetector(nn.Module):
         # all 256 proposals — forward_mask_memory, custom_rcnn.py:573 — which
         # is redundant work; results are identical per-ROI).
         mask_logits = self.roi_heads.mask_logits(features, wboxes)
-        masks = paste_masks(jax.nn.sigmoid(mask_logits), wboxes, h, w,
-                            cfg.memory.mask_thresh)
+        mask_probs = jax.nn.sigmoid(mask_logits)
 
-        write = memory_write(wfeats, masks, wvalid, proj_indices, outlier_mask,
-                             num_cells=cfg.memory.max_cells,
-                             subsample=cfg.memory.pixel_subsample)
+        s = cfg.memory.pixel_subsample
+        if cfg.memory.exact_write_subsample:
+            masks = paste_masks(mask_probs, wboxes, h, w,
+                                cfg.memory.mask_thresh)
+            write = memory_write(wfeats, masks, wvalid, proj_indices,
+                                 outlier_mask, num_cells=cfg.memory.max_cells,
+                                 subsample=s, exact_subsample=True)
+        else:
+            # fast path: paste + scatter on the static stride-s column grid
+            # (row-major flat stride s == column stride s when W % s == 0)
+            masks = paste_masks(mask_probs, wboxes, h, w,
+                                cfg.memory.mask_thresh, x_stride=s)
+            write = memory_write(wfeats, masks, wvalid,
+                                 proj_indices[:, ::s], outlier_mask[:, ::s],
+                                 num_cells=cfg.memory.max_cells,
+                                 subsample=1, exact_subsample=False,
+                                 obs_proj_indices=proj_indices)
         return write, wboxes, wvalid
 
     # -------------------------------------------------------------- training
@@ -313,6 +333,9 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
       * per-frame inference + memory write
     """
     test_type = cfg.memory.test_type
+    # external GT-memory tables are constant: never reset, never written
+    external_memory = cfg.memory.memory_type in ("semantic_gt", "map_gt",
+                                                 "explicit_map")
 
     def episode(params, frames: FrameInputs, zs_weight: jax.Array,
                 init_memory: MemoryState) -> EpisodeOutputs:
@@ -320,19 +343,23 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
 
         def step(carry, frame: FrameInputs):
             live, snap = carry
-            live = _tree_where(frame.memory_reset, zeros, live)
-            snap = _tree_where(frame.memory_reset, zeros, snap)
-            if test_type in ("default", "episodic"):
-                snap = live
-            else:  # longterm
-                snap = _tree_where(frame.episode_start, live, snap)
+            if external_memory:
+                snap = live = carry[0]
+            else:
+                live = _tree_where(frame.memory_reset, zeros, live)
+                snap = _tree_where(frame.memory_reset, zeros, snap)
+                if test_type in ("default", "episodic"):
+                    snap = live
+                else:  # longterm
+                    snap = _tree_where(frame.episode_start, live, snap)
 
             out = model.apply(params, frame.image, zs_weight, snap.features,
                               snap.obs_count, frame.proj_indices,
                               frame.outlier_mask, method=EmbodiedDetector.frame_step)
-            live = MemoryState(
-                features=live.features + out.write.features_update,
-                obs_count=live.obs_count + out.write.obs_update)
+            if not external_memory:
+                live = MemoryState(
+                    features=live.features + out.write.features_update,
+                    obs_count=live.obs_count + out.write.obs_update)
             return (live, snap), (out.detections, out.write.any_detection)
 
         (live, _), (dets, any_det) = jax.lax.scan(

@@ -33,16 +33,19 @@ def _hat_weights(src: jax.Array, m: int) -> jax.Array:
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[..., None] - taps))
 
 
-@partial(jax.jit, static_argnames=("height", "width", "threshold"))
+@partial(jax.jit, static_argnames=("height", "width", "threshold", "x_stride"))
 def paste_masks(masks: jax.Array, boxes: jax.Array, height: int, width: int,
-                threshold: float = 0.5) -> jax.Array:
-    """masks [N, M, M] (probabilities), boxes [N, 4] xyxy -> [N, H, W].
+                threshold: float = 0.5, x_stride: int = 1) -> jax.Array:
+    """masks [N, M, M] (probabilities), boxes [N, 4] xyxy -> [N, H, W//x_stride].
 
     threshold >= 0 returns booleans (mask >= threshold); threshold < 0
-    returns the float mask values.
+    returns the float mask values. x_stride > 1 evaluates only every
+    x_stride-th column (the memory write's 1/8 pixel subsample on a static
+    grid — pasting at full resolution just to discard 7/8 of the columns is
+    wasted bandwidth).
     """
     n, m, _ = masks.shape
-    xs = jnp.arange(width, dtype=jnp.float32) + 0.5     # pixel centers
+    xs = jnp.arange(0, width, x_stride, dtype=jnp.float32) + 0.5  # pixel centers
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5
 
     x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]

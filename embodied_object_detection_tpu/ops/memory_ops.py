@@ -57,7 +57,10 @@ def memory_read(features: jax.Array, obs_count: jax.Array,
     """
     h, w = proj_indices.shape
     d = features.shape[-1]
-    mem = normalize_memory(features, obs_count)
+    # gather in bf16 — faithful to the reference, which stores/gathers the
+    # memory in fp16 and pools in fp32 (timm.py:147-152); halves the HBM
+    # traffic of the dominant [H*W, D] row gather.
+    mem = normalize_memory(features, obs_count).astype(jnp.bfloat16)
     idx = proj_indices.reshape(h // pool, pool, w // pool, pool)
     gathered = jnp.take(mem, idx, axis=0)              # [H/p, p, W/p, p, D]
     return jnp.mean(gathered.astype(jnp.float32), axis=(1, 3))
@@ -88,7 +91,8 @@ class MemoryWriteResult(NamedTuple):
 def memory_write(det_features: jax.Array, det_masks: jax.Array,
                  det_valid: jax.Array, proj_indices: jax.Array,
                  outlier_mask: jax.Array, num_cells: int,
-                 subsample: int = 8, exact_subsample: bool = True
+                 subsample: int = 8, exact_subsample: bool = True,
+                 obs_proj_indices: "jax.Array | None" = None
                  ) -> MemoryWriteResult:
     """Scatter detection features into map cells.
 
@@ -112,7 +116,9 @@ def memory_write(det_features: jax.Array, det_masks: jax.Array,
       * cell value = mean over contributing pixels, fp32 accumulation
         (custom_rcnn.py:917-934)
       * obs_update = 1 for every unique cell id in proj_indices
-        (custom_rcnn.py:699-701)
+        (custom_rcnn.py:699-701); when the feature scatter runs on a
+        subsampled grid, pass the full-resolution indices as
+        `obs_proj_indices` to keep the visibility update exact
     """
     n, h, w = det_masks.shape
     d = det_features.shape[-1]
@@ -154,7 +160,8 @@ def memory_write(det_features: jax.Array, det_masks: jax.Array,
     # visibility: every cell id present in proj_indices gets +1 observation.
     # NOTE (preserved reference quirk, custom_rcnn.py:699-701): outlier pixels
     # carry index 0, so cell 0 counts as visible whenever any outlier exists.
-    obs_update = jnp.zeros((num_cells,), jnp.float32).at[idx].max(1.0)
+    obs_idx = idx if obs_proj_indices is None else obs_proj_indices.reshape(-1)
+    obs_update = jnp.zeros((num_cells,), jnp.float32).at[obs_idx].max(1.0)
 
     any_detection = jnp.any(det_valid)
     return MemoryWriteResult(

@@ -107,3 +107,27 @@ def test_semmap_classes():
     assert out[0] == 1
     assert out[1] == 2
     assert out[2] == -1 and out[3] == -1   # below intensity threshold
+
+
+def test_memory_write_fast_subgrid_matches_strided_oracle(rng):
+    """Fast path: paste/scatter on the stride-s column grid + full-res obs."""
+    n, h, w, d, cells, s = 4, 8, 16, 5, 24, 4
+    feats = rng.randn(n, d).astype(np.float32)
+    masks_full = rng.rand(n, h, w) > 0.5
+    idx = rng.randint(0, cells, (h, w)).astype(np.int32)
+    valid = np.ones(n, bool)
+    # fast path inputs: subgrid columns
+    res = memory_write(jnp.asarray(feats), jnp.asarray(masks_full[:, :, ::s]),
+                       jnp.asarray(valid), jnp.asarray(idx[:, ::s]),
+                       jnp.zeros((h, w // s), bool), cells,
+                       subsample=1, exact_subsample=False,
+                       obs_proj_indices=jnp.asarray(idx))
+    # oracle on the subgrid with subsample 1
+    want_upd, _ = np_memory_write_oracle(feats, masks_full[:, :, ::s],
+                                         idx[:, ::s], cells, subsample=1)
+    np.testing.assert_allclose(np.asarray(res.features_update), want_upd,
+                               rtol=1e-4, atol=1e-5)
+    # obs update covers every cell in the FULL-res index map
+    want_obs = np.zeros(cells)
+    want_obs[np.unique(idx)] = 1
+    np.testing.assert_allclose(np.asarray(res.obs_update), want_obs)
