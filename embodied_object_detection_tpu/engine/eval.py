@@ -54,9 +54,14 @@ def chunk_to_frame_inputs(chunk: EpisodeChunk) -> FrameInputs:
 def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
                      dataset: EpisodeDataset, zs_weight: np.ndarray,
                      max_chunks: Optional[int] = None,
-                     verbose: bool = True, num_workers: int = 2) -> EvalResults:
+                     verbose: bool = True, num_workers: int = 2,
+                     profile_dir: Optional[str] = None) -> EvalResults:
     runner = jax.jit(make_episode_runner(model, cfg))
     zs = jnp.asarray(zs_weight, jnp.float32)
+    if profile_dir:
+        # jax.profiler trace — the analog of the reference's perf_counter
+        # segmentation (train_mp3d.py:136-284), but producing a real trace
+        jax.profiler.start_trace(profile_dir)
 
     evaluator = COCOEvaluator(list(range(cfg.roi.num_classes)),
                               OBJECT_LVIS[:cfg.roi.num_classes])
@@ -84,8 +89,24 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
 
         t0 = time.perf_counter()
         out = runner(params, frames, zs, memory)
-        memory = jax.tree_util.tree_map(jax.block_until_ready, out.memory)
+        memory = out.memory
+        # force execution for honest timing (block_until_ready is a no-op on
+        # tunneled backends; pulling one scalar synchronizes)
+        float(jnp.sum(out.detections.scores[-1, :1]))
         t_compute += time.perf_counter() - t0
+
+        if cfg.memory.save_semmap:
+            # ref: custom_rcnn.py:518-530 — per-sequence memory snapshot
+            # (semmap classes + raw accumulated features + obs counts)
+            from ..ops.memory_ops import semmap_classes
+            from .checkpoint import save_memory_h5
+            feats = np.asarray(out.first_memory.features)[: chunk.num_cells]
+            obs = np.asarray(out.first_memory.obs_count)[: chunk.num_cells]
+            semmap = np.asarray(semmap_classes(
+                jnp.asarray(feats), jnp.asarray(obs), zs,
+                cfg.memory.obs_score_thresh, cfg.roi.norm_temperature))
+            save_memory_h5(cfg.output_dir, chunk.sequence_name, semmap,
+                           feats, obs)
 
         t0 = time.perf_counter()
         # every-5th-frame scoring (ref: train_mp3d.py:187-188)
@@ -120,6 +141,8 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
                   f"data {t_data/done:.3f}s/it compute {t_compute/done:.3f}s/it "
                   f"eval {t_eval/done:.3f}s/it")
 
+    if profile_dir:
+        jax.profiler.stop_trace()
     t_total = time.perf_counter() - t_total0
     results = EvalResults(
         overall=evaluator.evaluate(),

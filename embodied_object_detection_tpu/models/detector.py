@@ -314,6 +314,9 @@ class EpisodeOutputs(NamedTuple):
     detections: Detections       # [T, 300]
     memory: MemoryState          # final live memory
     any_detection: jax.Array     # [T]
+    # memory right after the chunk's first frame — what TEST_SAVE_SEMMAP
+    # snapshots per sequence (ref: custom_rcnn.py:518-530 saves at i==0)
+    first_memory: MemoryState
 
 
 def _tree_where(pred, a, b):
@@ -342,7 +345,7 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
         zeros = MemoryState.zeros(cfg.memory.max_cells, cfg.memory.memory_dim)
 
         def step(carry, frame: FrameInputs):
-            live, snap = carry
+            live, snap, first_mem, t = carry
             if external_memory:
                 snap = live = carry[0]
             else:
@@ -360,11 +363,15 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
                 live = MemoryState(
                     features=live.features + out.write.features_update,
                     obs_count=live.obs_count + out.write.obs_update)
-            return (live, snap), (out.detections, out.write.any_detection)
+            first_mem = _tree_where(t == 0, live, first_mem)
+            return (live, snap, first_mem, t + 1), \
+                (out.detections, out.write.any_detection)
 
-        (live, _), (dets, any_det) = jax.lax.scan(
-            step, (init_memory, init_memory), frames)
-        return EpisodeOutputs(detections=dets, memory=live, any_detection=any_det)
+        (live, _, first_mem, _), (dets, any_det) = jax.lax.scan(
+            step, (init_memory, init_memory, init_memory, jnp.int32(0)),
+            frames)
+        return EpisodeOutputs(detections=dets, memory=live,
+                              any_detection=any_det, first_memory=first_mem)
 
     return episode
 

@@ -75,16 +75,18 @@ def test_longterm_doubles_files(synth_root):
 
 
 @pytest.mark.slow
-def test_full_eval_protocol(synth_root):
+def test_full_eval_protocol(synth_root, tmp_path):
     import jax
     from embodied_object_detection_tpu.models.detector import build_detector
     from embodied_object_detection_tpu.engine import evaluate_dataset
 
     cfg = tiny_config()
-    cfg = cfg.replace(input=dataclasses.replace(cfg.input, height=128,
-                                                width=160,
-                                                max_sequence_length=4,
-                                                score_every=2, max_gt_boxes=8))
+    cfg = cfg.replace(
+        output_dir=str(tmp_path),
+        input=dataclasses.replace(cfg.input, height=128, width=160,
+                                  max_sequence_length=4,
+                                  score_every=2, max_gt_boxes=8),
+        memory=dataclasses.replace(tiny_config().memory, save_semmap=True))
     model, params = build_detector(cfg, jax.random.PRNGKey(0))
     ds = EpisodeDataset(synth_root, max_sequence_length=4, max_gt=8)
     zs = np.random.RandomState(0).randn(cfg.roi.zs_weight_dim,
@@ -94,3 +96,14 @@ def test_full_eval_protocol(synth_root):
     assert "AP" in res.overall
     assert np.isfinite(res.overall["AP"]) or np.isnan(res.overall["AP"])
     assert res.timing["frames_per_s"] > 0
+
+    # TEST_SAVE_SEMMAP interop: snapshots written in the reference h5 schema
+    # and readable back through the SEMMAP_PATH loader path
+    mem_dir = os.path.join(str(tmp_path), "memory")
+    files = sorted(os.listdir(mem_dir))
+    assert len(files) == 2
+    ds2 = EpisodeDataset(synth_root, max_sequence_length=4, max_gt=8,
+                         semmap_path=mem_dir)
+    chunk = ds2[0]
+    assert chunk.memory_features is not None
+    assert chunk.memory_features.shape[1] == cfg.memory.memory_dim
