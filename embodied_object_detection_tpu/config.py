@@ -35,6 +35,9 @@ class BackboneConfig:
     ref: Detic/detic/modeling/backbone/timm.py:309-312 (Bottleneck [3,4,6,3]),
          configs/Base-C2_L_R5021k_640b64_4x_recurrent.yaml:8-13.
     """
+    # "resnet50" (timm resnet50_in21k layout) or "swin_b"
+    # (ref: MODEL.TIMM.BASE_NAME / SwinB configs)
+    name: str = "resnet50"
     depths: Tuple[int, ...] = (3, 4, 6, 3)
     # FPN consumes the stride-8/16/32 stages ("layer3/4/5" in reference naming,
     # i.e. channels 512/1024/2048). ref: yaml FPN.IN_FEATURES.

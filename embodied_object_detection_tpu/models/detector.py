@@ -65,8 +65,12 @@ class EmbodiedDetector(nn.Module):
 
     def setup(self):
         dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.backbone = ResNet50(depths=self.cfg.backbone.depths, dtype=dtype,
-                                 name="backbone")
+        if self.cfg.backbone.name == "swin_b":
+            from .swin import SwinTransformer
+            self.backbone = SwinTransformer(dtype=dtype, name="backbone")
+        else:
+            self.backbone = ResNet50(depths=self.cfg.backbone.depths,
+                                     dtype=dtype, name="backbone")
         self.fpn = RecurrentFPN(
             out_channels=self.cfg.backbone.fpn_channels,
             memory_dim=self.cfg.memory.memory_dim,
@@ -188,7 +192,8 @@ class EmbodiedDetector(nn.Module):
 
         _, rows = multiclass_nms(boxes, wscores, valid,
                                  cfg.memory.cls_score_thresh,
-                                 cfg.memory.write_nms_thresh, k)
+                                 cfg.memory.write_nms_thresh, k,
+                                 candidate_cap=1024)
 
         # unique kept proposal rows (ref: custom_rcnn.py:875) — scatter into a
         # per-row flag, then take up to K rows in ascending row order.
