@@ -84,6 +84,99 @@ def _palette(n: int) -> np.ndarray:
     return np.concatenate([base, extra], 0)
 
 
+class AsyncPredictor:
+    """Multi-device single-frame inference with in-order results.
+
+    ref: detic/predictor.py:441-529 (AsyncPredictor — one worker *process*
+    per GPU with task/result queues). TPU-native analog: one worker thread
+    per device; params are replicated to each device once and frames
+    round-robin over them. Memory-free (vanilla-demo) inference only — the
+    embodied recurrence is serial by construction and uses EmbodiedPredictor.
+    """
+
+    def __init__(self, cfg: DetectorConfig, params=None,
+                 zs_weight: Optional[np.ndarray] = None,
+                 devices=None):
+        import queue
+        import threading
+
+        self.cfg = cfg
+        devices = devices or jax.devices()
+        if params is None:
+            model, params = build_detector(cfg)
+        else:
+            model = EmbodiedDetector(cfg)
+        if zs_weight is None:
+            zs_weight = np.zeros((cfg.roi.zs_weight_dim,
+                                  cfg.roi.num_classes + 1), np.float32)
+        h, w = cfg.input.height, cfg.input.width
+
+        def make_step(device):
+            p = jax.device_put(params, device)
+            zs = jax.device_put(jnp.asarray(zs_weight, jnp.float32), device)
+            memf = jax.device_put(
+                jnp.zeros((cfg.memory.max_cells, cfg.memory.memory_dim)), device)
+            memo = jax.device_put(jnp.zeros((cfg.memory.max_cells,)), device)
+            proj = jax.device_put(jnp.zeros((h, w), jnp.int32), device)
+            outl = jax.device_put(jnp.zeros((h, w), bool), device)
+
+            @jax.jit
+            def step(image):
+                out = model.apply(p, image, zs, memf, memo, proj, outl,
+                                  method=EmbodiedDetector.frame_step)
+                return out.detections
+
+            def run(image_np):
+                img = jax.device_put(jnp.asarray(image_np, jnp.float32), device)
+                return jax.device_get(step(img))
+            return run
+
+        self._tasks: "queue.Queue" = queue.Queue()
+        self._results: dict = {}
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._next_put = 0
+        self._next_get = 0
+
+        def worker(run):
+            while True:
+                item = self._tasks.get()
+                if item is None:
+                    return
+                idx, image = item
+                det = run(image)
+                with self._cv:
+                    self._results[idx] = det
+                    self._cv.notify_all()
+
+        self._threads = []
+        for d in devices:
+            t = threading.Thread(target=worker, args=(make_step(d),),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def put(self, image_rgb: np.ndarray):
+        self._tasks.put((self._next_put, image_rgb))
+        self._next_put += 1
+
+    def get(self) -> Detections:
+        with self._cv:
+            while self._next_get not in self._results:
+                self._cv.wait()
+            det = self._results.pop(self._next_get)
+            self._next_get += 1
+            return det
+
+    def __call__(self, image_rgb: np.ndarray) -> Detections:
+        self.put(image_rgb)
+        return self.get()
+
+    def shutdown(self):
+        for _ in self._threads:
+            self._tasks.put(None)
+
+
 class EmbodiedPredictor:
     """Persistent-memory streaming predictor.
 
@@ -181,6 +274,10 @@ class EmbodiedPredictor:
         observed = cls >= 0
         img[observed] = self.palette[cls[observed] % len(self.palette)]
         return np.kron(img, np.ones((scale, scale, 1), np.uint8))
+
+    def frame_step_detections(self, image_rgb, proj_indices=None,
+                              outlier_mask=None):
+        return self(image_rgb, proj_indices, outlier_mask)
 
     def render_detections(self, image_rgb: np.ndarray, dets: Detections,
                           score_thresh: float = 0.3) -> np.ndarray:
