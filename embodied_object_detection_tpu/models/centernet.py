@@ -20,6 +20,7 @@ from flax import linen as nn
 from ..config import CenterNetConfig
 from ..ops.nms import nms_padded
 from ..structures import Detections
+from .layers import GroupNorm
 
 
 class Scale(nn.Module):
@@ -51,8 +52,7 @@ class CenterNetHead(nn.Module):
         convs = [nn.Conv(self.in_channels, (3, 3), padding=1, dtype=self.dtype,
                          name=f"bbox_tower_conv{i}")
                  for i in range(self.num_box_convs)]
-        norms = [nn.GroupNorm(num_groups=32, dtype=jnp.float32,
-                              name=f"bbox_tower_gn{i}")
+        norms = [GroupNorm(num_groups=32, name=f"bbox_tower_gn{i}")
                  for i in range(self.num_box_convs)]
         bias_init = -math.log((1 - self.prior_prob) / self.prior_prob)
         agn_hm = nn.Conv(1, (3, 3), padding=1, dtype=jnp.float32,
