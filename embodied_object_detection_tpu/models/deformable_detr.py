@@ -1,0 +1,347 @@
+"""Deformable-DETR meta-architecture (the reference's alternative detector).
+
+ref: Detic/detic/modeling/meta_arch/d2_deformable_detr.py (DeformableDetr
+wrapper) + third_party/Deformable-DETR/models/{deformable_transformer.py,
+deformable_detr.py, matcher.py, position_encoding.py}. Defaults mirror
+detic/config.py:160-180: hidden 256, 8 heads, 6 enc + 6 dec layers, FFN 2048,
+4 feature levels, focal alpha 0.25, cost/loss weights cls 2 / L1 5 / giou 2.
+
+TPU-first: the CUDA ms_deform_attn kernel is ops/ms_deform_attn.py (pure
+gather-interpolate, autodiff backward); all sequence lengths are static
+(fixed image size => fixed per-level token counts); the Hungarian assignment
+runs on host via scipy between jitted cost-matrix and loss computations —
+matching is O(queries x gt) tiny and inherently sequential.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config import DetectorConfig
+from ..ops.ms_deform_attn import ms_deform_attn
+from ..structures import Detections, GroundTruth
+
+
+def position_embedding_sine(h: int, w: int, dim: int = 256,
+                            temperature: float = 10000.0) -> jnp.ndarray:
+    """[H, W, dim] sine position embedding (ref: position_encoding.py,
+    normalize=True)."""
+    scale = 2 * math.pi
+    ys = (jnp.arange(h, dtype=jnp.float32) + 1.0) / h * scale
+    xs = (jnp.arange(w, dtype=jnp.float32) + 1.0) / w * scale
+    half = dim // 2
+    dim_t = temperature ** (2 * (jnp.arange(half) // 2) / half)
+    pos_x = xs[None, :, None] / dim_t
+    pos_y = ys[:, None, None] / dim_t
+    pos_x = jnp.stack([jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])],
+                      axis=-1).reshape(1, w, half)
+    pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])],
+                      axis=-1).reshape(h, 1, half)
+    pos_x = jnp.broadcast_to(pos_x, (h, w, half))
+    pos_y = jnp.broadcast_to(pos_y, (h, w, half))
+    return jnp.concatenate([pos_y, pos_x], axis=-1)
+
+
+class MSDeformAttnLayer(nn.Module):
+    """Multi-scale deformable attention module (query side).
+
+    ref: models/ops/modules/ms_deform_attn.py: per (head, level, point)
+    sampling offsets + attention weights predicted from the query, applied to
+    value projections of the flattened features.
+    """
+    dim: int = 256
+    heads: int = 8
+    levels: int = 4
+    points: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, ref_points, value, spatial_shapes):
+        # query [Q, C]; ref_points [Q, 2] in [0,1]; value [S, C]
+        q, c = query.shape
+        m, l, p = self.heads, self.levels, self.points
+        d = c // m
+        v = nn.Dense(c, name="value_proj")(value).reshape(-1, m, d)
+        offsets = nn.Dense(m * l * p * 2, name="sampling_offsets",
+                           kernel_init=nn.initializers.zeros)(query)
+        offsets = offsets.reshape(q, m, l, p, 2)
+        attn = nn.Dense(m * l * p, name="attention_weights",
+                        kernel_init=nn.initializers.zeros)(query)
+        attn = jax.nn.softmax(attn.reshape(q, m, l * p), axis=-1)
+        attn = attn.reshape(q, m, l, p)
+
+        shapes_wh = jnp.asarray([[wd, ht] for ht, wd in spatial_shapes],
+                                jnp.float32)                     # [L, 2]
+        locs = ref_points[:, None, None, None, :] + \
+            offsets / shapes_wh[None, None, :, None, :]
+        out = ms_deform_attn(v, tuple(spatial_shapes), locs, attn)
+        return nn.Dense(c, name="output_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    dim: int = 256
+    heads: int = 8
+    levels: int = 4
+    ffn: int = 2048
+
+    @nn.compact
+    def __call__(self, src, pos, ref_points, spatial_shapes):
+        q = src + pos
+        attn = MSDeformAttnLayer(self.dim, self.heads, self.levels,
+                                 name="self_attn")(q, ref_points, src,
+                                                   spatial_shapes)
+        src = nn.LayerNorm(name="norm1")(src + attn)
+        y = nn.Dense(self.ffn, name="linear1")(src)
+        y = nn.relu(y)
+        y = nn.Dense(self.dim, name="linear2")(y)
+        return nn.LayerNorm(name="norm2")(src + y)
+
+
+class DecoderLayer(nn.Module):
+    dim: int = 256
+    heads: int = 8
+    levels: int = 4
+    ffn: int = 2048
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, ref_points, memory, spatial_shapes):
+        q = (tgt + query_pos)[None]
+        sa = nn.SelfAttention(num_heads=self.heads, name="self_attn")(q)[0]
+        tgt = nn.LayerNorm(name="norm1")(tgt + sa)
+        ca = MSDeformAttnLayer(self.dim, self.heads, self.levels,
+                               name="cross_attn")(tgt + query_pos, ref_points,
+                                                  memory, spatial_shapes)
+        tgt = nn.LayerNorm(name="norm2")(tgt + ca)
+        y = nn.Dense(self.ffn, name="linear1")(tgt)
+        y = nn.relu(y)
+        y = nn.Dense(self.dim, name="linear2")(y)
+        return nn.LayerNorm(name="norm3")(tgt + y)
+
+
+class DETROutputs(NamedTuple):
+    logits: jax.Array        # [layers, Q, C]
+    boxes_cxcywh: jax.Array  # [layers, Q, 4] normalized
+
+
+class DeformableDETR(nn.Module):
+    """Single-image Deformable-DETR head over FPN features p3-p6.
+
+    num_classes classifies via a plain linear head, or CLIP-space zs_weight
+    when `use_zeroshot` (the Detic open-vocabulary DETR,
+    d2_deformable_detr.py:163-177).
+    """
+    num_classes: int = 20
+    hidden_dim: int = 256
+    heads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    ffn: int = 2048
+    num_queries: int = 100
+    levels: int = 4
+    points: int = 4
+    use_zeroshot: bool = False
+    zs_dim: int = 512
+    norm_temperature: float = 50.0
+    with_box_refine: bool = False
+
+    @nn.compact
+    def __call__(self, features: Sequence[jax.Array],
+                 zs_weight: Optional[jax.Array] = None) -> DETROutputs:
+        c = self.hidden_dim
+        shapes = tuple((f.shape[0], f.shape[1]) for f in features)
+        srcs, poss, refs = [], [], []
+        for i, f in enumerate(features):
+            s = nn.Conv(c, (1, 1), name=f"input_proj{i}")(f.astype(jnp.float32))
+            s = nn.GroupNorm(num_groups=32, name=f"input_gn{i}")(
+                s.reshape(1, *s.shape))[0]
+            h, w = shapes[i]
+            pos = position_embedding_sine(h, w, c) + \
+                self.param(f"level_embed{i}", nn.initializers.normal(1.0), (c,))
+            srcs.append(s.reshape(-1, c))
+            poss.append(pos.reshape(-1, c))
+            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+            refs.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1))
+        src = jnp.concatenate(srcs, 0)
+        pos = jnp.concatenate(poss, 0)
+        enc_ref = jnp.concatenate(refs, 0)
+
+        for i in range(self.enc_layers):
+            src = EncoderLayer(c, self.heads, self.levels, self.ffn,
+                               name=f"encoder{i}")(src, pos, enc_ref, shapes)
+
+        query_embed = self.param("query_embed", nn.initializers.normal(1.0),
+                                 (self.num_queries, 2 * c))
+        query_pos, tgt = query_embed[:, :c], query_embed[:, c:]
+        ref = jax.nn.sigmoid(
+            nn.Dense(2, name="reference_points")(query_pos))   # [Q, 2]
+
+        # prediction heads: shared across decoder layers (per-layer clones
+        # only under box refine, ref: deformable_detr.py _get_clones)
+        n_heads = self.dec_layers if self.with_box_refine else 1
+        if self.use_zeroshot:
+            cls_heads = [nn.Dense(self.zs_dim, name=f"cls_embed{k}")
+                         for k in range(n_heads)]
+        else:
+            cls_heads = [nn.Dense(self.num_classes, name=f"class_embed{k}")
+                         for k in range(n_heads)]
+        bbox_heads = [[nn.Dense(c, name=f"bbox_embed{k}_0"),
+                       nn.Dense(c, name=f"bbox_embed{k}_1"),
+                       nn.Dense(4, name=f"bbox_embed{k}_out")]
+                      for k in range(n_heads)]
+
+        all_logits, all_boxes = [], []
+        for i in range(self.dec_layers):
+            tgt = DecoderLayer(c, self.heads, self.levels, self.ffn,
+                               name=f"decoder{i}")(tgt, query_pos, ref, src,
+                                                   shapes)
+            k = i if self.with_box_refine else 0
+            if self.use_zeroshot:
+                assert zs_weight is not None
+                emb = cls_heads[k](tgt)
+                emb = self.norm_temperature * emb / jnp.maximum(
+                    jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+                logits = emb @ zs_weight[:, :self.num_classes]
+            else:
+                logits = cls_heads[k](tgt)
+            d = tgt
+            for fc in bbox_heads[k][:2]:
+                d = nn.relu(fc(d))
+            delta = bbox_heads[k][2](d)
+            # boxes = sigmoid(delta + inverse_sigmoid(ref)) on cx,cy
+            # (ref: deformable_detr.py forward, tmp[..., :2] += ref)
+            inv_ref = jnp.log(jnp.clip(ref, 1e-6) /
+                              jnp.clip(1 - ref, 1e-6))
+            boxes = jax.nn.sigmoid(delta + jnp.pad(inv_ref, ((0, 0), (0, 2))))
+            all_logits.append(logits)
+            all_boxes.append(boxes)
+            if self.with_box_refine:
+                ref = jax.lax.stop_gradient(boxes[:, :2])
+        return DETROutputs(logits=jnp.stack(all_logits),
+                           boxes_cxcywh=jnp.stack(all_boxes))
+
+
+# =========================================================================
+# Matching + losses (SetCriterion / HungarianMatcher)
+# =========================================================================
+
+def boxes_cxcywh_to_xyxy(b: jax.Array) -> jax.Array:
+    cx, cy, w, h = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+
+def _giou_xyxy(a, b):
+    ix1 = jnp.maximum(a[..., 0], b[..., 0])
+    iy1 = jnp.maximum(a[..., 1], b[..., 1])
+    ix2 = jnp.minimum(a[..., 2], b[..., 2])
+    iy2 = jnp.minimum(a[..., 3], b[..., 3])
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
+    area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+    union = area_a + area_b - inter
+    iou = inter / jnp.maximum(union, 1e-7)
+    cx1 = jnp.minimum(a[..., 0], b[..., 0])
+    cy1 = jnp.minimum(a[..., 1], b[..., 1])
+    cx2 = jnp.maximum(a[..., 2], b[..., 2])
+    cy2 = jnp.maximum(a[..., 3], b[..., 3])
+    area_c = (cx2 - cx1) * (cy2 - cy1)
+    return iou - (area_c - union) / jnp.maximum(area_c, 1e-7)
+
+
+def matcher_cost_matrix(logits: jax.Array, boxes_cxcywh: jax.Array,
+                        gt: GroundTruth, image_hw: Tuple[int, int],
+                        cls_weight: float = 2.0, l1_weight: float = 5.0,
+                        giou_weight: float = 2.0,
+                        focal_alpha: float = 0.25) -> jax.Array:
+    """[Q, G] Hungarian cost (ref: models/matcher.py — focal-style class cost
+    + L1 on normalized cxcywh + giou)."""
+    h, w = image_hw
+    prob = jax.nn.sigmoid(logits)                        # [Q, C]
+    gt_cls = gt.classes
+    p = prob[:, gt_cls]                                  # [Q, G]
+    pos_cost = focal_alpha * ((1 - p) ** 2) * (-jnp.log(p + 1e-8))
+    neg_cost = (1 - focal_alpha) * (p ** 2) * (-jnp.log(1 - p + 1e-8))
+    cost_cls = pos_cost - neg_cost
+
+    scale = jnp.asarray([w, h, w, h], jnp.float32)
+    gt_xyxy = gt.boxes / scale
+    gt_cxcywh = jnp.stack([
+        (gt_xyxy[:, 0] + gt_xyxy[:, 2]) / 2, (gt_xyxy[:, 1] + gt_xyxy[:, 3]) / 2,
+        gt_xyxy[:, 2] - gt_xyxy[:, 0], gt_xyxy[:, 3] - gt_xyxy[:, 1]], -1)
+    cost_l1 = jnp.sum(jnp.abs(boxes_cxcywh[:, None] - gt_cxcywh[None]), -1)
+    cost_giou = -_giou_xyxy(boxes_cxcywh_to_xyxy(boxes_cxcywh)[:, None],
+                            gt_xyxy[None])
+    cost = cls_weight * cost_cls + l1_weight * cost_l1 + giou_weight * cost_giou
+    return jnp.where(gt.valid[None, :], cost, 1e9)
+
+
+def hungarian_match(cost: np.ndarray, gt_valid: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side assignment. Returns (query_idx, gt_idx) over valid GT."""
+    from scipy.optimize import linear_sum_assignment
+    g = int(gt_valid.sum())
+    if g == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    q_idx, g_idx = linear_sum_assignment(cost[:, :g])
+    return q_idx, g_idx
+
+
+def detr_losses(logits: jax.Array, boxes_cxcywh: jax.Array, gt: GroundTruth,
+                match_q: jax.Array, match_g: jax.Array, match_valid: jax.Array,
+                image_hw: Tuple[int, int], num_classes: int,
+                cls_weight: float = 2.0, l1_weight: float = 5.0,
+                giou_weight: float = 2.0, focal_alpha: float = 0.25) -> dict:
+    """SetCriterion losses for one decoder layer with a precomputed
+    (padded) assignment (ref: deformable_detr.py SetCriterion +
+    d2_deformable_detr.py CustomSetCriterion.loss_labels)."""
+    q = logits.shape[0]
+    h, w = image_hw
+    num_boxes = jnp.maximum(jnp.sum(match_valid.astype(jnp.float32)), 1.0)
+
+    # padded (invalid) assignment rows scatter into a dummy slot q
+    tgt = jnp.full((q + 1,), num_classes, jnp.int32)
+    tgt = tgt.at[jnp.where(match_valid, match_q, q)].set(
+        gt.classes[match_g])[:q]
+    onehot = jax.nn.one_hot(tgt, num_classes + 1)[:, :num_classes]
+    p = jax.nn.sigmoid(logits)
+    ce = -(onehot * jnp.log(p + 1e-8) + (1 - onehot) * jnp.log(1 - p + 1e-8))
+    p_t = p * onehot + (1 - p) * (1 - onehot)
+    focal = ce * ((1 - p_t) ** 2)
+    alpha_t = focal_alpha * onehot + (1 - focal_alpha) * (1 - onehot)
+    loss_ce = jnp.sum(alpha_t * focal) / num_boxes
+
+    scale = jnp.asarray([w, h, w, h], jnp.float32)
+    gt_xyxy = gt.boxes[match_g] / scale
+    gt_cxcywh = jnp.stack([
+        (gt_xyxy[:, 0] + gt_xyxy[:, 2]) / 2, (gt_xyxy[:, 1] + gt_xyxy[:, 3]) / 2,
+        gt_xyxy[:, 2] - gt_xyxy[:, 0], gt_xyxy[:, 3] - gt_xyxy[:, 1]], -1)
+    pred = boxes_cxcywh[match_q]
+    l1 = jnp.sum(jnp.where(match_valid[:, None],
+                           jnp.abs(pred - gt_cxcywh), 0.0)) / num_boxes
+    giou = _giou_xyxy(boxes_cxcywh_to_xyxy(pred), boxes_cxcywh_to_xyxy(gt_cxcywh))
+    loss_giou = jnp.sum(jnp.where(match_valid, 1 - giou, 0.0)) / num_boxes
+    return {"loss_ce": cls_weight * loss_ce, "loss_bbox": l1_weight * l1,
+            "loss_giou": giou_weight * loss_giou}
+
+
+def detr_inference(logits: jax.Array, boxes_cxcywh: jax.Array,
+                   image_hw: Tuple[int, int], topk: int = 100) -> Detections:
+    """ref: d2_deformable_detr.py post-processing — top-k over the flattened
+    (query, class) sigmoid scores; boxes shared across classes."""
+    h, w = image_hw
+    q, c = logits.shape
+    scores = jax.nn.sigmoid(logits).reshape(-1)
+    top_scores, idx = jax.lax.top_k(scores, min(topk, q * c))
+    q_idx = idx // c
+    cls = (idx % c).astype(jnp.int32)
+    boxes = boxes_cxcywh_to_xyxy(boxes_cxcywh[q_idx]) * \
+        jnp.asarray([w, h, w, h], jnp.float32)
+    return Detections(boxes=boxes, scores=top_scores, classes=cls,
+                      valid=jnp.ones_like(top_scores, bool))

@@ -1,0 +1,108 @@
+"""Deformable-DETR: forward shapes, matcher, losses, inference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from embodied_object_detection_tpu.models.deformable_detr import (
+    DeformableDETR, matcher_cost_matrix, hungarian_match, detr_losses,
+    detr_inference, position_embedding_sine, boxes_cxcywh_to_xyxy)
+from embodied_object_detection_tpu.structures import GroundTruth
+
+
+def _feats(rng, c=32):
+    return [jnp.asarray(rng.randn(*s, c).astype(np.float32))
+            for s in [(16, 20), (8, 10), (4, 5), (2, 3)]]
+
+
+@pytest.fixture(scope="module")
+def detr_and_params():
+    rng = np.random.RandomState(0)
+    model = DeformableDETR(num_classes=5, hidden_dim=32, heads=4,
+                           enc_layers=2, dec_layers=2, ffn=64,
+                           num_queries=12, levels=4, points=2)
+    params = model.init(jax.random.PRNGKey(0), _feats(rng))
+    return model, params
+
+
+def test_pos_embedding_shape():
+    pe = position_embedding_sine(6, 8, 32)
+    assert pe.shape == (6, 8, 32)
+    assert np.abs(np.asarray(pe)).max() <= 1.0 + 1e-6
+
+
+def test_forward_shapes(detr_and_params, rng):
+    model, params = detr_and_params
+    out = model.apply(params, _feats(rng))
+    assert out.logits.shape == (2, 12, 5)
+    assert out.boxes_cxcywh.shape == (2, 12, 4)
+    b = np.asarray(out.boxes_cxcywh)
+    assert (b >= 0).all() and (b <= 1).all()
+
+
+def _gt(boxes, classes, capacity=4):
+    g = len(boxes)
+    b = np.zeros((capacity, 4), np.float32)
+    c = np.zeros((capacity,), np.int32)
+    v = np.zeros((capacity,), bool)
+    b[:g] = boxes
+    c[:g] = classes
+    v[:g] = True
+    return GroundTruth(jnp.asarray(b), jnp.asarray(c), jnp.asarray(v))
+
+
+def test_matcher_prefers_good_query():
+    q, c = 4, 5
+    logits = np.full((q, c), -10.0, np.float32)
+    boxes = np.tile(np.array([[0.1, 0.1, 0.05, 0.05]], np.float32), (q, 1))
+    # query 2 predicts the gt box + class well
+    logits[2, 3] = 10.0
+    boxes[2] = [0.5, 0.5, 0.25, 0.25]
+    gt = _gt([[60, 60, 100, 100]], [3])        # in a 160x160 image
+    cost = matcher_cost_matrix(jnp.asarray(logits), jnp.asarray(boxes), gt,
+                               (160, 160))
+    qi, gi = hungarian_match(np.asarray(cost), np.asarray(gt.valid))
+    assert list(qi) == [2] and list(gi) == [0]
+
+
+def test_losses_drop_for_better_predictions():
+    q, c = 4, 5
+    gt = _gt([[60, 60, 100, 100]], [3])
+    good_logits = np.full((q, c), -8.0, np.float32)
+    good_logits[0, 3] = 8.0
+    good_boxes = np.tile(np.array([[0.9, 0.9, 0.01, 0.01]], np.float32), (q, 1))
+    good_boxes[0] = [0.5, 0.5, 0.25, 0.25]
+    mq = jnp.asarray([0, 0, 0, 0])
+    mg = jnp.asarray([0, 0, 0, 0])
+    mv = jnp.asarray([True, False, False, False])
+    good = detr_losses(jnp.asarray(good_logits), jnp.asarray(good_boxes), gt,
+                       mq, mg, mv, (160, 160), c)
+    bad_logits = np.full((q, c), 0.0, np.float32)
+    bad_boxes = np.full((q, 4), 0.1, np.float32)
+    bad = detr_losses(jnp.asarray(bad_logits), jnp.asarray(bad_boxes), gt,
+                      mq, mg, mv, (160, 160), c)
+    assert float(good["loss_ce"]) < float(bad["loss_ce"])
+    assert float(good["loss_bbox"]) < float(bad["loss_bbox"])
+    assert float(good["loss_giou"]) < float(bad["loss_giou"])
+
+
+def test_inference_topk(detr_and_params, rng):
+    model, params = detr_and_params
+    out = model.apply(params, _feats(rng))
+    dets = detr_inference(out.logits[-1], out.boxes_cxcywh[-1], (128, 160),
+                          topk=10)
+    assert dets.boxes.shape == (10, 4)
+    s = np.asarray(dets.scores)
+    assert np.all(np.diff(s) <= 1e-6)          # sorted desc
+
+
+def test_zeroshot_classifier_variant(rng):
+    model = DeformableDETR(num_classes=5, hidden_dim=32, heads=4,
+                           enc_layers=1, dec_layers=1, ffn=64,
+                           num_queries=6, levels=4, points=2,
+                           use_zeroshot=True, zs_dim=16)
+    zs = jnp.asarray(rng.randn(16, 6).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), _feats(rng), zs)
+    out = model.apply(params, _feats(rng), zs)
+    assert out.logits.shape == (1, 6, 5)
