@@ -302,6 +302,56 @@ class EmbodiedDetector(nn.Module):
                                       cfg.roi.cascade_bbox_reg_weights[k])
         return losses
 
+    def frame_train_weak(self, image: jax.Array, zs_weight: jax.Array,
+                         labels: jax.Array, labels_valid: jax.Array,
+                         variant: str = "max_size",
+                         image_loss_weight: float = 0.1,
+                         ws_num_props: int = 128,
+                         image_box_size: float = 1.0) -> dict:
+        """Image-label weak supervision (the Detic co-training path).
+
+        ref: CustomRCNN.forward with ann_type='image' (custom_rcnn.py:188-278)
+        + DeticCascadeROIHeads.get_top_proposals/_add_image_box
+        (detic_roi_heads.py:239, 271-295) + image_label_losses
+        (detic_fast_rcnn.py:342-434). Proposal losses are zeroed for
+        image-labeled data (custom_rcnn.py:262-266); the selected-proposal BCE
+        is applied per cascade stage.
+        """
+        from .losses import image_label_loss
+        from ..structures import clip_boxes as _clip
+        cfg = self.cfg
+        h, w = cfg.input.height, cfg.input.width
+        p3, p4, p5, p6, p7 = self._features(image, None)
+        agn_hms, regs = self.centernet((p3, p4, p5, p6, p7))
+        proposals = decode_proposals(agn_hms, regs, cfg.centernet,
+                                     training=True)
+        # top ws_num_props + whole-image box appended last
+        k = min(ws_num_props, proposals.boxes.shape[0])
+        boxes = _clip(jax.lax.stop_gradient(proposals.boxes[:k]), h, w)
+        valid = proposals.valid[:k]
+        f = image_box_size
+        img_box = jnp.asarray([[w * (1 - f) / 2, h * (1 - f) / 2,
+                                w * (1 - (1 - f) / 2), h * (1 - (1 - f) / 2)]],
+                              jnp.float32)
+        boxes = jnp.concatenate([boxes, img_box], axis=0)
+        valid = jnp.concatenate([valid, jnp.ones((1,), bool)], axis=0)
+
+        losses = {}
+        num_stages = len(cfg.roi.cascade_ious)
+        cur = boxes
+        for s in range(num_stages):
+            pooled = self.roi_heads._pool((p3, p4, p5), cur,
+                                          cfg.roi.pooler_resolution)
+            x = self.roi_heads.box_heads[s](pooled)
+            logits, deltas, _ = self.roi_heads.predictors[s](x, zs_weight)
+            losses[f"image_loss_stage{s}"] = image_label_loss(
+                logits, cur, valid, labels, labels_valid,
+                cfg.roi.num_classes, variant=variant,
+                image_loss_weight=image_loss_weight)
+            cur = _clip(jax.lax.stop_gradient(apply_deltas(
+                deltas, cur, cfg.roi.cascade_bbox_reg_weights[s])), h, w)
+        return losses
+
     # ------------------------------------------------- single-frame, no mem
     def __call__(self, image: jax.Array, zs_weight: jax.Array,
                  mem_features: jax.Array, mem_obs: jax.Array,
@@ -379,6 +429,19 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
                               any_detection=any_det, first_memory=first_mem)
 
     return episode
+
+
+def make_batched_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
+    """vmap the episode runner over independent scene streams.
+
+    The reference evaluates scenes strictly serially (train_mp3d.py:151); the
+    recurrence only binds frames *within* a scene, so B scene streams run as
+    one batched scan — this is where single-chip throughput scales past the
+    serial protocol (MXU utilization at batch 1 is poor for 256-ROI heads).
+    Inputs gain a leading [B] axis on frames and init_memory.
+    """
+    episode = make_episode_runner(model, cfg)
+    return jax.vmap(episode, in_axes=(None, 0, None, 0))
 
 
 def build_detector(cfg: Optional[DetectorConfig] = None,

@@ -229,3 +229,31 @@ def test_fed_loss_class_weight():
     assert w[3] == 1 and w[7] == 1       # appeared classes always in
     assert w[0] in (0.0, 1.0)            # class 0 not forced (gt row invalid)
     assert w.sum() == 10                 # exactly num_sample_cats selected
+
+
+@pytest.mark.slow
+def test_frame_train_weak(rng):
+    from embodied_object_detection_tpu.models.detector import (
+        EmbodiedDetector, build_detector)
+    cfg = tiny_config()
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    h, w = cfg.input.height, cfg.input.width
+    img = jnp.asarray(rng.randint(0, 255, (h, w, 3)).astype(np.float32))
+    zs = jnp.asarray(rng.randn(cfg.roi.zs_weight_dim,
+                               cfg.roi.num_classes + 1).astype(np.float32))
+    labels = jnp.asarray([1, 3], dtype=jnp.int32)
+    lvalid = jnp.asarray([True, False])
+    losses = model.apply(params, img, zs, labels, lvalid,
+                         method=EmbodiedDetector.frame_train_weak)
+    assert set(losses) == {f"image_loss_stage{i}" for i in range(3)}
+    for v in losses.values():
+        assert np.isfinite(float(v))
+    # gradients flow to the classifier
+    def total(p):
+        out = model.apply(p, img, zs, labels, lvalid,
+                          method=EmbodiedDetector.frame_train_weak)
+        return sum(out.values())
+    g = jax.grad(total)(params)
+    gnorm = float(jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(jnp.abs(x)), g, 0.0))
+    assert gnorm > 0
