@@ -118,6 +118,44 @@ _RULES = [
      "roi_heads/box_predictor{0}/bbox_fc2/kernel", _linear),
     (r"roi_heads\.box_predictor\.(\d)\.bbox_pred\.2\.bias",
      "roi_heads/box_predictor{0}/bbox_fc2/bias", None),
+    # ---- Swin backbone (ref: detic/modeling/backbone/swintransformer.py
+    # naming under backbone.bottom_up.*)
+    (r"backbone\.bottom_up\.patch_embed\.proj\.weight",
+     "backbone/patch_embed/kernel", _conv),
+    (r"backbone\.bottom_up\.patch_embed\.proj\.bias",
+     "backbone/patch_embed/bias", None),
+    (r"backbone\.bottom_up\.patch_embed\.norm\.weight",
+     "backbone/patch_norm/scale", None),
+    (r"backbone\.bottom_up\.patch_embed\.norm\.bias",
+     "backbone/patch_norm/bias", None),
+    (r"backbone\.bottom_up\.layers\.(\d)\.blocks\.(\d+)\.norm(\d)\.weight",
+     "backbone/stage{0}_block{1}/norm{2}/scale", None),
+    (r"backbone\.bottom_up\.layers\.(\d)\.blocks\.(\d+)\.norm(\d)\.bias",
+     "backbone/stage{0}_block{1}/norm{2}/bias", None),
+    (r"backbone\.bottom_up\.layers\.(\d)\.blocks\.(\d+)\.attn\.qkv\.weight",
+     "backbone/stage{0}_block{1}/attn/qkv/kernel", _linear),
+    (r"backbone\.bottom_up\.layers\.(\d)\.blocks\.(\d+)\.attn\.qkv\.bias",
+     "backbone/stage{0}_block{1}/attn/qkv/bias", None),
+    (r"backbone\.bottom_up\.layers\.(\d)\.blocks\.(\d+)\.attn\.proj\.weight",
+     "backbone/stage{0}_block{1}/attn/proj/kernel", _linear),
+    (r"backbone\.bottom_up\.layers\.(\d)\.blocks\.(\d+)\.attn\.proj\.bias",
+     "backbone/stage{0}_block{1}/attn/proj/bias", None),
+    (r"backbone\.bottom_up\.layers\.(\d)\.blocks\.(\d+)\.attn\.relative_position_bias_table",
+     "backbone/stage{0}_block{1}/attn/relative_position_bias_table", None),
+    (r"backbone\.bottom_up\.layers\.(\d)\.blocks\.(\d+)\.mlp\.fc(\d)\.weight",
+     "backbone/stage{0}_block{1}/mlp_fc{2}/kernel", _linear),
+    (r"backbone\.bottom_up\.layers\.(\d)\.blocks\.(\d+)\.mlp\.fc(\d)\.bias",
+     "backbone/stage{0}_block{1}/mlp_fc{2}/bias", None),
+    (r"backbone\.bottom_up\.layers\.(\d)\.downsample\.norm\.weight",
+     "backbone/merge_norm{0}/scale", None),
+    (r"backbone\.bottom_up\.layers\.(\d)\.downsample\.norm\.bias",
+     "backbone/merge_norm{0}/bias", None),
+    (r"backbone\.bottom_up\.layers\.(\d)\.downsample\.reduction\.weight",
+     "backbone/merge_reduction{0}/kernel", _linear),
+    (r"backbone\.bottom_up\.norm(\d)\.weight",
+     "backbone/out_norm{0}/scale", None),
+    (r"backbone\.bottom_up\.norm(\d)\.bias",
+     "backbone/out_norm{0}/bias", None),
     # ---- mask head
     (r"roi_heads\.mask_head\.mask_fcn(\d)\.weight",
      "roi_heads/mask_head/mask_fcn{0}/kernel", _conv),

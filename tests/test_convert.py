@@ -146,3 +146,35 @@ def test_converter_round_trip_covers_all_params():
     got = _flatten(converted["params"])
     for path in expected:
         np.testing.assert_allclose(got[path], expected[path])
+
+
+def test_swin_rule_coverage():
+    """Swin rename rules: a representative torch state dict lands on the
+    flax Swin param tree paths with correct layouts."""
+    rng = np.random.RandomState(0)
+    sd = {
+        "backbone.bottom_up.patch_embed.proj.weight": rng.randn(32, 3, 4, 4).astype(np.float32),
+        "backbone.bottom_up.patch_embed.proj.bias": rng.randn(32).astype(np.float32),
+        "backbone.bottom_up.patch_embed.norm.weight": np.ones(32, np.float32),
+        "backbone.bottom_up.patch_embed.norm.bias": np.zeros(32, np.float32),
+        "backbone.bottom_up.layers.0.blocks.0.norm1.weight": np.ones(32, np.float32),
+        "backbone.bottom_up.layers.0.blocks.0.attn.qkv.weight": rng.randn(96, 32).astype(np.float32),
+        "backbone.bottom_up.layers.0.blocks.0.attn.relative_position_bias_table":
+            rng.randn(169, 4).astype(np.float32),
+        "backbone.bottom_up.layers.0.blocks.0.mlp.fc1.weight": rng.randn(128, 32).astype(np.float32),
+        "backbone.bottom_up.layers.0.downsample.reduction.weight": rng.randn(64, 128).astype(np.float32),
+        "backbone.bottom_up.norm1.weight": np.ones(64, np.float32),
+    }
+    from embodied_object_detection_tpu.convert.torch_weights import convert_state_dict
+    tree, _ = convert_state_dict(sd)
+    p = tree["params"]["backbone"]
+    assert p["patch_embed"]["kernel"].shape == (4, 4, 3, 32)
+    assert p["patch_norm"]["scale"].shape == (32,)
+    blk = p["stage0_block0"]
+    assert blk["norm1"]["scale"].shape == (32,)
+    assert blk["attn"]["qkv"]["kernel"].shape == (32, 96)
+    assert blk["attn"]["relative_position_bias_table"].shape == (169, 4)
+    assert blk["mlp_fc1"]["kernel"].shape == (32, 128)
+    assert p["merge_reduction0"]["kernel"].shape == (128, 64)
+    assert p["out_norm1"]["scale"].shape == (64,)
+    assert "_unmapped" not in tree
