@@ -54,6 +54,13 @@ def argument_parser():
                    help="TEST_SAVE_SEMMAP: write per-sequence memory h5")
     p.add_argument("--coordinator", default="",
                    help="jax.distributed coordinator address for multi-host")
+    p.add_argument("--parity-config", default="",
+                   choices=["", "pretrained", "vanilla_training",
+                            "detic_finetuned", "implicit_object_memory"],
+                   help="one of the four golden eval configurations "
+                        "(README.md:44-62 / BASELINE.md)")
+    p.add_argument("--profile-dir", default="",
+                   help="write a jax.profiler trace of the eval here")
     p.add_argument("--opts", nargs="*", default=[],
                    help="config overrides: section.field=value")
     return p
@@ -81,11 +88,12 @@ def main(argv=None):
         jax.distributed.initialize(coordinator_address=args.coordinator)
 
     import jax
-    from .config import DetectorConfig, apply_opts
+    from .config import DetectorConfig, apply_opts, parity_config
     from .data.episode_dataset import EpisodeDataset
     from .models.detector import build_detector
 
-    cfg = DetectorConfig()
+    cfg = parity_config(args.parity_config) if args.parity_config \
+        else DetectorConfig()
     cfg = cfg.replace(
         output_dir=args.output_dir,
         test_data_path=args.data_path,
@@ -123,7 +131,8 @@ def main(argv=None):
                                  max_sequence_length=cfg.input.max_sequence_length,
                                  max_gt=cfg.input.max_gt_boxes)
         results = evaluate_dataset(model, params, cfg, dataset, zs_weight,
-                                   max_chunks=args.max_chunks)
+                                   max_chunks=args.max_chunks,
+                                   profile_dir=args.profile_dir or None)
         print("overall:", {k: round(v, 3) for k, v in results.overall.items()})
         for i, q in enumerate(results.quartiles):
             if q:
