@@ -1,0 +1,102 @@
+"""Instance + semantic-map visualization.
+
+ref: Detic/detic/visualizer.py (a 1267-LoC detectron2 Visualizer fork) and
+the map/legend rendering in custom_rcnn.py:986-1015 / robot_demo.py:571-601.
+Host-side numpy/cv2; draws padded Detections directly.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..structures import Detections
+
+
+def color_palette(n: int) -> np.ndarray:
+    base = np.array([
+        [230, 25, 75], [60, 180, 75], [255, 225, 25], [0, 130, 200],
+        [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
+        [210, 245, 60], [250, 190, 212], [0, 128, 128], [220, 190, 255],
+        [170, 110, 40], [255, 250, 200], [128, 0, 0], [170, 255, 195],
+        [128, 128, 0], [255, 215, 180], [0, 0, 128], [128, 128, 128]],
+        np.uint8)
+    if n <= len(base):
+        return base[:n]
+    rng = np.random.RandomState(3)
+    return np.concatenate([base, rng.randint(0, 255, (n - len(base), 3),
+                                             dtype=np.int64).astype(np.uint8)])
+
+
+class Visualizer:
+    """Draw detections / GT / instance masks / the semantic map."""
+
+    def __init__(self, class_names: Sequence[str]):
+        self.class_names = list(class_names)
+        self.palette = color_palette(len(class_names))
+
+    def _color(self, cls: int):
+        return tuple(int(x) for x in self.palette[cls % len(self.palette)])
+
+    def draw_detections(self, image_rgb: np.ndarray, dets: Detections,
+                        score_thresh: float = 0.3,
+                        masks: Optional[np.ndarray] = None) -> np.ndarray:
+        import cv2
+        img = np.ascontiguousarray(np.asarray(image_rgb, np.uint8))
+        boxes = np.asarray(dets.boxes)
+        scores = np.asarray(dets.scores)
+        classes = np.asarray(dets.classes)
+        valid = np.asarray(dets.valid)
+        for i in np.argsort(-scores):
+            if not valid[i] or scores[i] < score_thresh:
+                continue
+            color = self._color(int(classes[i]))
+            b = boxes[i].astype(int)
+            if masks is not None:
+                m = np.asarray(masks[i], bool)
+                overlay = img.copy()
+                overlay[m] = (0.5 * np.array(color) + 0.5 * img[m]).astype(np.uint8)
+                img = overlay
+            cv2.rectangle(img, (b[0], b[1]), (b[2], b[3]), color, 2)
+            name = self.class_names[int(classes[i]) % len(self.class_names)]
+            cv2.putText(img, f"{name} {scores[i]:.2f}",
+                        (b[0], max(b[1] - 4, 10)), cv2.FONT_HERSHEY_SIMPLEX,
+                        0.5, color, 1, cv2.LINE_AA)
+        return img
+
+    def draw_ground_truth(self, image_rgb: np.ndarray, boxes: np.ndarray,
+                          classes: np.ndarray,
+                          valid: Optional[np.ndarray] = None) -> np.ndarray:
+        import cv2
+        img = np.ascontiguousarray(np.asarray(image_rgb, np.uint8))
+        valid = np.ones(len(boxes), bool) if valid is None else valid
+        for b, c, v in zip(np.asarray(boxes), np.asarray(classes), valid):
+            if not v:
+                continue
+            b = b.astype(int)
+            cv2.rectangle(img, (b[0], b[1]), (b[2], b[3]),
+                          self._color(int(c)), 1)
+        return img
+
+    def draw_semmap(self, semmap_classes: np.ndarray, scale: int = 4
+                    ) -> np.ndarray:
+        """[H, W] int32 class map (-1 unobserved) -> RGB image."""
+        h, w = semmap_classes.shape
+        img = np.zeros((h, w, 3), np.uint8)
+        obs = semmap_classes >= 0
+        img[obs] = self.palette[semmap_classes[obs] % len(self.palette)]
+        return np.kron(img, np.ones((scale, scale, 1), np.uint8))
+
+    def legend(self, height: int = 480, width: int = 200) -> np.ndarray:
+        """Color legend strip (ref: custom_rcnn.py:992-1009)."""
+        import cv2
+        img = np.zeros((height, width, 3), np.uint8)
+        block = max(height // max(len(self.class_names), 1), 1)
+        for i, name in enumerate(self.class_names):
+            y0, y1 = i * block, min((i + 1) * block, height)
+            img[y0:y1] = self.palette[i % len(self.palette)]
+            cv2.putText(img, name, (4, y0 + block // 2 + 4),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.4, (255, 255, 255), 1,
+                        cv2.LINE_AA)
+        return img
