@@ -302,6 +302,51 @@ class EmbodiedDetector(nn.Module):
                                       cfg.roi.cascade_bbox_reg_weights[k])
         return losses
 
+    def frame_step_debug(self, image: jax.Array, zs_weight: jax.Array,
+                         mem_features: jax.Array, mem_obs: jax.Array,
+                         proj_indices: jax.Array, outlier_mask: jax.Array
+                         ) -> dict:
+        """Extended single-frame outputs for parity diffing.
+
+        Formalizes the reference's prompt_learning/temp dump channel
+        (zero_shot_classifier.py:91-100, detic_roi_heads.py:182-212,
+        SURVEY.md §4c): per-stage proposal boxes, region embeddings and
+        sigmoid scores, plus proposals/objectness and final detections —
+        everything needed to diff activations against another implementation.
+        """
+        cfg = self.cfg
+        h, w = cfg.input.height, cfg.input.width
+        use_memory = cfg.memory.memory_type in (
+            "implicit_memory", "semantic_gt", "map_gt", "explicit_map")
+        ego = memory_read(mem_features, mem_obs, proj_indices) if use_memory else None
+        p3, p4, p5, p6, p7 = self._features(image, ego)
+        agn_hms, regs = self.centernet((p3, p4, p5, p6, p7))
+        proposals = decode_proposals(agn_hms, regs, cfg.centernet,
+                                     training=False)
+        cascade = self.roi_heads.run_cascade((p3, p4, p5), proposals,
+                                             zs_weight, (h, w))
+        scores = cascade.mean_scores
+        if cfg.roi.mult_proposal_score:
+            scores = jnp.sqrt(scores * jnp.maximum(proposals.scores[:, None], 0.0))
+        detections, _ = multiclass_nms(
+            cascade.final_boxes, scores, proposals.valid,
+            cfg.roi.score_thresh_test, cfg.roi.nms_thresh_test,
+            cfg.roi.detections_per_image)
+        out = {
+            "proposal_boxes": proposals.boxes,
+            "objectness": proposals.scores,
+            "proposal_valid": proposals.valid,
+            "final_boxes": detections.boxes,
+            "final_scores": detections.scores,
+            "final_classes": detections.classes,
+            "final_valid": detections.valid,
+        }
+        for k, st in enumerate(cascade.stages):
+            out[f"stage{k}_boxes"] = st.boxes
+            out[f"stage{k}_region_embeddings"] = st.clip_feats
+            out[f"stage{k}_scores"] = jax.nn.sigmoid(st.logits)
+        return out
+
     def frame_train_weak(self, image: jax.Array, zs_weight: jax.Array,
                          labels: jax.Array, labels_valid: jax.Array,
                          variant: str = "max_size",

@@ -89,3 +89,25 @@ def test_memory_reset_zeroes_state(model_and_params, rng):
     out1 = runner(params, frames1, zs, init)
     np.testing.assert_allclose(np.asarray(out2.memory.features),
                                np.asarray(out1.memory.features), atol=1e-5)
+
+
+def test_frame_step_debug_outputs(model_and_params, rng):
+    from embodied_object_detection_tpu.models.detector import EmbodiedDetector
+    from embodied_object_detection_tpu.structures import MemoryState
+    cfg, model, params = model_and_params
+    f = _dummy_frame(cfg, rng)
+    zs = jnp.asarray(rng.randn(cfg.roi.zs_weight_dim,
+                               cfg.roi.num_classes + 1).astype(np.float32))
+    mem = MemoryState.zeros(cfg.memory.max_cells, cfg.memory.memory_dim)
+    out = model.apply(params, f.image, zs, mem.features, mem.obs_count,
+                      f.proj_indices, f.outlier_mask,
+                      method=EmbodiedDetector.frame_step_debug)
+    r = cfg.centernet.post_nms_topk_test
+    assert out["stage0_region_embeddings"].shape == (r, cfg.roi.zs_weight_dim)
+    assert out["stage2_scores"].shape == (r, cfg.roi.num_classes + 1)
+    # debug final detections equal frame_step's
+    ref = model.apply(params, f.image, zs, mem.features, mem.obs_count,
+                      f.proj_indices, f.outlier_mask,
+                      method=EmbodiedDetector.frame_step)
+    np.testing.assert_allclose(np.asarray(out["final_scores"]),
+                               np.asarray(ref.detections.scores), atol=1e-5)
