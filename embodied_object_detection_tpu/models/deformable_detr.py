@@ -228,6 +228,83 @@ class DeformableDETR(nn.Module):
                            boxes_cxcywh=jnp.stack(all_boxes))
 
 
+class DeformableDetrDetector(nn.Module):
+    """End-to-end single-frame DETR detector: ResNet50 C3-C5 + an extra
+    stride-2 level, then the deformable transformer.
+
+    ref: d2_deformable_detr.py DeformableDetr (MaskedBackbone + Joiner +
+    DeformableDETR). Classes via plain linear or CLIP zs_weight.
+    """
+    cfg: DetectorConfig
+    num_queries: int = 100
+    use_zeroshot: bool = False
+
+    def setup(self):
+        from .resnet import ResNet50
+        self.backbone = ResNet50(depths=self.cfg.backbone.depths,
+                                 dtype=jnp.float32, name="backbone")
+        self.detr = DeformableDETR(
+            num_classes=self.cfg.roi.num_classes,
+            num_queries=self.num_queries,
+            use_zeroshot=self.use_zeroshot, name="detr")
+        # extra level: stride-2 3x3 conv on C5 (ref: deformable_detr.py
+        # input_proj extra levels)
+        self.extra_level = nn.Conv(self.detr.hidden_dim, (3, 3),
+                                   strides=(2, 2), padding=1,
+                                   dtype=jnp.float32, name="extra_level")
+
+    def _normalize(self, image):
+        mean = jnp.asarray(self.cfg.input.pixel_mean, jnp.float32)
+        std = jnp.asarray(self.cfg.input.pixel_std, jnp.float32)
+        return (image - mean) / std
+
+    def __call__(self, image: jax.Array,
+                 zs_weight: Optional[jax.Array] = None) -> DETROutputs:
+        c3, c4, c5 = self.backbone(self._normalize(image))
+        c6 = self.extra_level(c5.astype(jnp.float32))
+        return self.detr((c3, c4, c5, c6), zs_weight)
+
+
+def detr_train_step_host_matched(model: "DeformableDetrDetector", params,
+                                 image: jax.Array, gt: GroundTruth,
+                                 image_hw: Tuple[int, int],
+                                 zs_weight=None):
+    """One DETR training step body: forward, host Hungarian per decoder
+    layer, then the differentiable loss with the assignment fixed (the
+    standard DETR two-phase structure — the matcher is no-grad in the
+    reference too, matcher.py @torch.no_grad)."""
+    q = model.num_queries
+    g = gt.boxes.shape[0]
+
+    out = model.apply(params, image, zs_weight)
+    matches = []
+    for layer in range(out.logits.shape[0]):
+        cost = matcher_cost_matrix(out.logits[layer], out.boxes_cxcywh[layer],
+                                   gt, image_hw)
+        qi, gi = hungarian_match(np.asarray(cost), np.asarray(gt.valid))
+        mq = np.zeros(g, np.int64)
+        mg = np.zeros(g, np.int64)
+        mv = np.zeros(g, bool)
+        mq[: len(qi)] = qi
+        mg[: len(gi)] = gi
+        mv[: len(qi)] = True
+        matches.append((jnp.asarray(mq), jnp.asarray(mg), jnp.asarray(mv)))
+
+    def loss_fn(p):
+        o = model.apply(p, image, zs_weight)
+        total = 0.0
+        aux = {}
+        for layer, (mq, mg, mv) in enumerate(matches):
+            l = detr_losses(o.logits[layer], o.boxes_cxcywh[layer], gt,
+                            mq, mg, mv, image_hw, model.cfg.roi.num_classes)
+            for k, v in l.items():
+                aux[f"{k}_l{layer}"] = v
+                total = total + v
+        return total, aux
+
+    return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+
 # =========================================================================
 # Matching + losses (SetCriterion / HungarianMatcher)
 # =========================================================================

@@ -106,3 +106,27 @@ def test_zeroshot_classifier_variant(rng):
     params = model.init(jax.random.PRNGKey(0), _feats(rng), zs)
     out = model.apply(params, _feats(rng), zs)
     assert out.logits.shape == (1, 6, 5)
+
+
+@pytest.mark.slow
+def test_end_to_end_detr_train_step(rng):
+    import dataclasses
+    from common import tiny_config
+    from embodied_object_detection_tpu.models.deformable_detr import (
+        DeformableDetrDetector, detr_train_step_host_matched)
+
+    cfg = tiny_config()
+    model = DeformableDetrDetector(cfg, num_queries=8)
+    h, w = cfg.input.height, cfg.input.width
+    img = jnp.asarray(rng.randn(h, w, 3).astype(np.float32) * 50 + 100)
+    params = model.init(jax.random.PRNGKey(0), img)
+    out = model.apply(params, img)
+    assert out.logits.shape == (6, 8, cfg.roi.num_classes)
+
+    gt = _gt([[20, 20, 80, 90]], [2], capacity=4)
+    (total, aux), grads = detr_train_step_host_matched(
+        model, params, img, gt, (h, w))
+    assert np.isfinite(float(total))
+    gnorm = float(jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(jnp.abs(x)), grads, 0.0))
+    assert gnorm > 0
