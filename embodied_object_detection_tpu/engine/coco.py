@@ -26,18 +26,28 @@ from ..models.detector import EmbodiedDetector
 from ..parallel.train_step import TrainBatch
 
 
-def items_to_train_batch(items: List[dict], cfg: DetectorConfig) -> TrainBatch:
+def items_to_train_batch(items: List[dict], cfg: DetectorConfig,
+                         pad_to_multiple: int = 1) -> TrainBatch:
     cells, d = cfg.memory.max_cells, cfg.memory.memory_dim
     b = len(items)
+    pad = (-b) % max(pad_to_multiple, 1)
     h, w = cfg.input.height, cfg.input.width
+    images = np.zeros((b + pad, h, w, 3), np.float32)
+    gt_boxes = np.zeros((b + pad,) + items[0]["gt_boxes"].shape, np.float32)
+    gt_classes = np.zeros((b + pad,) + items[0]["gt_classes"].shape, np.int32)
+    gt_valid = np.zeros((b + pad,) + items[0]["gt_valid"].shape, bool)
+    for i, it in enumerate(items):
+        images[i] = it["image"].astype(np.float32)
+        gt_boxes[i] = it["gt_boxes"]
+        gt_classes[i] = it["gt_classes"]
+        gt_valid[i] = it["gt_valid"]
     return TrainBatch(
-        image=np.stack([it["image"].astype(np.float32) for it in items]),
-        proj_indices=np.zeros((b, h, w), np.int32),
-        mem_features=np.zeros((b, cells, d), np.float32),
-        mem_obs=np.zeros((b, cells), np.float32),
-        gt_boxes=np.stack([it["gt_boxes"] for it in items]),
-        gt_classes=np.stack([it["gt_classes"] for it in items]),
-        gt_valid=np.stack([it["gt_valid"] for it in items]))
+        image=images,
+        proj_indices=np.zeros((b + pad, h, w), np.int32),
+        mem_features=np.zeros((b + pad, cells, d), np.float32),
+        mem_obs=np.zeros((b + pad, cells), np.float32),
+        gt_boxes=gt_boxes, gt_classes=gt_classes, gt_valid=gt_valid,
+        weight=np.asarray([1.0] * b + [0.0] * pad, np.float32))
 
 
 def coco_train_batches(sampler: MultiDatasetSampler,

@@ -36,9 +36,11 @@ from .checkpoint import PeriodicCheckpointer, latest_checkpoint, restore_checkpo
 
 def chunks_to_train_batch(chunks: List[EpisodeChunk], cfg: DetectorConfig,
                           frames_per_chunk: Optional[int] = None,
-                          rng: Optional[np.random.RandomState] = None
-                          ) -> TrainBatch:
-    """Flatten chunks into a frame batch with padded precomputed memory."""
+                          rng: Optional[np.random.RandomState] = None,
+                          pad_to_multiple: int = 1) -> TrainBatch:
+    """Flatten chunks into a frame batch with padded precomputed memory.
+    Pads with zero-weight frames up to a multiple of `pad_to_multiple`
+    (the mesh data-axis size)."""
     cells = cfg.memory.max_cells
     d = cfg.memory.memory_dim
     images, projs, memfs, memos, gbs, gcs, gvs = [], [], [], [], [], [], []
@@ -64,11 +66,22 @@ def chunks_to_train_batch(chunks: List[EpisodeChunk], cfg: DetectorConfig,
             gbs.append(ch.gt_boxes[i])
             gcs.append(ch.gt_classes[i])
             gvs.append(ch.gt_valid[i])
+    b = len(images)
+    pad = (-b) % max(pad_to_multiple, 1)
+    weight = [1.0] * b + [0.0] * pad
+    for _ in range(pad):
+        images.append(np.zeros_like(images[0]))
+        projs.append(np.zeros_like(projs[0]))
+        memfs.append(np.zeros_like(memfs[0]))
+        memos.append(np.zeros_like(memos[0]))
+        gbs.append(np.zeros_like(gbs[0]))
+        gcs.append(np.zeros_like(gcs[0]))
+        gvs.append(np.zeros_like(gvs[0]))
     return TrainBatch(
         image=np.stack(images), proj_indices=np.stack(projs),
         mem_features=np.stack(memfs), mem_obs=np.stack(memos),
         gt_boxes=np.stack(gbs), gt_classes=np.stack(gcs),
-        gt_valid=np.stack(gvs))
+        gt_valid=np.stack(gvs), weight=np.asarray(weight, np.float32))
 
 
 class MetricsWriter:
@@ -124,7 +137,9 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
             idx = rng.choice(len(dataset), solver.ims_per_batch,
                              replace=len(dataset) < solver.ims_per_batch)
             chunks = [dataset[int(i)] for i in idx]
-            batch = chunks_to_train_batch(chunks, cfg, frames_per_chunk, rng)
+            dp = mesh.shape[cfg.parallel.data_axis]
+            batch = chunks_to_train_batch(chunks, cfg, frames_per_chunk, rng,
+                                          pad_to_multiple=dp)
             batch = shard_batch(mesh, batch)
             data_t += time.perf_counter() - t0
 

@@ -39,6 +39,9 @@ class TrainBatch(NamedTuple):
     gt_boxes: jax.Array       # [B, G, 4]
     gt_classes: jax.Array     # [B, G]
     gt_valid: jax.Array       # [B, G]
+    # per-frame loss weight: 0 marks padding rows added to make B divisible
+    # by the mesh data axis (the DDP analog requires divisible batches too)
+    weight: jax.Array         # [B]
 
 
 def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None):
@@ -54,8 +57,10 @@ def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None):
                                      batch.mem_features, batch.mem_obs,
                                      batch.gt_boxes, batch.gt_classes,
                                      batch.gt_valid)
-        # average over frames (ref: custom_rcnn.py:541-544)
-        losses = {k: jnp.mean(v) for k, v in losses.items()}
+        # weighted average over frames (ref: custom_rcnn.py:541-544);
+        # padding rows carry weight 0
+        wsum = jnp.maximum(jnp.sum(batch.weight), 1.0)
+        losses = {k: jnp.sum(v * batch.weight) / wsum for k, v in losses.items()}
         total = sum(losses.values())
         return total, losses
 

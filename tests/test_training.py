@@ -178,6 +178,7 @@ def test_train_step_runs_and_decreases_loss(rng):
         gt_boxes=gt_boxes,
         gt_classes=np.zeros((b, g), np.int32),
         gt_valid=gt_valid,
+        weight=np.ones((b,), np.float32),
     )
     zs = rng.randn(cfg.roi.zs_weight_dim, cfg.roi.num_classes + 1).astype(np.float32)
 
