@@ -64,11 +64,19 @@ class COCOEvaluator:
 
     def __init__(self, category_ids: Sequence[int],
                  category_names: Optional[Sequence[str]] = None,
-                 max_dets: int = 100):
+                 max_dets: int = 100, federated: bool = False):
+        """federated=True gives LVIS-style evaluation (detectron2
+        LVISEvaluator analog, ref: train_mp3d.py:423): detections for
+        categories that are neither positively annotated nor in an image's
+        negative list are dropped (the detector isn't penalized for
+        unverified classes), and max_dets should be 300."""
         self.category_ids = list(category_ids)
         self.category_names = list(category_names) if category_names else \
             [str(c) for c in category_ids]
         self.max_dets = max_dets
+        self.federated = federated
+        self._pos: Dict[int, set] = {}
+        self._neg: Dict[int, set] = {}
         self._gt: Dict[int, Dict[int, list]] = defaultdict(lambda: defaultdict(list))
         self._dt: Dict[int, Dict[int, list]] = defaultdict(lambda: defaultdict(list))
         self._img_ids: List[int] = []
@@ -78,8 +86,12 @@ class COCOEvaluator:
         self._dt.clear()
         self._img_ids = []
 
-    def add_image(self, image_id: int):
+    def add_image(self, image_id: int,
+                  neg_category_ids: Sequence[int] = ()):
         self._img_ids.append(image_id)
+        if self.federated:
+            self._pos.setdefault(image_id, set())
+            self._neg[image_id] = set(neg_category_ids)
 
     def add_ground_truth(self, image_id: int, boxes_xyxy: np.ndarray,
                          classes: np.ndarray,
@@ -92,6 +104,8 @@ class COCOEvaluator:
                 float((x2 - x1) * (y2 - y1))
             self._gt[image_id][int(classes[i])].append(
                 ((x1, y1, x2 - x1, y2 - y1), area))
+            if self.federated:
+                self._pos.setdefault(image_id, set()).add(int(classes[i]))
 
     def add_detections(self, image_id: int, boxes_xyxy: np.ndarray,
                        scores: np.ndarray, classes: np.ndarray):
@@ -99,8 +113,13 @@ class COCOEvaluator:
         scores = np.asarray(scores, np.float64).reshape(-1)
         classes = np.asarray(classes).reshape(-1)
         for i in range(len(boxes_xyxy)):
+            c = int(classes[i])
+            if self.federated and \
+                    c not in self._pos.get(image_id, set()) and \
+                    c not in self._neg.get(image_id, set()):
+                continue
             x1, y1, x2, y2 = boxes_xyxy[i]
-            self._dt[image_id][int(classes[i])].append(
+            self._dt[image_id][c].append(
                 ((x1, y1, x2 - x1, y2 - y1), float(scores[i])))
 
     # ------------------------------------------------------------------

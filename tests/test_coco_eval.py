@@ -117,3 +117,30 @@ def test_seen_unseen_split():
     assert abs(res["AP-seen"] - 100.0) < 1e-6
     assert res["AP-unseen"] == 0.0
     assert abs(res["AP"] - 50.0) < 1e-6
+
+
+def test_federated_lvis_mode():
+    """LVIS-style federated filtering: unverified-class detections dropped."""
+    from embodied_object_detection_tpu.evaluation import COCOEvaluator
+    ev = COCOEvaluator([0, 1], max_dets=300, federated=True)
+    ev.add_image(0, neg_category_ids=[])
+    ev.add_ground_truth(0, np.array([_box(0, 0, 10, 10)], float), np.array([0]))
+    # class-1 detection on an image with no class-1 annotation/negative: dropped
+    ev.add_detections(0, np.array([_box(0, 0, 10, 10), _box(40, 40, 10, 10)],
+                                  float),
+                      np.array([0.9, 0.99]), np.array([0, 1]))
+    res = ev.evaluate()
+    assert abs(res["AP"] - 100.0) < 1e-6
+
+    # with class 1 in the negative list, the detection counts as FP
+    ev2 = COCOEvaluator([0, 1], max_dets=300, federated=True)
+    ev2.add_image(0, neg_category_ids=[1])
+    ev2.add_ground_truth(0, np.array([_box(0, 0, 10, 10)], float), np.array([0]))
+    ev2.add_image(1)
+    ev2.add_ground_truth(1, np.array([_box(0, 0, 10, 10)], float), np.array([1]))
+    ev2.add_detections(0, np.array([_box(40, 40, 10, 10)], float),
+                       np.array([0.99]), np.array([1]))
+    ev2.add_detections(1, np.array([_box(0, 0, 10, 10)], float),
+                       np.array([0.5]), np.array([1]))
+    res2 = ev2.evaluate()
+    assert res2["AP-1"] < 100.0

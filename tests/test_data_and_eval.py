@@ -107,3 +107,23 @@ def test_full_eval_protocol(synth_root, tmp_path):
     chunk = ds2[0]
     assert chunk.memory_features is not None
     assert chunk.memory_features.shape[1] == cfg.memory.memory_dim
+
+
+def test_create_coco_annotations(synth_root, tmp_path):
+    from embodied_object_detection_tpu.data.create_coco import (
+        create_coco_annotations)
+    out = str(tmp_path / "ann.json")
+    coco = create_coco_annotations(synth_root, out, every=2)
+    assert os.path.exists(out)
+    # 2 chunks x 4 frames, every 2nd -> 4 images
+    assert len(coco["images"]) == 4
+    assert all(a["category_id"] in [c["id"] for c in coco["categories"]]
+               for a in coco["annotations"])
+    # interop: the json loads through the COCO dataset reader
+    from embodied_object_detection_tpu.data.catalog import (
+        CocoDetectionDataset, DatasetEntry)
+    ds = CocoDetectionDataset(
+        DatasetEntry(out, os.path.join(synth_root, "JPEGImages")),
+        height=128, width=160, max_gt=8)
+    item = ds[0]
+    assert item["image"].shape == (128, 160, 3)
