@@ -300,6 +300,43 @@ def image_label_loss(logits: jax.Array, boxes: jax.Array, valid: jax.Array,
     return jnp.sum(losses) / n * image_loss_weight
 
 
+def caption_loss(region_embeddings: jax.Array, caption_features: jax.Array,
+                 image_index: int, norm_temperature: float = 50.0,
+                 neg_cap_weight: float = 1.0) -> jax.Array:
+    """Region-caption contrastive loss (Detic caption co-training).
+
+    ref: DeticFastRCNNOutputLayers._caption_loss (detic_fast_rcnn.py:469-506):
+    the image-level box's CLIP-space embedding is scored against every
+    caption embedding in the (possibly cross-device all-gathered) batch; BCE
+    with the own-caption as the positive, negatives down-weighted by
+    neg_cap_weight.
+
+    region_embeddings: [R, D] (the image box is the LAST row, ref
+    :477 `caption_score[-1:]`); caption_features: [B, D] text-encoder
+    outputs; image_index: this image's position in the caption batch.
+    """
+    emb = region_embeddings[-1]
+    emb = norm_temperature * emb / jnp.maximum(jnp.linalg.norm(emb), 1e-12)
+    scores = caption_features @ emb                          # [B]
+    b = scores.shape[0]
+    target = jax.nn.one_hot(image_index, b)
+    bce = jnp.maximum(scores, 0) - scores * target + \
+        jnp.log1p(jnp.exp(-jnp.abs(scores)))
+    pos = jnp.sum(bce * target)
+    neg = jnp.sum(bce * (1 - target))
+    return pos + neg_cap_weight * neg
+
+
+def softmax_cross_entropy_loss(logits: jax.Array, gt_classes: jax.Array,
+                               valid: jax.Array, num_classes: int) -> jax.Array:
+    """The USE_SIGMOID_CE=False variant (ref: detic_fast_rcnn.py:236-266,
+    plain branch): mean softmax CE over C+1 classes incl. background."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, gt_classes[:, None], axis=1)[:, 0]
+    n = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    return -jnp.sum(jnp.where(valid, picked, 0.0)) / n
+
+
 def stage_losses(logits: jax.Array, deltas: jax.Array,
                  matched: MatchedProposals, reg_weights: Tuple[float, ...],
                  num_classes: int,

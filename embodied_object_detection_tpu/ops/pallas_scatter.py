@@ -27,23 +27,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(idx_ref, w_ref, out_ref):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    ct = out_ref.shape[0]
+    """Single pixel-tile grid; the full [cells, N] accumulator is the output
+    block itself (same index every step -> stays resident in VMEM), so
+    weights/indices stream through exactly once."""
+    j = pl.program_id(0)
+    cells = out_ref.shape[0]
+    pt = idx_ref.shape[0]
 
     @pl.when(j == 0)
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
     idx = idx_ref[:, 0]                                    # [Pt] int32
-    cell_ids = i * ct + jax.lax.broadcasted_iota(
-        jnp.int32, (idx.shape[0], ct), 1)                  # [Pt, Ct]
-    onehot = (idx[:, None] == cell_ids).astype(jnp.bfloat16)
-    acc = jax.lax.dot_general(
-        onehot, w_ref[:, :].astype(jnp.bfloat16),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [Ct, N]
-    out_ref[:, :] += acc
+    w = w_ref[:, :].astype(jnp.bfloat16)
+    # cell tiles of 512 keep the one-hot block MXU-shaped
+    ct = min(512, cells)
+    for i in range(cells // ct):
+        cell_ids = i * ct + jax.lax.broadcasted_iota(
+            jnp.int32, (pt, ct), 1)
+        onehot = (idx[:, None] == cell_ids).astype(jnp.bfloat16)
+        out_ref[i * ct:(i + 1) * ct, :] += jax.lax.dot_general(
+            onehot, w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [Ct, N]
 
 
 @partial(jax.jit, static_argnames=("num_cells", "cell_tile", "pixel_tile",
@@ -70,17 +76,18 @@ def scatter_sum_pallas(pix_w: jax.Array, idx: jax.Array, num_cells: int,
         idx = jnp.pad(idx, (0, pad), constant_values=-1)
     p_padded = p + pad
 
-    grid = (num_cells // cell_tile, p_padded // pixel_tile)
+    del cell_tile  # retained in the signature for call-site compatibility
+    grid = (p_padded // pixel_tile,)
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((pixel_tile, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((pixel_tile, 1), lambda j: (j, 0),
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((pixel_tile, n), lambda i, j: (j, 0),
+            pl.BlockSpec((pixel_tile, n), lambda j: (j, 0),
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((cell_tile, n), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((num_cells, n), lambda j: (0, 0),
                                memory_space=pltpu.ANY if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_cells, n), jnp.float32),
         interpret=interpret,

@@ -258,3 +258,28 @@ def test_frame_train_weak(rng):
     gnorm = float(jax.tree_util.tree_reduce(
         lambda a, x: a + jnp.sum(jnp.abs(x)), g, 0.0))
     assert gnorm > 0
+
+
+def test_caption_loss():
+    from embodied_object_detection_tpu.models.losses import caption_loss
+    d, b = 16, 4
+    rng_ = np.random.RandomState(0)
+    caps = rng_.randn(b, d).astype(np.float32)
+    # region embedding aligned with caption 2
+    region = np.zeros((3, d), np.float32)
+    region[-1] = caps[2] * 10
+    good = float(caption_loss(jnp.asarray(region), jnp.asarray(caps), 2))
+    bad = float(caption_loss(jnp.asarray(region), jnp.asarray(caps), 0))
+    assert good < bad
+
+
+def test_softmax_ce_variant():
+    from embodied_object_detection_tpu.models.losses import (
+        softmax_cross_entropy_loss)
+    logits = np.full((3, 6), -5.0, np.float32)
+    logits[0, 2] = 5.0
+    logits[1, 5] = 5.0          # background correct
+    gt = jnp.asarray([2, 5, 0])
+    valid = jnp.asarray([True, True, False])
+    loss = float(softmax_cross_entropy_loss(jnp.asarray(logits), gt, valid, 5))
+    assert loss < 0.01          # both valid rows near-perfect
