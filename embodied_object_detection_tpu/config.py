@@ -81,6 +81,7 @@ class CenterNetConfig:
     # O(N^2) suppression matrix); 0 disables. At NMS 0.9 suppression is rare,
     # so candidates beyond ~4x post_nms_topk cannot enter the output.
     nms_candidate_cap: int = 1024
+    not_nms: bool = False                       # CENTERNET.NOT_NMS (skip proposal NMS)
 
     # losses; ref: centernet.py:42-57 + yaml REG_WEIGHT/POS_WEIGHT/NEG_WEIGHT
     hm_min_overlap: float = 0.8

@@ -138,4 +138,13 @@ def decode_proposals(agn_hms: Sequence[jax.Array], regs: Sequence[jax.Array],
         key = jnp.where(valid, scores, -1e10)
         _, keep = jax.lax.top_k(key, cap)
         boxes, scores, valid = boxes[keep], scores[keep], valid[keep]
+    if cfg.not_nms:
+        # ref: CENTERNET.NOT_NMS — skip suppression, keep raw top-k
+        key = jnp.where(valid, scores, -1e10)
+        top_scores, idx = jax.lax.top_k(key, post_topk)
+        out_valid = top_scores > -1e9
+        return Detections(boxes=jnp.where(out_valid[:, None], boxes[idx], 0.0),
+                          scores=jnp.where(out_valid, top_scores, 0.0),
+                          classes=jnp.zeros((post_topk,), jnp.int32),
+                          valid=out_valid)
     return nms_padded(boxes, scores, valid, nms_thresh, post_topk)
