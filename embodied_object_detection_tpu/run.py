@@ -69,7 +69,12 @@ def argument_parser():
 def find_zs_weight(args, num_classes: int) -> np.ndarray:
     from .demo.predictor import load_zs_weight_npy
     candidates = [args.zs_weight] if args.zs_weight else []
-    candidates += ["datasets/metadata/mp3d_clip.npy"]
+    candidates += [
+        "datasets/metadata/mp3d_clip.npy",
+        os.path.join(args.data_path, "..", "metadata", "mp3d_clip.npy"),
+        # read-only reference mount (data asset, loaded at runtime)
+        "/root/reference/Detic/datasets/metadata/mp3d_clip.npy",
+    ]
     for c in candidates:
         if c and os.path.exists(c):
             print(f"zs_weight from {c}")

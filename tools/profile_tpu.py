@@ -1,14 +1,16 @@
 """On-chip profiling harness: per-component and episode steady-state timings.
 
-import sys, os
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 Usage: python tools/profile_tpu.py [--variants]
 Synchronizes via scalar pulls (block_until_ready is a no-op on tunneled
 backends). See ARCHITECTURE.md for the latest recorded numbers.
 """
 import argparse
 import dataclasses
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
