@@ -272,7 +272,8 @@ class EmbodiedDetector(nn.Module):
         # identity, so no random sampling is performed here.
         proposals = add_gt_to_proposals(proposals, gt)
         from ..structures import clip_boxes as _clip, nonempty as _nonempty
-        boxes = _clip(jax.lax.stop_gradient(proposals.boxes), h, w)
+        # stage-0 boxes stay unclipped (reference pools/regresses raw boxes)
+        boxes = jax.lax.stop_gradient(proposals.boxes)
         valid = proposals.valid
 
         def grad_scale(x, s):

