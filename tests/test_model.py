@@ -111,3 +111,38 @@ def test_frame_step_debug_outputs(model_and_params, rng):
                       method=EmbodiedDetector.frame_step)
     np.testing.assert_allclose(np.asarray(out["final_scores"]),
                                np.asarray(ref.detections.scores), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_longterm_reads_frozen_snapshot(model_and_params, rng):
+    """longterm mode reads the episode-start memory snapshot while default
+    mode reads the live memory (ref: custom_rcnn.py:482-491) — with writes
+    happening at frame 0, frame-1 outputs must diverge between modes."""
+    import dataclasses
+    from embodied_object_detection_tpu.models.detector import (
+        make_episode_runner)
+    cfg, model, params = model_and_params
+    f0 = _dummy_frame(cfg, rng, reset=True, start=True)
+    f1 = _dummy_frame(cfg, rng, reset=False, start=False)
+    frames = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), f0, f1)
+    zs = jnp.asarray(rng.randn(cfg.roi.zs_weight_dim,
+                               cfg.roi.num_classes + 1).astype(np.float32))
+    init = MemoryState.zeros(cfg.memory.max_cells, cfg.memory.memory_dim)
+
+    out_default = jax.jit(make_episode_runner(model, cfg))(
+        params, frames, zs, init)
+    cfg_lt = cfg.replace(memory=dataclasses.replace(cfg.memory,
+                                                    test_type="longterm"))
+    out_longterm = jax.jit(make_episode_runner(model, cfg_lt))(
+        params, frames, zs, init)
+
+    # frame 0: identical in both modes (same zeroed snapshot)
+    np.testing.assert_allclose(
+        np.asarray(out_default.detections.scores[0]),
+        np.asarray(out_longterm.detections.scores[0]), atol=1e-5)
+    # writes happened at frame 0, so default's frame-1 read sees them and
+    # longterm's does not -> outputs diverge
+    assert bool(out_default.any_detection[0])
+    assert not np.allclose(np.asarray(out_default.detections.scores[1]),
+                           np.asarray(out_longterm.detections.scores[1]),
+                           atol=1e-7)
