@@ -50,26 +50,28 @@ def _bilinear_flat(flat_table: jax.Array, x: jax.Array, y: jax.Array,
     matters because stage-0 cascade proposals are NOT clipped to the image
     (the reference regresses deltas from unclipped boxes).
     """
-    inside_any = (x >= -1.0) & (x <= w.astype(x.dtype)) & \
-                 (y >= -1.0) & (y <= h.astype(y.dtype))
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     lx = x - x0
     ly = y - y0
 
-    def tap(yy, xx):
+    # zero padding is applied by zeroing the *scalar* tap weights (cheap)
+    # rather than the gathered [.., C] vectors; out-of-range taps read a
+    # clamped (valid) row whose weight is 0. A sample fully outside
+    # [-1, size] has all four taps out of range, so it contributes 0 exactly
+    # like the CUDA kernel's early-exit.
+    def tap(yy, xx, wgt):
         ok = (xx >= 0) & (xx < w.astype(x.dtype)) & \
              (yy >= 0) & (yy < h.astype(y.dtype))
         yi = jnp.clip(yy, 0, h.astype(y.dtype) - 1).astype(jnp.int32)
         xi = jnp.clip(xx, 0, w.astype(x.dtype) - 1).astype(jnp.int32)
         v = flat_table[(base + yi * w + xi).astype(jnp.int32)]
-        return jnp.where(ok[..., None], v, 0.0)
+        return v * (wgt * ok)[..., None]
 
-    out = (tap(y0, x0) * ((1 - ly) * (1 - lx))[..., None] +
-           tap(y0, x0 + 1) * ((1 - ly) * lx)[..., None] +
-           tap(y0 + 1, x0) * (ly * (1 - lx))[..., None] +
-           tap(y0 + 1, x0 + 1) * (ly * lx)[..., None])
-    return jnp.where(inside_any[..., None], out, 0.0)
+    return (tap(y0, x0, (1 - ly) * (1 - lx)) +
+            tap(y0, x0 + 1, (1 - ly) * lx) +
+            tap(y0 + 1, x0, ly * (1 - lx)) +
+            tap(y0 + 1, x0 + 1, ly * lx))
 
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "strides",
