@@ -61,6 +61,11 @@ def argument_parser():
                         "(README.md:44-62 / BASELINE.md)")
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace of the eval here")
+    p.add_argument("--coco-json", default="",
+                   help="evaluate single-frame on a COCO-format dataset "
+                        "instead of the embodied protocol (train_net analog)")
+    p.add_argument("--image-root", default="",
+                   help="image root for --coco-json")
     p.add_argument("--opts", nargs="*", default=[],
                    help="config overrides: section.field=value")
     return p
@@ -77,8 +82,13 @@ def find_zs_weight(args, num_classes: int) -> np.ndarray:
     ]
     for c in candidates:
         if c and os.path.exists(c):
+            w = load_zs_weight_npy(c)
+            if w.shape[1] != num_classes + 1:
+                print(f"skipping {c}: {w.shape[1] - 1} classes, "
+                      f"config wants {num_classes}")
+                continue
             print(f"zs_weight from {c}")
-            return load_zs_weight_npy(c)
+            return w
     print("WARNING: no CLIP class embeddings found; using random zs_weight")
     rng = np.random.RandomState(0)
     w = rng.randn(num_classes, 512).astype(np.float32)
@@ -128,6 +138,19 @@ def main(argv=None):
             params = restore_checkpoint(args.weights, params)
 
     zs_weight = find_zs_weight(args, cfg.roi.num_classes)
+
+    if args.coco_json:
+        # vanilla single-frame evaluation (train_net.py analog)
+        from .data.catalog import CocoDetectionDataset, DatasetEntry
+        from .engine.coco import evaluate_coco
+        ds = CocoDetectionDataset(
+            DatasetEntry(args.coco_json, args.image_root or args.data_path),
+            height=cfg.input.height, width=cfg.input.width,
+            max_gt=cfg.input.max_gt_boxes)
+        res = evaluate_coco(model, params, cfg, ds, zs_weight)
+        print("coco:", {k: round(v, 3) for k, v in res.items()
+                        if not k.startswith("AP-")})
+        return res
 
     if args.eval_only:
         from .engine.eval import evaluate_dataset
