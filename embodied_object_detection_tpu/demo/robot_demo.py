@@ -72,7 +72,7 @@ def _load_poses(path: str) -> List[Tuple[float, np.ndarray]]:
 
 
 def compute_proj_indices(depth_mm: np.ndarray, xyzhe: np.ndarray,
-                         vfov_rad: float):
+                         vfov_rad: float, map_cells: int = MAP_CELLS):
     """depth + pose -> flattened map indices + outlier mask (device-side).
 
     ref: robot_demo.py:491-534 (pixel_to_world_mapping + discretize +
@@ -88,7 +88,7 @@ def compute_proj_indices(depth_mm: np.ndarray, xyzhe: np.ndarray,
                            depth_scaling=DEPTH_SCALING)
     camera_height = jnp.asarray(xyzhe[1])
     return world_to_map_indices(world, camera_height, GRID_CELL_M,
-                                MAP_CELLS, MAP_CELLS, Z_CLIP_M)
+                                map_cells, map_cells, Z_CLIP_M)
 
 
 def main(argv=None):
@@ -101,20 +101,26 @@ def main(argv=None):
                         help="orbax params checkpoint (optional)")
     parser.add_argument("--stride", type=int, default=2,
                         help="frame stride (ref: robot_demo.py:489)")
+    parser.add_argument("--map-cells", type=int, default=MAP_CELLS,
+                        help="top-down map side length in cells")
     parser.add_argument("--show", action="store_true")
+    parser.add_argument("--opts", nargs="*", default=[],
+                        help="config overrides: section.field=value")
     args = parser.parse_args(argv)
 
     import dataclasses
     import cv2
-    from ..config import DetectorConfig
+    from ..config import DetectorConfig, apply_opts
     from .predictor import EmbodiedPredictor, load_zs_weight_npy
 
+    map_cells = args.map_cells
     cfg = DetectorConfig()
     # demo knobs (ref: robot_demo.py:344-359 setup_cfg)
     cfg = cfg.replace(
         roi=dataclasses.replace(cfg.roi, one_class_per_proposal=True),
         memory=dataclasses.replace(cfg.memory,
-                                   max_cells=MAP_CELLS * MAP_CELLS))
+                                   max_cells=map_cells * map_cells))
+    cfg = apply_opts(cfg, args.opts)
 
     zs = load_zs_weight_npy(args.zs_weight) if args.zs_weight else None
     params = None
@@ -141,12 +147,12 @@ def main(argv=None):
         if depth.shape != (h, w):
             depth = cv2.resize(depth, (w, h), interpolation=cv2.INTER_NEAREST)
 
-        proj, outliers = compute_proj_indices(depth, pose, vfov)
+        proj, outliers = compute_proj_indices(depth, pose, vfov, map_cells)
         dets = predictor(image, np.asarray(proj), np.asarray(outliers))
 
         overlay = predictor.render_detections(
             np.asarray(predictor._prep_image(image), np.uint8), dets)
-        semmap = predictor.render_map(MAP_CELLS, MAP_CELLS, scale=2)
+        semmap = predictor.render_map(map_cells, map_cells, scale=2)
         cv2.imwrite(os.path.join(args.output, f"frame_{n:05d}.jpg"),
                     cv2.cvtColor(overlay, cv2.COLOR_RGB2BGR))
         cv2.imwrite(os.path.join(args.output, f"map_{n:05d}.png"),
