@@ -40,11 +40,14 @@ def main():
     t = cfg.input.max_sequence_length
 
     rng = np.random.RandomState(0)
+    from embodied_object_detection_tpu.engine.eval import obs_visibility_host
+    proj_np = rng.randint(0, cfg.memory.max_cells, (t, h, w)).astype(np.int32)
     frames = FrameInputs(
         image=jnp.asarray(rng.randint(0, 255, (t, h, w, 3)).astype(np.float32)),
-        proj_indices=jnp.asarray(
-            rng.randint(0, cfg.memory.max_cells, (t, h, w)).astype(np.int32)),
+        proj_indices=jnp.asarray(proj_np),
         outlier_mask=jnp.zeros((t, h, w), bool),
+        obs_visibility=jnp.asarray(
+            obs_visibility_host(proj_np, cfg.memory.max_cells)),
         memory_reset=jnp.asarray([True] + [False] * (t - 1)),
         episode_start=jnp.asarray([True] + [False] * (t - 1)),
     )

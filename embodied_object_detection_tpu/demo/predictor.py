@@ -205,8 +205,8 @@ class EmbodiedPredictor:
 
         model = self.model
 
-        def _step(params, image, zs, memf, memo, proj, outl):
-            return model.apply(params, image, zs, memf, memo, proj, outl,
+        def _step(params, image, zs, memf, memo, proj, outl, vis):
+            return model.apply(params, image, zs, memf, memo, proj, outl, vis,
                                method=EmbodiedDetector.frame_step)
 
         self._step = jax.jit(_step)
@@ -243,15 +243,19 @@ class EmbodiedPredictor:
         """Run one frame; memory persists across calls
         (ref: EmbodiedPredictor.__call__, predictor.py:406-439)."""
         h, w = self.cfg.input.height, self.cfg.input.width
+        cells = self.cfg.memory.max_cells
         image = jnp.asarray(self._prep_image(image_rgb))
         if proj_indices is None:
             proj_indices = np.zeros((h, w), np.int32)
         if outlier_mask is None:
             outlier_mask = np.zeros((h, w), bool)
+        proj_np = np.asarray(proj_indices)
+        vis = (np.bincount(proj_np.reshape(-1), minlength=cells)[:cells] > 0
+               ).astype(np.float32)
         out = self._step(self.params, image, self.zs_weight,
                          self.memory.features, self.memory.obs_count,
-                         jnp.asarray(proj_indices, jnp.int32),
-                         jnp.asarray(outlier_mask))
+                         jnp.asarray(proj_np, jnp.int32),
+                         jnp.asarray(outlier_mask), jnp.asarray(vis))
         self.memory = MemoryState(
             features=self.memory.features + out.write.features_update,
             obs_count=self.memory.obs_count + out.write.obs_update)

@@ -41,11 +41,25 @@ class EvalResults:
     num_images: int = 0
 
 
-def chunk_to_frame_inputs(chunk: EpisodeChunk) -> FrameInputs:
+def obs_visibility_host(proj_indices: np.ndarray, max_cells: int) -> np.ndarray:
+    """[..., H, W] int -> [..., max_cells] float32 cell-visibility, on host
+    (np.bincount ~1 ms/frame of otherwise-idle host time; replaces a 2 ms
+    on-device scatter — see ops/memory_ops.memory_write)."""
+    flat = proj_indices.reshape(-1, proj_indices.shape[-2] * proj_indices.shape[-1])
+    out = np.zeros((flat.shape[0], max_cells), np.float32)
+    for i in range(flat.shape[0]):
+        counts = np.bincount(flat[i], minlength=max_cells)
+        out[i] = (counts[:max_cells] > 0)
+    return out.reshape(proj_indices.shape[:-2] + (max_cells,))
+
+
+def chunk_to_frame_inputs(chunk: EpisodeChunk, max_cells: int) -> FrameInputs:
     return FrameInputs(
         image=jnp.asarray(chunk.images, jnp.float32),
         proj_indices=jnp.asarray(chunk.proj_indices),
         outlier_mask=jnp.zeros(chunk.proj_indices.shape, bool),
+        obs_visibility=jnp.asarray(
+            obs_visibility_host(chunk.proj_indices, max_cells)),
         memory_reset=jnp.asarray(chunk.memory_reset),
         episode_start=jnp.asarray(chunk.episode_start),
     )
@@ -84,7 +98,7 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
     for idx in range(n_chunks):
         t0 = time.perf_counter()
         chunk = next(chunk_iter)
-        frames = chunk_to_frame_inputs(chunk)
+        frames = chunk_to_frame_inputs(chunk, cfg.memory.max_cells)
         t_data += time.perf_counter() - t0
 
         t0 = time.perf_counter()

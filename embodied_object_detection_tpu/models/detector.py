@@ -42,6 +42,10 @@ class FrameInputs(NamedTuple):
     image: jax.Array           # [H, W, 3] float32 RGB (0..255, unnormalized)
     proj_indices: jax.Array    # [H, W] int32 flattened map-cell index
     outlier_mask: jax.Array    # [H, W] bool invalid projections
+    # host-precomputed per-frame cell visibility (1.0 where any pixel maps to
+    # the cell; np.bincount(proj)>0) — a pure function of proj_indices that
+    # costs 2 ms/frame as a device scatter but ~1 ms of idle host time
+    obs_visibility: jax.Array  # [max_cells] float32
     memory_reset: jax.Array    # [] bool — reset memory before this frame
     episode_start: jax.Array   # [] bool — first frame of an episode chunk
 
@@ -100,7 +104,8 @@ class EmbodiedDetector(nn.Module):
     # ------------------------------------------------------------ inference
     def frame_step(self, image: jax.Array, zs_weight: jax.Array,
                    mem_features: jax.Array, mem_obs: jax.Array,
-                   proj_indices: jax.Array, outlier_mask: jax.Array
+                   proj_indices: jax.Array, outlier_mask: jax.Array,
+                   obs_visibility: "jax.Array | None" = None
                    ) -> FrameOutputs:
         """Full single-frame inference + memory write proposal computation.
 
@@ -146,7 +151,7 @@ class EmbodiedDetector(nn.Module):
         if cfg.memory.write_memory and not external:
             write, wboxes, wvalid = self._memory_write(
                 proposals, cascade, zs_weight, (p3, p4, p5), proj_indices,
-                outlier_mask)
+                outlier_mask, obs_visibility)
         else:
             write = MemoryWriteResult(
                 features_update=jnp.zeros_like(mem_features),
@@ -160,7 +165,8 @@ class EmbodiedDetector(nn.Module):
                             write=write, write_boxes=wboxes, write_valid=wvalid)
 
     def _memory_write(self, proposals: Detections, cascade: CascadeOutputs,
-                      zs_weight: jax.Array, features, proj_indices, outlier_mask
+                      zs_weight: jax.Array, features, proj_indices,
+                      outlier_mask, obs_visibility=None
                       ) -> Tuple[MemoryWriteResult, jax.Array, jax.Array]:
         """Select proposals for the memory write, run the mask head on them,
         splat + scatter (ref: update_implicit_memory / inference_with_proposals
@@ -218,7 +224,8 @@ class EmbodiedDetector(nn.Module):
                                 cfg.memory.mask_thresh)
             write = memory_write(wfeats, masks, wvalid, proj_indices,
                                  outlier_mask, num_cells=cfg.memory.max_cells,
-                                 subsample=s, exact_subsample=True)
+                                 subsample=s, exact_subsample=True,
+                                 obs_visibility=obs_visibility)
         else:
             # fast path: paste + scatter on the static stride-s column grid
             # (row-major flat stride s == column stride s when W % s == 0)
@@ -228,7 +235,8 @@ class EmbodiedDetector(nn.Module):
                                  proj_indices[:, ::s], outlier_mask[:, ::s],
                                  num_cells=cfg.memory.max_cells,
                                  subsample=1, exact_subsample=False,
-                                 obs_proj_indices=proj_indices)
+                                 obs_proj_indices=proj_indices,
+                                 obs_visibility=obs_visibility)
         return write, wboxes, wvalid
 
     # -------------------------------------------------------------- training
@@ -459,7 +467,8 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
 
             out = model.apply(params, frame.image, zs_weight, snap.features,
                               snap.obs_count, frame.proj_indices,
-                              frame.outlier_mask, method=EmbodiedDetector.frame_step)
+                              frame.outlier_mask, frame.obs_visibility,
+                              method=EmbodiedDetector.frame_step)
             if not external_memory:
                 live = MemoryState(
                     features=live.features + out.write.features_update,

@@ -21,11 +21,14 @@ def model_and_params():
 
 def _dummy_frame(cfg, rng, reset=True, start=True):
     h, w = cfg.input.height, cfg.input.width
+    proj = rng.randint(0, cfg.memory.max_cells, (h, w)).astype(np.int32)
+    vis = (np.bincount(proj.ravel(), minlength=cfg.memory.max_cells)
+           [: cfg.memory.max_cells] > 0).astype(np.float32)
     return FrameInputs(
         image=jnp.asarray(rng.randint(0, 255, (h, w, 3)).astype(np.float32)),
-        proj_indices=jnp.asarray(
-            rng.randint(0, cfg.memory.max_cells, (h, w)).astype(np.int32)),
+        proj_indices=jnp.asarray(proj),
         outlier_mask=jnp.zeros((h, w), bool),
+        obs_visibility=jnp.asarray(vis),
         memory_reset=jnp.asarray(reset),
         episode_start=jnp.asarray(start),
     )

@@ -23,10 +23,13 @@ def main():
     model, params = build_detector(cfg, jax.random.PRNGKey(0))
     h, w, t, cells = 480, 640, 20, 8192
     rng = np.random.RandomState(0)
+    from embodied_object_detection_tpu.engine.eval import obs_visibility_host
+    proj_np = rng.randint(0, cells, (t, h, w)).astype(np.int32)
     frames = FrameInputs(
         image=jnp.asarray(rng.randint(0, 255, (t, h, w, 3)).astype(np.float32)),
-        proj_indices=jnp.asarray(rng.randint(0, cells, (t, h, w)).astype(np.int32)),
+        proj_indices=jnp.asarray(proj_np),
         outlier_mask=jnp.zeros((t, h, w), bool),
+        obs_visibility=jnp.asarray(obs_visibility_host(proj_np, cells)),
         memory_reset=jnp.asarray([True] + [False] * (t - 1)),
         episode_start=jnp.asarray([True] + [False] * (t - 1)))
     zs = jnp.asarray(rng.randn(512, 21).astype(np.float32))
