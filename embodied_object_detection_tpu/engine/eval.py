@@ -138,8 +138,15 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
             evaluator.add_image(im_id)
             gv = chunk.gt_valid[i]
             # the reference writes integer-truncated xywh with area=0
-            # (train_mp3d.py:237)
-            gb = chunk.gt_boxes[i][gv].astype(np.int64).astype(np.float64)
+            # (train_mp3d.py:237: int(x1), int(y1), int(x2-x1), int(y2-y1)) —
+            # truncation happens in xywh space, NOT per xyxy corner
+            b = chunk.gt_boxes[i][gv].astype(np.float64)
+            gx = np.trunc(b[:, 0])
+            gy = np.trunc(b[:, 1])
+            gw = np.trunc(b[:, 2] - b[:, 0])
+            gh = np.trunc(b[:, 3] - b[:, 1])
+            gb = np.stack([gx, gy, gx + gw, gy + gh], axis=1) \
+                if len(b) else b
             evaluator.add_ground_truth(im_id, gb, chunk.gt_classes[i][gv],
                                        areas=np.zeros(int(gv.sum())))
             v = det_valid[i]

@@ -151,7 +151,7 @@ class EmbodiedDetector(nn.Module):
         if cfg.memory.write_memory and not external:
             write, wboxes, wvalid = self._memory_write(
                 proposals, cascade, zs_weight, (p3, p4, p5), proj_indices,
-                outlier_mask, obs_visibility)
+                obs_visibility)
         else:
             write = MemoryWriteResult(
                 features_update=jnp.zeros_like(mem_features),
@@ -166,7 +166,7 @@ class EmbodiedDetector(nn.Module):
 
     def _memory_write(self, proposals: Detections, cascade: CascadeOutputs,
                       zs_weight: jax.Array, features, proj_indices,
-                      outlier_mask, obs_visibility=None
+                      obs_visibility=None
                       ) -> Tuple[MemoryWriteResult, jax.Array, jax.Array]:
         """Select proposals for the memory write, run the mask head on them,
         splat + scatter (ref: update_implicit_memory / inference_with_proposals
@@ -202,10 +202,12 @@ class EmbodiedDetector(nn.Module):
                                  candidate_cap=1024)
 
         # unique kept proposal rows (ref: custom_rcnn.py:875) — scatter into a
-        # per-row flag, then take up to K rows in ascending row order.
+        # per-row flag, then take up to K rows in ascending row order. Invalid
+        # NMS slots (-1) are remapped out of range and dropped so they cannot
+        # collide with a genuine keep of row 0.
         r = boxes.shape[0]
-        row_kept = jnp.zeros((r,), bool).at[jnp.where(rows >= 0, rows, 0)].set(
-            rows >= 0)
+        row_kept = jnp.zeros((r,), bool).at[
+            jnp.where(rows >= 0, rows, r)].set(True, mode="drop")
         key = row_kept.astype(jnp.float32) * (2.0 - jnp.arange(r) / r)
         _, sel = jax.lax.top_k(key, k)
         wvalid = row_kept[sel]
@@ -223,7 +225,7 @@ class EmbodiedDetector(nn.Module):
             masks = paste_masks(mask_probs, wboxes, h, w,
                                 cfg.memory.mask_thresh)
             write = memory_write(wfeats, masks, wvalid, proj_indices,
-                                 outlier_mask, num_cells=cfg.memory.max_cells,
+                                 num_cells=cfg.memory.max_cells,
                                  subsample=s, exact_subsample=True,
                                  obs_visibility=obs_visibility)
         else:
@@ -232,7 +234,7 @@ class EmbodiedDetector(nn.Module):
             masks = paste_masks(mask_probs, wboxes, h, w,
                                 cfg.memory.mask_thresh, x_stride=s)
             write = memory_write(wfeats, masks, wvalid,
-                                 proj_indices[:, ::s], outlier_mask[:, ::s],
+                                 proj_indices[:, ::s],
                                  num_cells=cfg.memory.max_cells,
                                  subsample=1, exact_subsample=False,
                                  obs_proj_indices=proj_indices,

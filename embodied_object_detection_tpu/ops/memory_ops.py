@@ -95,7 +95,7 @@ class MemoryWriteResult(NamedTuple):
 @partial(jax.jit, static_argnames=("num_cells", "subsample", "exact_subsample"))
 def memory_write(det_features: jax.Array, det_masks: jax.Array,
                  det_valid: jax.Array, proj_indices: jax.Array,
-                 outlier_mask: jax.Array, num_cells: int,
+                 num_cells: int,
                  subsample: int = 8, exact_subsample: bool = True,
                  obs_proj_indices: "jax.Array | None" = None,
                  obs_visibility: "jax.Array | None" = None
@@ -106,11 +106,11 @@ def memory_write(det_features: jax.Array, det_masks: jax.Array,
                            ref: custom_rcnn.py:848)
     det_masks:    [N, H, W] bool pasted instance masks
     det_valid:    [N] bool
-    proj_indices: [H, W] int32 flattened cell ids
-    outlier_mask: [H, W] bool — pixels whose projection is invalid (outside
-                  map / above z-clip). The reference's proj_indices for these
-                  point at cell 0; we exclude them from feature scatter but
-                  keep reference behavior for the visibility update.
+    proj_indices: [H, W] int32 flattened cell ids. Outlier pixels (projection
+                  outside the map / above z-clip) carry index 0 — faithful to
+                  the reference, which scatters them into cell 0
+                  (custom_rcnn.py:903-936 uses the raw indices; the outlier
+                  mask never reaches the write).
 
     Semantics preserved from the reference:
       * per-pixel feature = mean of covering masks' features

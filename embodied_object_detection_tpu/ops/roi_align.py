@@ -44,34 +44,43 @@ def _bilinear_flat(flat_table: jax.Array, x: jax.Array, y: jax.Array,
 
     flat_table: [T, C]; x, y: [...] continuous coords in the level's grid;
     h, w: [...] level dims; base: [...] flat offset of the level's first row.
-    Semantics match the detectron2/torchvision ROIAlign CUDA kernel: sample
-    points below -1 or above the size contribute 0; points in [-1, size)
-    interpolate with zero padding at out-of-range taps (edge fade) — this
-    matters because stage-0 cascade proposals are NOT clipped to the image
-    (the reference regresses deltas from unclipped boxes).
+    Semantics match the detectron2/torchvision ROIAlign CUDA kernel
+    (`bilinear_interpolate`): a sample strictly outside [-1, size] on either
+    axis contributes exactly 0; otherwise coords are clamped into [0, size-1]
+    before interpolation, so the bands (-1, 0) and (size-1, size] read the
+    border pixel at FULL weight (no edge fade). This matters because stage-0
+    cascade proposals are NOT clipped to the image (the reference regresses
+    deltas from unclipped boxes).
     """
+    hf = h.astype(x.dtype)
+    wf = w.astype(x.dtype)
+    # CUDA kernel early-exit: y < -1 || y > height || x < -1 || x > width -> 0
+    valid = (x >= -1.0) & (x <= wf) & (y >= -1.0) & (y <= hf)
+    # CUDA kernel clamp: if (y <= 0) y = 0 (and the >= size-1 branch below)
+    x = jnp.clip(x, 0.0, wf - 1.0)
+    y = jnp.clip(y, 0.0, hf - 1.0)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     lx = x - x0
     ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    # x_low >= width-1 -> x_high = x_low = width-1 with lx = 0 (x was clamped)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
 
-    # zero padding is applied by zeroing the *scalar* tap weights (cheap)
-    # rather than the gathered [.., C] vectors; out-of-range taps read a
-    # clamped (valid) row whose weight is 0. A sample fully outside
-    # [-1, size] has all four taps out of range, so it contributes 0 exactly
-    # like the CUDA kernel's early-exit.
-    def tap(yy, xx, wgt):
-        ok = (xx >= 0) & (xx < w.astype(x.dtype)) & \
-             (yy >= 0) & (yy < h.astype(y.dtype))
-        yi = jnp.clip(yy, 0, h.astype(y.dtype) - 1).astype(jnp.int32)
-        xi = jnp.clip(xx, 0, w.astype(x.dtype) - 1).astype(jnp.int32)
+    # invalidity is folded into the *scalar* tap weights (cheap) rather than
+    # masking the gathered [.., C] vectors
+    okf = valid.astype(x.dtype)
+
+    def tap(yi, xi, wgt):
         v = flat_table[(base + yi * w + xi).astype(jnp.int32)]
-        return v * (wgt * ok)[..., None]
+        return v * wgt[..., None]
 
-    return (tap(y0, x0, (1 - ly) * (1 - lx)) +
-            tap(y0, x0 + 1, (1 - ly) * lx) +
-            tap(y0 + 1, x0, ly * (1 - lx)) +
-            tap(y0 + 1, x0 + 1, ly * lx))
+    return (tap(y0i, x0i, (1 - ly) * (1 - lx) * okf) +
+            tap(y0i, x1i, (1 - ly) * lx * okf) +
+            tap(y1i, x0i, ly * (1 - lx) * okf) +
+            tap(y1i, x1i, ly * lx * okf))
 
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "strides",

@@ -74,7 +74,7 @@ def test_memory_write_matches_oracle(rng):
     idx = rng.randint(0, cells, (h, w)).astype(np.int32)
     valid = np.ones(n, bool)
     res = memory_write(jnp.asarray(feats), jnp.asarray(masks), jnp.asarray(valid),
-                       jnp.asarray(idx), jnp.zeros((h, w), bool), cells)
+                       jnp.asarray(idx), cells)
     want_upd, want_obs = np_memory_write_oracle(feats, masks, idx, cells)
     np.testing.assert_allclose(np.asarray(res.features_update), want_upd,
                                rtol=1e-4, atol=1e-5)
@@ -86,7 +86,7 @@ def test_memory_write_no_detections_is_noop():
     n, h, w, d, cells = 3, 8, 8, 4, 16
     res = memory_write(jnp.zeros((n, d)), jnp.zeros((n, h, w), bool),
                        jnp.zeros(n, bool), jnp.zeros((h, w), jnp.int32),
-                       jnp.zeros((h, w), bool), cells)
+                       cells)
     assert not bool(res.any_detection)
     np.testing.assert_allclose(np.asarray(res.features_update), 0.0)
     np.testing.assert_allclose(np.asarray(res.obs_update), 0.0)
@@ -119,8 +119,7 @@ def test_memory_write_fast_subgrid_matches_strided_oracle(rng):
     # fast path inputs: subgrid columns
     res = memory_write(jnp.asarray(feats), jnp.asarray(masks_full[:, :, ::s]),
                        jnp.asarray(valid), jnp.asarray(idx[:, ::s]),
-                       jnp.zeros((h, w // s), bool), cells,
-                       subsample=1, exact_subsample=False,
+                       cells, subsample=1, exact_subsample=False,
                        obs_proj_indices=jnp.asarray(idx))
     # oracle on the subgrid with subsample 1
     want_upd, _ = np_memory_write_oracle(feats, masks_full[:, :, ::s],

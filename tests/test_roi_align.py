@@ -34,6 +34,27 @@ def test_linear_ramp_exact():
     np.testing.assert_allclose(out[0, 3, :, 0], expected, atol=1e-4)
 
 
+def test_border_band_full_weight():
+    # CUDA-kernel semantics (ADVICE r1): sample coords in (-1, 0) and
+    # (size-1, size] clamp to the border pixel at FULL weight — a constant
+    # field must stay constant for boxes overhanging the edge by < 1 grid px.
+    feats = [jnp.full((16, 16, 1), 7.0)]
+    # grid coords span [-1, 15] at stride 8; all samples fall in [-1, 15)
+    box = jnp.asarray(np.array([[-8.0, -8.0, 120.0, 120.0]], np.float32))
+    out = np.asarray(multilevel_roi_align(feats, box, strides=(8,),
+                                          output_size=7))
+    np.testing.assert_allclose(out, 7.0, atol=1e-5)
+
+
+def test_strictly_outside_contributes_zero():
+    # samples strictly outside [-1, size] contribute exactly 0
+    feats = [jnp.full((16, 16, 1), 7.0)]
+    box = jnp.asarray(np.array([[-400.0, 40.0, -320.0, 120.0]], np.float32))
+    out = np.asarray(multilevel_roi_align(feats, box, strides=(8,),
+                                          output_size=7))
+    np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
 def test_level_assignment():
     boxes = jnp.asarray(np.array([
         [0, 0, 32, 32],        # tiny -> level 3
