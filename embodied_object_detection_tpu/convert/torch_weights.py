@@ -36,6 +36,18 @@ def _deconv(w):  # (in, out, kh, kw) -> (kh, kw, in, out)
     return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
 
 
+def _fc_after_pool(w, res=7):
+    """First FC after ROI pooling: torch flattens NCHW (c-major) while the
+    flax BoxHead flattens NHWC — permute the input dims before transposing.
+    (out, C*res*res) -> (res*res*C, out). `res` is the box pooler resolution
+    (ROI_BOX_HEAD.POOLER_RESOLUTION=7 in every reference config)."""
+    out_dim, in_dim = w.shape
+    c = in_dim // (res * res)
+    assert c * res * res == in_dim, (w.shape, res)
+    w = w.reshape(out_dim, c, res, res).transpose(0, 2, 3, 1)
+    return np.ascontiguousarray(w.reshape(out_dim, in_dim).T)
+
+
 def _set(tree: Dict, path: str, value: np.ndarray):
     keys = path.split("/")
     node = tree
@@ -96,9 +108,11 @@ _RULES = [
      "centernet/bbox_pred/bias", None),
     (r"proposal_generator\.centernet_head\.scales\.(\d)\.scale",
      "centernet/scale{0}/scale", None),
-    # ---- cascade box heads (box_head.0.fc1 / fc2)
+    # ---- cascade box heads (box_head.0.fc1 / fc2); fc1 consumes the pooled
+    # 7x7x256 map, whose flatten order differs between torch (NCHW) and the
+    # flax BoxHead (NHWC)
     (r"roi_heads\.box_head\.(\d)\.fc1\.weight",
-     "roi_heads/box_head{0}/fc1/kernel", _linear),
+     "roi_heads/box_head{0}/fc1/kernel", _fc_after_pool),
     (r"roi_heads\.box_head\.(\d)\.fc1\.bias",
      "roi_heads/box_head{0}/fc1/bias", None),
     (r"roi_heads\.box_head\.(\d)\.fc2\.weight",

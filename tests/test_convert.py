@@ -108,6 +108,12 @@ def _inverse_transform(path, arr):
     """our layout -> torch layout (for fabricating the torch state dict)."""
     if path.endswith("/kernel") and arr.ndim == 4:
         return np.transpose(arr, (3, 2, 0, 1))     # HWIO -> OIHW
+    if re.search(r"box_head\d/fc1/kernel$", path):
+        # inverse of _fc_after_pool: (res*res*c, out) -> (out, c*res*res)
+        in_dim, out_dim = arr.shape
+        c = in_dim // 49
+        w = arr.T.reshape(out_dim, 7, 7, c).transpose(0, 3, 1, 2)
+        return np.ascontiguousarray(w.reshape(out_dim, in_dim))
     if path.endswith("/kernel") and arr.ndim == 2:
         return np.transpose(arr)
     if path.endswith("deconv_kernel"):

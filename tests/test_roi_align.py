@@ -55,6 +55,57 @@ def test_strictly_outside_contributes_zero():
     np.testing.assert_allclose(out, 0.0, atol=1e-6)
 
 
+def _np_bilinear_cuda(feat, y, x):
+    """The torchvision/detectron2 ROIAlign `bilinear_interpolate` device
+    function, re-derived in numpy (per-sample scalar semantics)."""
+    h, w = feat.shape[:2]
+    if y < -1.0 or y > h or x < -1.0 or x > w:
+        return np.zeros(feat.shape[-1])
+    y = min(max(y, 0.0), h - 1)
+    x = min(max(x, 0.0), w - 1)
+    y0, x0 = int(np.floor(y)), int(np.floor(x))
+    y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+    ly, lx = y - y0, x - x0
+    return (feat[y0, x0] * (1 - ly) * (1 - lx) + feat[y0, x1] * (1 - ly) * lx +
+            feat[y1, x0] * ly * (1 - lx) + feat[y1, x1] * ly * lx)
+
+
+def np_roi_align_oracle(feat, box, stride, out_size, sampling_ratio=2):
+    """ROIAlignV2 (aligned=True) single-level oracle."""
+    x1, y1, x2, y2 = [v / stride for v in box]
+    bin_w = (x2 - x1) / out_size
+    bin_h = (y2 - y1) / out_size
+    out = np.zeros((out_size, out_size, feat.shape[-1]))
+    s = sampling_ratio
+    for i in range(out_size):
+        for j in range(out_size):
+            acc = np.zeros(feat.shape[-1])
+            for ky in range(s):
+                for kx in range(s):
+                    sy = y1 + (i + (ky + 0.5) / s) * bin_h - 0.5
+                    sx = x1 + (j + (kx + 0.5) / s) * bin_w - 0.5
+                    acc += _np_bilinear_cuda(feat, sy, sx)
+            out[i, j] = acc / (s * s)
+    return out
+
+
+def test_matches_cuda_kernel_oracle(rng=np.random.RandomState(0)):
+    feat = rng.randn(20, 24, 3).astype(np.float32)
+    boxes = np.array([
+        [16, 8, 100, 120],        # interior
+        [-6, -10, 60, 50],        # overhangs top-left within the (-1,0) band
+        [100, 60, 200, 170],      # overhangs bottom-right past the image
+        [-80, 30, 30, 90],        # partially strictly outside
+    ], np.float32)
+    got = np.asarray(multilevel_roi_align([jnp.asarray(feat)],
+                                          jnp.asarray(boxes), strides=(8,),
+                                          output_size=7))
+    for i, b in enumerate(boxes):
+        want = np_roi_align_oracle(feat, b, 8, 7)
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"box {i}")
+
+
 def test_level_assignment():
     boxes = jnp.asarray(np.array([
         [0, 0, 32, 32],        # tiny -> level 3
