@@ -28,14 +28,22 @@ class DatasetEntry:
     id_map: Dict[int, int] = field(default_factory=dict)
     # per-class image counts for repeat-factor / federated sampling
     class_image_count: Dict[int, int] = field(default_factory=dict)
+    # extra per-dataset metadata (e.g. OID freebase ids, zeroshot split)
+    extras: Dict[str, object] = field(default_factory=dict)
 
 
 _CATALOG: Dict[str, DatasetEntry] = {}
+
+METADATA_DIR = os.path.join(os.path.dirname(__file__), "metadata")
 
 
 def register_coco_instances(name: str, json_file: str, image_root: str):
     """ref: detectron2 register_coco_instances (train_mp3d.py:81)."""
     _CATALOG[name] = DatasetEntry(json_file=json_file, image_root=image_root)
+
+
+def register_dataset(name: str, entry: DatasetEntry):
+    _CATALOG[name] = entry
 
 
 def get_dataset(name: str) -> DatasetEntry:
@@ -44,6 +52,131 @@ def get_dataset(name: str) -> DatasetEntry:
 
 def list_datasets() -> List[str]:
     return sorted(_CATALOG)
+
+
+# ---------------------------------------------------------------------------
+# built-in category metadata (vendored JSON extracted from the reference's
+# literal tables by tools/extract_category_metadata.py)
+# ref: Detic/detic/data/datasets/{lvis_v1,oid,objects365,coco_zeroshot}.py
+# ---------------------------------------------------------------------------
+
+# the standard 80 COCO-2017 thing classes (public schema)
+COCO_CLASSES = [
+    "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train",
+    "truck", "boat", "traffic light", "fire hydrant", "stop sign",
+    "parking meter", "bench", "bird", "cat", "dog", "horse", "sheep", "cow",
+    "elephant", "bear", "zebra", "giraffe", "backpack", "umbrella", "handbag",
+    "tie", "suitcase", "frisbee", "skis", "snowboard", "sports ball", "kite",
+    "baseball bat", "baseball glove", "skateboard", "surfboard",
+    "tennis racket", "bottle", "wine glass", "cup", "fork", "knife", "spoon",
+    "bowl", "banana", "apple", "sandwich", "orange", "broccoli", "carrot",
+    "hot dog", "pizza", "donut", "cake", "chair", "couch", "potted plant",
+    "bed", "dining table", "toilet", "tv", "laptop", "mouse", "remote",
+    "keyboard", "cell phone", "microwave", "oven", "toaster", "sink",
+    "refrigerator", "book", "clock", "vase", "scissors", "teddy bear",
+    "hair drier", "toothbrush"]
+
+
+def load_categories(table: str) -> List[dict]:
+    """Load a vendored category table: one of 'lvis_v1', 'oid',
+    'objects365', 'lvis_22k', or 'coco_zeroshot' (dict of seen/unseen)."""
+    path = os.path.join(METADATA_DIR, f"{table}_categories.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def builtin_class_names(vocabulary: str) -> List[str]:
+    """Class-name list for a built-in vocabulary (demo/predict surface).
+
+    ref: the BUILDIN_METADATA_PATH thing_classes lookups in
+    Detic/predict.py:38-43 / demo VisualizationDemo."""
+    if vocabulary == "coco":
+        return list(COCO_CLASSES)
+    if vocabulary == "mp3d":
+        from .episode_dataset import OBJECT_LVIS
+        return list(OBJECT_LVIS)
+    table = {"lvis": "lvis_v1", "openimages": "oid",
+             "objects365": "objects365", "in21k": "lvis_22k"}[vocabulary]
+    cats = load_categories(table)
+    return [c["name"] for c in sorted(cats, key=lambda c: c["id"])]
+
+
+def register_builtin_datasets(root: str = "datasets"):
+    """Register the reference's predefined splits with vendored metadata.
+
+    ref: _PREDEFINED_SPLITS_* in Detic/detic/data/datasets/lvis_v1.py:119,
+    objects365.py:757, oid.py:518, coco_zeroshot.py:95, imagenet.py:19.
+    Registration is lazy (json files may not exist until downloaded), as in
+    detectron2."""
+
+    def entry(json_file, image_root, cats, extras=None):
+        cats = sorted(cats, key=lambda c: c["id"])
+        return DatasetEntry(
+            json_file=os.path.join(root, json_file),
+            image_root=os.path.join(root, image_root),
+            thing_classes=[c["name"] for c in cats],
+            id_map={c["id"]: i for i, c in enumerate(cats)},
+            class_image_count={i: c["image_count"]
+                               for i, c in enumerate(cats)
+                               if "image_count" in c},
+            extras=extras or {})
+
+    lvis = load_categories("lvis_v1")
+    for name, (img, js) in {
+        "lvis_v1_train": ("coco/", "lvis/lvis_v1_train.json"),
+        "lvis_v1_val": ("coco/", "lvis/lvis_v1_val.json"),
+        "lvis_v1_train+coco": ("coco/", "lvis/lvis_v1_train+coco_mask.json"),
+        "lvis_v1_train_norare": ("coco/", "lvis/lvis_v1_train_norare.json"),
+    }.items():
+        register_dataset(name, entry(js, img, lvis))
+
+    o365 = load_categories("objects365")
+    for name, (img, js) in {
+        "objects365_v2_train": (
+            "objects365/train",
+            "objects365/annotations/zhiyuan_objv2_train_fixname_fixmiss.json"),
+        "objects365_v2_val": (
+            "objects365/val",
+            "objects365/annotations/zhiyuan_objv2_val_fixname.json"),
+    }.items():
+        register_dataset(name, entry(js, img, o365))
+
+    oid = load_categories("oid")
+    for name, (img, js) in {
+        "oid_train": ("oid/images/",
+                      "oid/annotations/oid_challenge_2019_train_bbox.json"),
+        "oid_val_expanded": (
+            "oid/images/validation/",
+            "oid/annotations/oid_challenge_2019_val_expanded.json"),
+    }.items():
+        register_dataset(name, entry(
+            js, img, oid,
+            extras={"freebase_id": [c["freebase_id"] for c in
+                                    sorted(oid, key=lambda c: c["id"])]}))
+
+    zs = load_categories("coco_zeroshot")
+    register_dataset("coco_zeroshot_train", entry(
+        "coco/zero-shot/instances_train2017_seen_2.json", "coco/train2017",
+        zs["seen"], extras={"split": "seen"}))
+    register_dataset("coco_zeroshot_val", entry(
+        "coco/zero-shot/instances_val2017_unseen_2.json", "coco/val2017",
+        zs["unseen"], extras={"split": "unseen"}))
+    register_dataset("coco_zeroshot_val_all", entry(
+        "coco/zero-shot/instances_val2017_all_2.json", "coco/val2017",
+        zs["seen"] + zs["unseen"], extras={"split": "all"}))
+
+    register_dataset("imagenet_lvis_v1", entry(
+        "imagenet/annotations/imagenet_lvis_image_info.json",
+        "imagenet/ImageNet-LVIS/", lvis, extras={"ann_type": "image"}))
+    lvis22k = load_categories("lvis_22k")
+    register_dataset("imagenet_lvis-22k", entry(
+        "imagenet/annotations/imagenet-22k_image_info_lvis-22k.json",
+        "imagenet/ImageNet-LVIS/", lvis22k, extras={"ann_type": "image"}))
+
+    register_coco_instances(
+        "mp3d_example",
+        os.path.join(root, "../embodied_data/mp3d_example/annotations.json"),
+        os.path.join(root, "../embodied_data/mp3d_example"))
 
 
 class CocoDetectionDataset:

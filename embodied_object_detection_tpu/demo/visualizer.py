@@ -43,16 +43,22 @@ class Visualizer:
                         score_thresh: float = 0.3,
                         masks: Optional[np.ndarray] = None) -> np.ndarray:
         import cv2
-        img = np.ascontiguousarray(np.asarray(image_rgb, np.uint8))
+        # np.array(copy=True): PIL-backed arrays are read-only and cv2
+        # requires a writable output buffer
+        img = np.array(image_rgb, np.uint8, copy=True)
         boxes = np.asarray(dets.boxes)
         scores = np.asarray(dets.scores)
         classes = np.asarray(dets.classes)
         valid = np.asarray(dets.valid)
+        hh, ww = img.shape[:2]
         for i in np.argsort(-scores):
             if not valid[i] or scores[i] < score_thresh:
                 continue
+            if not np.all(np.isfinite(boxes[i])):
+                continue
             color = self._color(int(classes[i]))
-            b = boxes[i].astype(int)
+            b = np.clip(boxes[i], [-ww, -hh, -ww, -hh],
+                        [2 * ww, 2 * hh, 2 * ww, 2 * hh]).astype(int)
             if masks is not None:
                 m = np.asarray(masks[i], bool)
                 overlay = img.copy()
@@ -69,7 +75,7 @@ class Visualizer:
                           classes: np.ndarray,
                           valid: Optional[np.ndarray] = None) -> np.ndarray:
         import cv2
-        img = np.ascontiguousarray(np.asarray(image_rgb, np.uint8))
+        img = np.array(image_rgb, np.uint8, copy=True)
         valid = np.ones(len(boxes), bool) if valid is None else valid
         for b, c, v in zip(np.asarray(boxes), np.asarray(classes), valid):
             if not v:

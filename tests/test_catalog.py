@@ -75,3 +75,38 @@ def test_multi_dataset_sampler(coco_root):
     d_counts = np.bincount([d for d, _ in picks], minlength=2)
     assert d_counts[0] > 2.0 * d_counts[1]   # ~3:1 ratio
     assert all(0 <= i < 4 for _, i in picks)
+
+
+def test_builtin_registrations():
+    """Vendored category metadata registers the reference's predefined splits
+    (ref: _PREDEFINED_SPLITS_* in Detic/detic/data/datasets/*.py)."""
+    from embodied_object_detection_tpu.data.catalog import (
+        register_builtin_datasets, list_datasets, get_dataset,
+        builtin_class_names)
+    register_builtin_datasets("datasets")
+    names = list_datasets()
+    for expected in ["lvis_v1_train", "lvis_v1_val", "objects365_v2_train",
+                     "oid_train", "oid_val_expanded", "coco_zeroshot_train",
+                     "coco_zeroshot_val", "imagenet_lvis_v1", "mp3d_example"]:
+        assert expected in names, expected
+
+    lvis = get_dataset("lvis_v1_val")
+    assert len(lvis.thing_classes) == 1203
+    assert lvis.thing_classes[0] == "aerosol_can"
+    # fed-loss counts shipped with the metadata
+    assert lvis.class_image_count[0] > 0
+
+    oid = get_dataset("oid_val_expanded")
+    assert len(oid.thing_classes) == 500
+    assert len(oid.extras["freebase_id"]) == 500
+    assert oid.extras["freebase_id"][0].startswith("/m/")
+
+    zs = get_dataset("coco_zeroshot_val")
+    assert zs.extras["split"] == "unseen"
+    assert len(zs.thing_classes) == 17
+
+    assert len(builtin_class_names("lvis")) == 1203
+    assert len(builtin_class_names("coco")) == 80
+    assert len(builtin_class_names("openimages")) == 500
+    assert len(builtin_class_names("objects365")) == 365
+    assert len(builtin_class_names("in21k")) == 22047

@@ -1,0 +1,74 @@
+"""Vanilla demo + predict surface smoke tests (ref: Detic/demo.py,
+predict.py) — render detections on synthetic images end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+TINY_OPTS = [
+    "input.height=128", "input.width=160", "compute_dtype=float32",
+    "centernet.pre_nms_topk_test=128", "centernet.post_nms_topk_test=32",
+    "roi.detections_per_image=16", "memory.max_cells=64",
+    "memory.write_topk=8",
+]
+
+MP3D_NPY = "/root/reference/Detic/datasets/metadata/mp3d_clip.npy"
+needs_mp3d = pytest.mark.skipif(not os.path.exists(MP3D_NPY),
+                                reason="mp3d_clip.npy not available")
+
+
+def _write_images(tmp_path, n=2, h=128, w=160):
+    paths = []
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        img = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        p = str(tmp_path / f"img{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    return paths
+
+
+@pytest.mark.slow
+@needs_mp3d
+def test_demo_cli_on_images(tmp_path):
+    from embodied_object_detection_tpu.demo.demo import main
+    paths = _write_images(tmp_path)
+    outdir = tmp_path / "out"
+    results = main(["--input", str(tmp_path / "*.png"),
+                    "--output", str(outdir), "--vocabulary", "mp3d",
+                    "--confidence-threshold", "0.05",
+                    "--opts"] + TINY_OPTS)
+    assert len(results) == 2
+    for p in paths:
+        out = outdir / os.path.basename(p)
+        assert out.exists()
+        vis = np.asarray(Image.open(out))
+        assert vis.shape == (128, 160, 3)
+    # detections rescale to the input resolution
+    _, dets = results[0]
+    boxes = np.asarray(dets.boxes)[np.asarray(dets.valid)]
+    if len(boxes):
+        assert boxes[:, 2].max() <= 160.5 and boxes[:, 3].max() <= 128.5
+
+
+@pytest.mark.slow
+@needs_mp3d
+def test_predict_api(tmp_path):
+    import dataclasses
+    from embodied_object_detection_tpu.config import DetectorConfig, apply_opts
+    from embodied_object_detection_tpu.demo.predict_api import Predictor
+
+    (img_path,) = _write_images(tmp_path, n=1)
+    cfg = apply_opts(DetectorConfig(), TINY_OPTS)
+    p = Predictor()
+    p.setup(cfg=cfg)
+    out = p.predict(img_path, vocabulary="mp3d",
+                    output_path=str(tmp_path / "vis.png"))
+    assert os.path.exists(out)
+    assert p.last_detections is not None
+    # vocabulary swap with the same class count reuses the compiled program
+    out2 = p.predict(img_path, vocabulary="mp3d",
+                     output_path=str(tmp_path / "vis2.png"))
+    assert os.path.exists(out2)
