@@ -108,6 +108,9 @@ class ROIHeadsConfig:
          detic_fast_rcnn.py, zero_shot_classifier.py,
          configs/Base-C2_L_R5021k_640b64_4x_recurrent.yaml:15-39.
     """
+    # "cascade" (DeticCascadeROIHeads, the flagship) or "res5"
+    # (CustomRes5ROIHeads, res5_roi_heads.py:20-172 -> models/res5_detector.py)
+    head_type: str = "cascade"
     in_features: Tuple[str, ...] = ("p3", "p4", "p5")
     strides: Tuple[int, ...] = (8, 16, 32)
     num_classes: int = 20                       # mp3d vocab; ref: mp3d yaml NUM_CLASSES

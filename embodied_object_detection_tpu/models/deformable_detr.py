@@ -76,10 +76,17 @@ class MSDeformAttnLayer(nn.Module):
         attn = jax.nn.softmax(attn.reshape(q, m, l * p), axis=-1)
         attn = attn.reshape(q, m, l, p)
 
-        shapes_wh = jnp.asarray([[wd, ht] for ht, wd in spatial_shapes],
-                                jnp.float32)                     # [L, 2]
-        locs = ref_points[:, None, None, None, :] + \
-            offsets / shapes_wh[None, None, :, None, :]
+        if ref_points.shape[-1] == 4:
+            # two-stage / box-refine 4-d reference: offsets scale with the
+            # reference box size (ref: deformable_transformer.py decoder
+            # `offsets / n_points * reference_points[..., 2:] * 0.5`)
+            r = ref_points[:, None, None, None, :]
+            locs = r[..., :2] + offsets / p * r[..., 2:] * 0.5
+        else:
+            shapes_wh = jnp.asarray([[wd, ht] for ht, wd in spatial_shapes],
+                                    jnp.float32)                 # [L, 2]
+            locs = ref_points[:, None, None, None, :] + \
+                offsets / shapes_wh[None, None, :, None, :]
         out = ms_deform_attn(v, tuple(spatial_shapes), locs, attn)
         return nn.Dense(c, name="output_proj")(out)
 
@@ -127,6 +134,53 @@ class DecoderLayer(nn.Module):
 class DETROutputs(NamedTuple):
     logits: jax.Array        # [layers, Q, C]
     boxes_cxcywh: jax.Array  # [layers, Q, 4] normalized
+    # two-stage encoder proposals (ref: deformable_detr.py:186-188
+    # out['enc_outputs']); None in single-stage mode
+    enc_logits: Optional[jax.Array] = None        # [S, C]
+    enc_boxes_cxcywh: Optional[jax.Array] = None  # [S, 4]
+
+
+def inverse_sigmoid(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    return jnp.log(jnp.clip(x, eps) / jnp.clip(1 - x, eps))
+
+
+def proposal_pos_embed(unact: jax.Array, dim: int = 512,
+                       temperature: float = 10000.0) -> jax.Array:
+    """[Q, 4] unactivated proposal coords -> [Q, dim] sine embedding
+    (ref: deformable_transformer.py get_proposal_pos_embed)."""
+    q = unact.shape[0]
+    num_pos_feats = dim // 4
+    dim_t = temperature ** (2 * (jnp.arange(num_pos_feats) // 2) /
+                            num_pos_feats)
+    p = jax.nn.sigmoid(unact) * (2 * math.pi)
+    pos = p[:, :, None] / dim_t                              # [Q, 4, F]
+    pos = jnp.stack([jnp.sin(pos[..., 0::2]), jnp.cos(pos[..., 1::2])],
+                    axis=-1)                                 # [Q, 4, F/2, 2]
+    return pos.reshape(q, dim)
+
+
+def encoder_output_proposals(shapes: Sequence[Tuple[int, int]]
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token initial proposals for the two-stage first stage.
+
+    ref: deformable_transformer.py gen_encoder_output_proposals — grid
+    centers (i+0.5)/H with wh = 0.05 * 2^lvl; tokens whose proposal leaves
+    (0.01, 0.99) are invalid. With fixed shapes (no padding) valid ratios
+    are 1. Returns (unactivated proposals [S, 4], valid [S])."""
+    props = []
+    for lvl, (h, w) in enumerate(shapes):
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        wh = jnp.full((h, w), 0.05 * (2.0 ** lvl), jnp.float32)
+        props.append(jnp.stack([gx, gy, wh, wh], -1).reshape(-1, 4))
+    proposals = jnp.concatenate(props, 0)                    # [S, 4]
+    valid = jnp.all((proposals > 0.01) & (proposals < 0.99), -1)
+    unact = inverse_sigmoid(proposals)
+    # invalid tokens get a saturating logit (the reference fills +inf; a
+    # large finite value keeps sigmoid == 1.0 in f32 without inf*0 NaNs)
+    unact = jnp.where(valid[:, None], unact, 1e4)
+    return unact, valid
 
 
 class DeformableDETR(nn.Module):
@@ -149,6 +203,11 @@ class DeformableDETR(nn.Module):
     zs_dim: int = 512
     norm_temperature: float = 50.0
     with_box_refine: bool = False
+    # TWO_STAGE (ref: d2_deformable_detr.py:124, deformable_transformer.py
+    # :157-184): encoder tokens propose boxes; top-k token proposals seed the
+    # decoder queries + 4-d reference points; the extra (dec_layers-th)
+    # class/bbox head scores the encoder stage.
+    two_stage: bool = False
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array],
@@ -177,15 +236,12 @@ class DeformableDETR(nn.Module):
             src = EncoderLayer(c, self.heads, self.levels, self.ffn,
                                name=f"encoder{i}")(src, pos, enc_ref, shapes)
 
-        query_embed = self.param("query_embed", nn.initializers.normal(1.0),
-                                 (self.num_queries, 2 * c))
-        query_pos, tgt = query_embed[:, :c], query_embed[:, c:]
-        ref = jax.nn.sigmoid(
-            nn.Dense(2, name="reference_points")(query_pos))   # [Q, 2]
-
         # prediction heads: shared across decoder layers (per-layer clones
-        # only under box refine, ref: deformable_detr.py _get_clones)
-        n_heads = self.dec_layers if self.with_box_refine else 1
+        # only under box refine); two_stage adds one more head for the
+        # encoder stage — shared with the decoder head unless refining
+        # (ref: deformable_detr.py:96-106 num_pred / _get_clones)
+        n_heads = (self.dec_layers + (1 if self.two_stage else 0)) \
+            if self.with_box_refine else 1
         if self.use_zeroshot:
             cls_heads = [nn.Dense(self.zs_dim, name=f"cls_embed{k}")
                          for k in range(n_heads)]
@@ -197,35 +253,72 @@ class DeformableDETR(nn.Module):
                        nn.Dense(4, name=f"bbox_embed{k}_out")]
                       for k in range(n_heads)]
 
+        def apply_cls(k, x):
+            if self.use_zeroshot:
+                assert zs_weight is not None
+                emb = cls_heads[k](x)
+                emb = self.norm_temperature * emb / jnp.maximum(
+                    jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+                return emb @ zs_weight[:, :self.num_classes]
+            return cls_heads[k](x)
+
+        def apply_bbox(k, x):
+            d = x
+            for fc in bbox_heads[k][:2]:
+                d = nn.relu(fc(d))
+            return bbox_heads[k][2](d)
+
+        enc_logits = enc_boxes = None
+        if self.two_stage:
+            # encoder tokens -> proposals; top-k seed the decoder
+            # (ref: deformable_transformer.py:157-172)
+            prop_unact, prop_valid = encoder_output_proposals(shapes)
+            out_mem = jnp.where(prop_valid[:, None], src, 0.0)
+            out_mem = nn.LayerNorm(name="enc_output_norm")(
+                nn.Dense(c, name="enc_output")(out_mem))
+            k_enc = self.dec_layers if self.with_box_refine else 0
+            enc_logits = apply_cls(k_enc, out_mem)               # [S, C]
+            enc_unact = apply_bbox(k_enc, out_mem) + prop_unact  # [S, 4]
+            enc_boxes = jax.nn.sigmoid(enc_unact)
+
+            _, topk_idx = jax.lax.top_k(enc_logits[:, 0], self.num_queries)
+            topk_unact = jax.lax.stop_gradient(enc_unact[topk_idx])  # [Q, 4]
+            ref = jax.nn.sigmoid(topk_unact)
+            pos_trans = nn.Dense(2 * c, name="pos_trans")(
+                proposal_pos_embed(topk_unact, 2 * c))
+            pos_trans = nn.LayerNorm(name="pos_trans_norm")(pos_trans)
+            query_pos, tgt = pos_trans[:, :c], pos_trans[:, c:]
+        else:
+            query_embed = self.param("query_embed",
+                                     nn.initializers.normal(1.0),
+                                     (self.num_queries, 2 * c))
+            query_pos, tgt = query_embed[:, :c], query_embed[:, c:]
+            ref = jax.nn.sigmoid(
+                nn.Dense(2, name="reference_points")(query_pos))  # [Q, 2]
+
         all_logits, all_boxes = [], []
         for i in range(self.dec_layers):
             tgt = DecoderLayer(c, self.heads, self.levels, self.ffn,
                                name=f"decoder{i}")(tgt, query_pos, ref, src,
                                                    shapes)
             k = i if self.with_box_refine else 0
-            if self.use_zeroshot:
-                assert zs_weight is not None
-                emb = cls_heads[k](tgt)
-                emb = self.norm_temperature * emb / jnp.maximum(
-                    jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
-                logits = emb @ zs_weight[:, :self.num_classes]
-            else:
-                logits = cls_heads[k](tgt)
-            d = tgt
-            for fc in bbox_heads[k][:2]:
-                d = nn.relu(fc(d))
-            delta = bbox_heads[k][2](d)
-            # boxes = sigmoid(delta + inverse_sigmoid(ref)) on cx,cy
-            # (ref: deformable_detr.py forward, tmp[..., :2] += ref)
-            inv_ref = jnp.log(jnp.clip(ref, 1e-6) /
-                              jnp.clip(1 - ref, 1e-6))
-            boxes = jax.nn.sigmoid(delta + jnp.pad(inv_ref, ((0, 0), (0, 2))))
+            logits = apply_cls(k, tgt)
+            delta = apply_bbox(k, tgt)
+            # boxes = sigmoid(delta + inverse_sigmoid(ref)); 2-d refs update
+            # only cx,cy (ref: deformable_detr.py forward tmp[..., :2] += ref)
+            inv_ref = inverse_sigmoid(ref)
+            if ref.shape[-1] == 2:
+                inv_ref = jnp.pad(inv_ref, ((0, 0), (0, 2)))
+            boxes = jax.nn.sigmoid(delta + inv_ref)
             all_logits.append(logits)
             all_boxes.append(boxes)
             if self.with_box_refine:
-                ref = jax.lax.stop_gradient(boxes[:, :2])
+                ref = jax.lax.stop_gradient(
+                    boxes if self.two_stage else boxes[:, :2])
         return DETROutputs(logits=jnp.stack(all_logits),
-                           boxes_cxcywh=jnp.stack(all_boxes))
+                           boxes_cxcywh=jnp.stack(all_boxes),
+                           enc_logits=enc_logits,
+                           enc_boxes_cxcywh=enc_boxes)
 
 
 class DeformableDetrDetector(nn.Module):
@@ -238,6 +331,8 @@ class DeformableDetrDetector(nn.Module):
     cfg: DetectorConfig
     num_queries: int = 100
     use_zeroshot: bool = False
+    with_box_refine: bool = False
+    two_stage: bool = False
 
     def setup(self):
         from .resnet import ResNet50
@@ -246,7 +341,9 @@ class DeformableDetrDetector(nn.Module):
         self.detr = DeformableDETR(
             num_classes=self.cfg.roi.num_classes,
             num_queries=self.num_queries,
-            use_zeroshot=self.use_zeroshot, name="detr")
+            use_zeroshot=self.use_zeroshot,
+            with_box_refine=self.with_box_refine,
+            two_stage=self.two_stage, name="detr")
         # extra level: stride-2 3x3 conv on C5 (ref: deformable_detr.py
         # input_proj extra levels)
         self.extra_level = nn.Conv(self.detr.hidden_dim, (3, 3),
@@ -277,18 +374,27 @@ def detr_train_step_host_matched(model: "DeformableDetrDetector", params,
     g = gt.boxes.shape[0]
 
     out = model.apply(params, image, zs_weight)
-    matches = []
-    for layer in range(out.logits.shape[0]):
-        cost = matcher_cost_matrix(out.logits[layer], out.boxes_cxcywh[layer],
-                                   gt, image_hw)
-        qi, gi = hungarian_match(np.asarray(cost), np.asarray(gt.valid))
+
+    def pad_match(logits, boxes, targets):
+        cost = matcher_cost_matrix(logits, boxes, targets, image_hw)
+        qi, gi = hungarian_match(np.asarray(cost), np.asarray(targets.valid))
         mq = np.zeros(g, np.int64)
         mg = np.zeros(g, np.int64)
         mv = np.zeros(g, bool)
         mq[: len(qi)] = qi
         mg[: len(gi)] = gi
         mv[: len(qi)] = True
-        matches.append((jnp.asarray(mq), jnp.asarray(mg), jnp.asarray(mv)))
+        return jnp.asarray(mq), jnp.asarray(mg), jnp.asarray(mv)
+
+    matches = [pad_match(out.logits[i], out.boxes_cxcywh[i], gt)
+               for i in range(out.logits.shape[0])]
+    # two-stage: the encoder stage is matched against class-agnostic
+    # "binary" targets — every GT label is 0 (ref: deformable_detr.py:375-389
+    # bin_targets)
+    bin_gt = gt._replace(classes=jnp.zeros_like(gt.classes))
+    enc_match = None
+    if out.enc_logits is not None:
+        enc_match = pad_match(out.enc_logits, out.enc_boxes_cxcywh, bin_gt)
 
     def loss_fn(p):
         o = model.apply(p, image, zs_weight)
@@ -299,6 +405,13 @@ def detr_train_step_host_matched(model: "DeformableDetrDetector", params,
                             mq, mg, mv, image_hw, model.cfg.roi.num_classes)
             for k, v in l.items():
                 aux[f"{k}_l{layer}"] = v
+                total = total + v
+        if enc_match is not None:
+            mq, mg, mv = enc_match
+            l = detr_losses(o.enc_logits, o.enc_boxes_cxcywh, bin_gt,
+                            mq, mg, mv, image_hw, model.cfg.roi.num_classes)
+            for k, v in l.items():
+                aux[f"{k}_enc"] = v
                 total = total + v
         return total, aux
 

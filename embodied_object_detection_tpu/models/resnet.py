@@ -73,27 +73,54 @@ class Bottleneck(nn.Module):
 class ResNet50(nn.Module):
     """Returns the stride-8/16/32 stage outputs (C3, C4, C5) — the reference's
     FPN in_features ["layer3", "layer4", "layer5"] which index the timm stage
-    list [stem, layer1..layer4] (timm.py:221-244, out_indices [2, 3, 4])."""
+    list [stem, layer1..layer4] (timm.py:221-244, out_indices [2, 3, 4]).
+
+    setup-based so stage 4 is shareable: the Res5 ROI heads
+    (res5_roi_heads.py:20-172) run `res5` on pooled per-ROI C4 features with
+    the SAME parameters the full forward uses. Param names are unchanged
+    (layer{stage}_{i}) — the checkpoint converter is unaffected."""
     depths: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    def setup(self):
+        self.conv1 = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                             use_bias=False, dtype=self.dtype, name="conv1")
+        self.bn1 = FrozenBN(64, name="bn1")
+        planes = (64, 128, 256, 512)
+        blocks = []
+        for stage, (depth, p) in enumerate(zip(self.depths, planes)):
+            stride = 1 if stage == 0 else 2
+            blocks.append(tuple(
+                Bottleneck(p, stride=stride if i == 0 else 1,
+                           downsample=(i == 0), dtype=self.dtype,
+                           name=f"layer{stage + 1}_{i}")
+                for i in range(depth)))
+        self.blocks = tuple(blocks)
+
+    def stem_to_c4(self, x) -> Tuple[jax.Array, jax.Array]:
+        """Stem + stages 1-3 -> (C3 stride 8, C4 stride 16)."""
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
-        x = FrozenBN(64, name="bn1")(x)
+        x = self.conv1(x)
+        x = self.bn1(x)
         x = nn.relu(x)
         # torch maxpool 3x3 s2 p1
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-
         outs = []
-        planes = (64, 128, 256, 512)
-        for stage, (depth, p) in enumerate(zip(self.depths, planes)):
-            stride = 1 if stage == 0 else 2
-            for i in range(depth):
-                x = Bottleneck(p, stride=stride if i == 0 else 1,
-                               downsample=(i == 0), dtype=self.dtype,
-                               name=f"layer{stage + 1}_{i}")(x)
+        for stage_blocks in self.blocks[:3]:
+            for b in stage_blocks:
+                x = b(x)
             outs.append(x)
-        return outs[1], outs[2], outs[3]   # C3 (512), C4 (1024), C5 (2048)
+        return outs[1], outs[2]
+
+    def res5(self, x) -> jax.Array:
+        """Stage 4 (stride 2 inside) — applied to the full C4 map in the
+        standard forward, or to pooled [R, 14, 14, 1024] ROI features by the
+        Res5 heads (the detectron2 Res5ROIHeads _shared_roi_transform)."""
+        x = x.astype(self.dtype)
+        for b in self.blocks[3]:
+            x = b(x)
+        return x
+
+    def __call__(self, x) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        c3, c4 = self.stem_to_c4(x)
+        return c3, c4, self.res5(c4)   # C3 (512), C4 (1024), C5 (2048)

@@ -130,3 +130,69 @@ def test_end_to_end_detr_train_step(rng):
     gnorm = float(jax.tree_util.tree_reduce(
         lambda a, x: a + jnp.sum(jnp.abs(x)), grads, 0.0))
     assert gnorm > 0
+
+
+def test_two_stage_forward_and_refs(rng):
+    """TWO_STAGE (ref: d2_deformable_detr.py:124,
+    deformable_transformer.py:157-184): encoder tokens propose, top-k seed
+    4-d reference points, enc outputs returned for the binary aux loss."""
+    model = DeformableDETR(num_classes=5, hidden_dim=32, heads=4,
+                           enc_layers=1, dec_layers=2, ffn=64,
+                           num_queries=6, levels=4, points=2,
+                           with_box_refine=True, two_stage=True)
+    feats = _feats(rng)
+    params = model.init(jax.random.PRNGKey(0), feats)
+    out = model.apply(params, feats)
+    s = sum(f.shape[0] * f.shape[1] for f in feats)
+    assert out.logits.shape == (2, 6, 5)
+    assert out.boxes_cxcywh.shape == (2, 6, 4)
+    assert out.enc_logits.shape == (s, 5)
+    assert out.enc_boxes_cxcywh.shape == (s, 4)
+    assert np.all(np.isfinite(np.asarray(out.enc_logits)))
+    b = np.asarray(out.enc_boxes_cxcywh)
+    assert b.min() >= 0.0 and b.max() <= 1.0
+    # two_stage + refine: dec_layers + 1 head clones exist
+    names = set(params["params"].keys())
+    assert "cls_embed2" in names or "class_embed2" in names
+    assert "pos_trans" in names and "enc_output" in names
+    assert "query_embed" not in names  # queries come from encoder proposals
+
+
+def test_encoder_output_proposals_geometry():
+    from embodied_object_detection_tpu.models.deformable_detr import (
+        encoder_output_proposals)
+    unact, valid = encoder_output_proposals([(4, 4), (2, 2)])
+    assert unact.shape == (20, 4)
+    p = np.asarray(jax.nn.sigmoid(unact))
+    v = np.asarray(valid)
+    # first token of level 0: center (0.5/4, 0.5/4), wh 0.05
+    np.testing.assert_allclose(p[0], [0.125, 0.125, 0.05, 0.05], atol=1e-5)
+    # level 1 wh doubles
+    np.testing.assert_allclose(p[16, 2:], [0.1, 0.1], atol=1e-5)
+    assert v.all()  # all these centers are inside (0.01, 0.99)
+
+
+@pytest.mark.slow
+def test_two_stage_end_to_end_train_step(rng):
+    from common import tiny_config
+    from embodied_object_detection_tpu.models.deformable_detr import (
+        DeformableDetrDetector, detr_train_step_host_matched)
+
+    cfg = tiny_config()
+    model = DeformableDetrDetector(cfg, num_queries=8, with_box_refine=True,
+                                   two_stage=True)
+    h, w = cfg.input.height, cfg.input.width
+    img = jnp.asarray(rng.randn(h, w, 3).astype(np.float32) * 50 + 100)
+    params = model.init(jax.random.PRNGKey(0), img)
+    gt = _gt([[20, 20, 80, 90]], [2], capacity=4)
+    (total, aux), grads = detr_train_step_host_matched(
+        model, params, img, gt, (h, w))
+    assert np.isfinite(float(total))
+    assert any(k.endswith("_enc") for k in aux)
+    gnorm = float(jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(jnp.abs(x)), grads, 0.0))
+    assert gnorm > 0
+    # encoder-stage parameters receive gradient through the enc loss
+    enc_g = float(jnp.sum(jnp.abs(
+        grads["params"]["detr"]["enc_output"]["kernel"])))
+    assert enc_g > 0
