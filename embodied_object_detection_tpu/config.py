@@ -96,6 +96,11 @@ class CenterNetConfig:
     sigmoid_clamp: float = 1e-4
     ignore_high_fp: float = 0.85
     loc_loss_type: str = "giou"
+    # MORE_POS assignment (ref: centernet.py:59-61, 748-878): extra positive
+    # locations in each GT's center-3x3 whose regression loss is small
+    more_pos: bool = False
+    more_pos_thresh: float = 0.2
+    more_pos_topk: int = 9
     sizes_of_interest: Tuple[Tuple[int, int], ...] = (
         (0, 80), (64, 160), (128, 320), (256, 640), (512, 10000000))
 
@@ -127,6 +132,9 @@ class ROIHeadsConfig:
     use_fed_loss: bool = False                  # mp3d yaml: USE_FED_LOSS False
     fed_loss_num_cat: int = 50
     mult_proposal_score: bool = True            # ref: yaml MULT_PROPOSAL_SCORE
+    # WITH_SOFTMAX_PROP (detic_fast_rcnn.py:118-125): extra per-proposal
+    # score head required by the wsddn/wsod image-label loss
+    with_softmax_prop: bool = False
     one_class_per_proposal: bool = False        # demo-only knob; ref: robot_demo.py:357-359
     add_feature_to_prop: bool = True            # ref: mp3d yaml ADD_FEATURE_TO_PROP
     cascade_ious: Tuple[float, ...] = (0.6, 0.7, 0.8)   # ref: yaml ROI_BOX_CASCADE_HEAD.IOUS

@@ -89,6 +89,12 @@ class EmbodiedDetector(nn.Module):
             dtype=dtype, name="centernet")
         self.roi_heads = CascadeROIHeads(self.cfg.roi, dtype=dtype,
                                          name="roi_heads")
+        if self.cfg.roi.with_softmax_prop:
+            from .roi_heads import SoftmaxPropHead
+            self.prop_score_heads = tuple(
+                SoftmaxPropHead(self.cfg.roi.num_classes,
+                                name=f"prop_score{k}")
+                for k in range(len(self.cfg.roi.cascade_ious)))
 
     # ---------------------------------------------------------------- utils
     def _normalize(self, image: jax.Array) -> jax.Array:
@@ -271,9 +277,18 @@ class EmbodiedDetector(nn.Module):
         targets = centernet_targets(gt, shapes, cfg.centernet)
         agn_flat = jnp.concatenate([x.reshape(-1) for x in agn_hms])
         reg_flat = jnp.concatenate([x.reshape(-1, 4) for x in regs])
-        num_pos = jnp.sum(targets.pos_mask.astype(jnp.float32))
-        losses = centernet_losses(agn_flat, reg_flat, targets, cfg.centernet,
-                                  num_pos)
+        if cfg.centernet.more_pos:
+            # ref: centernet.py:203-208 — replace the peak positives with the
+            # loss-selected center-3x3 set
+            from .losses import add_more_pos
+            mp = add_more_pos(reg_flat, gt, shapes, cfg.centernet)
+            num_pos = jnp.sum(mp.pos_valid.astype(jnp.float32))
+            losses = centernet_losses(agn_flat, reg_flat, targets,
+                                      cfg.centernet, num_pos, more_pos=mp)
+        else:
+            num_pos = jnp.sum(targets.pos_mask.astype(jnp.float32))
+            losses = centernet_losses(agn_flat, reg_flat, targets,
+                                      cfg.centernet, num_pos)
 
         proposals = decode_proposals(agn_hms, regs, cfg.centernet,
                                      training=True)
@@ -400,10 +415,16 @@ class EmbodiedDetector(nn.Module):
                                           cfg.roi.pooler_resolution)
             x = self.roi_heads.box_heads[s](pooled)
             logits, deltas, _ = self.roi_heads.predictors[s](x, zs_weight)
+            prop_logits = None
+            if variant in ("wsddn", "wsod"):
+                assert cfg.roi.with_softmax_prop, \
+                    "wsddn needs roi.with_softmax_prop=True"
+                prop_logits = self.prop_score_heads[s](x)
             losses[f"image_loss_stage{s}"] = image_label_loss(
                 logits, cur, valid, labels, labels_valid,
                 cfg.roi.num_classes, variant=variant,
-                image_loss_weight=image_loss_weight)
+                image_loss_weight=image_loss_weight,
+                prop_logits=prop_logits)
             cur = _clip(jax.lax.stop_gradient(apply_deltas(
                 deltas, cur, cfg.roi.cascade_bbox_reg_weights[s])), h, w)
         return losses
@@ -413,8 +434,15 @@ class EmbodiedDetector(nn.Module):
                  mem_features: jax.Array, mem_obs: jax.Array,
                  proj_indices: jax.Array, outlier_mask: jax.Array):
         """Init/inspection entry — exercises every parameterized path."""
-        return self.frame_step(image, zs_weight, mem_features, mem_obs,
-                               proj_indices, outlier_mask)
+        out = self.frame_step(image, zs_weight, mem_features, mem_obs,
+                              proj_indices, outlier_mask)
+        if self.cfg.roi.with_softmax_prop:
+            # materialize the wsddn prop-score heads at init (frame_step
+            # doesn't touch them)
+            x = jnp.zeros((1, self.cfg.roi.fc_dim), jnp.float32)
+            for head in self.prop_score_heads:
+                head(x)
+        return out
 
 
 # =========================================================================

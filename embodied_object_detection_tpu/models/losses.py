@@ -143,6 +143,119 @@ def binary_heatmap_focal_loss(logits: jax.Array, targets: jax.Array,
     return -pos_loss, -neg_loss
 
 
+class MorePos(NamedTuple):
+    """Extra positive assignment (ref: centernet.py:748-878 _add_more_pos /
+    _get_c33_inds). pos_inds are flat heatmap locations over all levels;
+    invalid slots carry pos_valid=False (the reference's variable-length
+    pos_inds list, padded to G*L*9)."""
+    pos_inds: jax.Array    # [G*L*9] int32
+    pos_valid: jax.Array   # [G*L*9] bool
+    labels: jax.Array      # [G*L*9] int32 gt class (for the class branch)
+
+
+def add_more_pos(reg_pred_flat: jax.Array, gt: GroundTruth,
+                 shapes: Sequence[Tuple[int, int]],
+                 cfg: CenterNetConfig) -> MorePos:
+    """MORE_POS: mark center-3x3 cells whose (no-grad) regression loss is
+    below min(kth-smallest, more_pos_thresh) as positives.
+
+    ref: centernet.py:748-878. Fixed-shape re-expression: the per-image
+    python loop and concatenations become masked [G, L, 9] tensors.
+    """
+    k9 = 9
+    levels = len(cfg.strides)
+    g = gt.boxes.shape[0]
+    boxes = gt.boxes
+    strides = jnp.asarray(cfg.strides, jnp.float32)               # [L]
+    hs = jnp.asarray([h for h, _ in shapes], jnp.int32)
+    ws = jnp.asarray([w for _, w in shapes], jnp.int32)
+    num_loc = [h * w for h, w in shapes]
+    m = sum(num_loc)
+    bases = []
+    base = 0
+    for n in num_loc:
+        bases.append(base)
+        base += n
+    bases = jnp.asarray(bases, jnp.int32)                          # [L]
+
+    centers = (boxes[:, :2] + boxes[:, 2:]) / 2                    # [G, 2]
+    centers_inds = jnp.floor(centers[:, None, :] /
+                             strides[None, :, None])               # [G, L, 2]
+    center_grids = centers_inds * strides[None, :, None] + \
+        jnp.floor(strides / 2)[None, :, None]                      # [G, L, 2]
+    l = center_grids[..., 0] - boxes[:, None, 0]
+    t = center_grids[..., 1] - boxes[:, None, 1]
+    r = boxes[:, None, 2] - center_grids[..., 0]
+    b = boxes[:, None, 3] - center_grids[..., 1]
+    reg = jnp.stack([l, t, r, b], -1) / strides[None, :, None]     # [G, L, 4]
+
+    # level mask: center-reg nonnegative AND the box's FPN level
+    # (assign_fpn_level: diag/2 in the level size range)
+    diag = jnp.sqrt(jnp.sum((boxes[:, 2:] - boxes[:, :2]) ** 2, -1)) / 2
+    ranges = jnp.asarray(cfg.sizes_of_interest, jnp.float32)       # [L, 2]
+    level_mask = (jnp.min(reg, -1) >= 0) & \
+        (diag[:, None] >= ranges[None, :, 0]) & \
+        (diag[:, None] <= ranges[None, :, 1]) & gt.valid[:, None]  # [G, L]
+
+    dx = jnp.asarray([-1, 0, 1, -1, 0, 1, -1, 0, 1], jnp.float32)
+    dy = jnp.asarray([-1, -1, -1, 0, 0, 0, 1, 1, 1], jnp.float32)
+    ci = centers_inds.astype(jnp.int32)
+    nx = ci[..., 0:1] + dx.astype(jnp.int32)                       # [G, L, 9]
+    ny = ci[..., 1:2] + dy.astype(jnp.int32)
+    in_bounds = (nx >= 0) & (nx < ws[None, :, None]) & \
+                (ny >= 0) & (ny < hs[None, :, None])
+    c33_ind = bases[None, :, None] + ny * ws[None, :, None] + nx   # [G, L, 9]
+
+    # shifted ltrb targets for each neighbor (stride units):
+    # l+dx, t+dy, r-dx, b-dy (ref: c33_reg index surgery, centernet.py:852-860)
+    shift = jnp.stack([dx, dy, -dx, -dy], -1)                      # [9, 4]
+    c33_reg = reg[:, :, None, :] + shift[None, None]               # [G, L, 9, 4]
+    c33_mask = in_bounds & (jnp.min(c33_reg, -1) >= 0)
+
+    pred = jax.lax.stop_gradient(
+        reg_pred_flat[jnp.clip(c33_ind, 0, m - 1)])                # [G, L, 9, 4]
+    loss = giou_loss_ltrb(pred.reshape(-1, 4),
+                          jnp.maximum(c33_reg, 0.0).reshape(-1, 4))
+    loss = loss.reshape(g, levels, k9)
+    loss = jnp.where(c33_mask, loss, INF)
+    # the true center (k=4) costs 0 wherever the level is assigned
+    loss = loss.at[:, :, 4].set(jnp.where(level_mask, 0.0, loss[:, :, 4]))
+
+    flat_loss = loss.reshape(g, levels * k9)
+    kth = jnp.sort(flat_loss, axis=1)[:, cfg.more_pos_topk - 1]    # [G]
+    thresh = jnp.minimum(kth, cfg.more_pos_thresh)
+    new_pos = (loss < thresh[:, None, None]) & gt.valid[:, None, None]
+
+    return MorePos(
+        pos_inds=jnp.clip(c33_ind, 0, m - 1).reshape(-1).astype(jnp.int32),
+        pos_valid=new_pos.reshape(-1),
+        labels=jnp.broadcast_to(gt.classes[:, None, None],
+                                (g, levels, k9)).reshape(-1))
+
+
+def binary_heatmap_focal_loss_indexed(logits: jax.Array, targets: jax.Array,
+                                      pos_inds: jax.Array, pos_valid: jax.Array,
+                                      cfg: CenterNetConfig
+                                      ) -> Tuple[jax.Array, jax.Array]:
+    """Index-based positive term (the reference's `pred[pos_inds]` gather,
+    heatmap_focal_loss.py:70-73) — duplicate indices contribute repeated
+    terms, unlike the mask form. Negative term is identical."""
+    pred = jnp.clip(jax.nn.sigmoid(logits), cfg.sigmoid_clamp,
+                    1 - cfg.sigmoid_clamp)
+    neg_weights = jnp.power(1 - targets, cfg.hm_focal_beta)
+    pos_pred = pred[pos_inds]
+    pos_loss = jnp.log(pos_pred) * jnp.power(1 - pos_pred, cfg.loss_gamma)
+    pos_loss = jnp.sum(jnp.where(pos_valid, pos_loss, 0.0))
+    neg_loss = jnp.log(1 - pred) * jnp.power(pred, cfg.loss_gamma) * neg_weights
+    if cfg.ignore_high_fp > 0:
+        neg_loss = neg_loss * (pred < cfg.ignore_high_fp)
+    neg_loss = jnp.sum(neg_loss)
+    if cfg.hm_focal_alpha >= 0:
+        pos_loss = cfg.hm_focal_alpha * pos_loss
+        neg_loss = (1 - cfg.hm_focal_alpha) * neg_loss
+    return -pos_loss, -neg_loss
+
+
 def giou_loss_ltrb(pred: jax.Array, target: jax.Array) -> jax.Array:
     """gIoU on ltrb distances (ref: layers/iou_loss.py:5-63, 'giou')."""
     pl, pt, pr, pb = pred[:, 0], pred[:, 1], pred[:, 2], pred[:, 3]
@@ -163,14 +276,21 @@ def giou_loss_ltrb(pred: jax.Array, target: jax.Array) -> jax.Array:
 
 def centernet_losses(agn_logits_flat: jax.Array, reg_pred_flat: jax.Array,
                      targets: CenterNetTargets, cfg: CenterNetConfig,
-                     num_pos_avg: jax.Array) -> dict:
+                     num_pos_avg: jax.Array,
+                     more_pos: "MorePos | None" = None) -> dict:
     """ref: CenterNet.losses (centernet.py:241-318), only_proposal branch.
 
     agn_logits_flat [M], reg_pred_flat [M, 4] (stride-normalized, relu'd),
     num_pos_avg: cross-device-averaged positive count (pass the local count
-    on one device)."""
-    pos_loss, neg_loss = binary_heatmap_focal_loss(
-        agn_logits_flat, targets.agn_heatmap, targets.pos_mask, cfg)
+    on one device). With `more_pos`, the positive set comes from the MORE_POS
+    assignment (centernet.py:203-208) instead of targets.pos_mask."""
+    if more_pos is not None:
+        pos_loss, neg_loss = binary_heatmap_focal_loss_indexed(
+            agn_logits_flat, targets.agn_heatmap, more_pos.pos_inds,
+            more_pos.pos_valid, cfg)
+    else:
+        pos_loss, neg_loss = binary_heatmap_focal_loss(
+            agn_logits_flat, targets.agn_heatmap, targets.pos_mask, cfg)
     num_pos_avg = jnp.maximum(num_pos_avg, 1.0)
     losses = {
         "loss_centernet_agn_pos": cfg.pos_weight * pos_loss / num_pos_avg,
@@ -257,7 +377,8 @@ def fed_loss_class_weight(gt_classes: jax.Array, valid: jax.Array,
 def image_label_loss(logits: jax.Array, boxes: jax.Array, valid: jax.Array,
                      labels: jax.Array, labels_valid: jax.Array,
                      num_classes: int, variant: str = "max_size",
-                     image_loss_weight: float = 0.1) -> jax.Array:
+                     image_loss_weight: float = 0.1,
+                     prop_logits: "jax.Array | None" = None) -> jax.Array:
     """Weak supervision from image-level labels (vanilla-Detic co-training).
 
     ref: DeticFastRCNNOutputLayers.image_label_losses + the selection
@@ -267,6 +388,12 @@ def image_label_loss(logits: jax.Array, boxes: jax.Array, valid: jax.Array,
       max_score: the proposal scoring highest for that label (:524-531)
       first:     proposal 0 (:547-554)
       image:     the whole-image box appended last (:557-564)
+      min_loss:  the proposal whose (no-grad) full-row BCE is smallest
+                 (:534-545)
+      wsddn/wsod: WSDDN MIL — sigmoid(scores) * softmax-over-proposals of a
+                 second `prop_logits` head, summed over proposals, BCE on the
+                 image-level score (:509-522; requires prop_logits from the
+                 WITH_SOFTMAX_PROP head, detic_fast_rcnn.py:118-125)
     Returns the scalar weighted loss (loss / num_labels * weight as in
     :400,418,432).
     """
@@ -276,7 +403,30 @@ def image_label_loss(logits: jax.Array, boxes: jax.Array, valid: jax.Array,
         jnp.maximum(boxes[:, 3] - boxes[:, 1], 0)
     areas = jnp.where(valid, areas, -1.0)
 
+    if variant in ("wsddn", "wsod"):
+        assert prop_logits is not None, "wsddn needs the softmax-prop head"
+        # softmax over *proposals* per class; padded rows masked out
+        pl = jnp.where(valid[:, None], prop_logits, -1e10)
+        final = jax.nn.sigmoid(logits) * jax.nn.softmax(pl, axis=0)
+        # the reference clamps to 1-1e-10, which is exactly 1.0 in f32 (its
+        # torch BCE additionally clamps the logs); use an f32-representable
+        # upper bound instead
+        img_score = jnp.clip(jnp.sum(jnp.where(valid[:, None], final, 0.0),
+                                     axis=0), 1e-10, 1 - 1e-7)    # [C+1]
+
+        def per_label_wsddn(label, lvalid):
+            target = jax.nn.one_hot(label, c + 1)
+            # F.binary_cross_entropy default reduction: mean over C+1
+            bce = -(target * jnp.log(img_score) +
+                    (1 - target) * jnp.log(1 - img_score))
+            return jnp.where(lvalid, jnp.mean(bce), 0.0)
+
+        losses = jax.vmap(per_label_wsddn)(labels, labels_valid)
+        n = jnp.maximum(jnp.sum(labels_valid.astype(jnp.float32)), 1.0)
+        return jnp.sum(losses) / n * image_loss_weight
+
     def per_label(label, lvalid):
+        target = jax.nn.one_hot(label, c + 1)
         if variant == "max_size":
             # ref :572 — argmax of sizes excluding the appended image box
             ind = jnp.argmax(areas.at[r - 1].set(-1.0))
@@ -287,9 +437,15 @@ def image_label_loss(logits: jax.Array, boxes: jax.Array, valid: jax.Array,
             ind = 0
         elif variant == "image":
             ind = r - 1
+        elif variant == "min_loss":
+            # ref :534-545 — no-grad full-row BCE per proposal, take argmin
+            t_all = jnp.broadcast_to(target[None], logits.shape)
+            bce_all = jnp.maximum(logits, 0) - logits * t_all + \
+                jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            row_loss = jnp.where(valid, jnp.sum(bce_all, axis=1), 1e10)
+            ind = jnp.argmin(jax.lax.stop_gradient(row_loss))
         else:
             raise ValueError(variant)
-        target = jax.nn.one_hot(label, c + 1)
         row = logits[ind]
         bce = jnp.maximum(row, 0) - row * target + \
             jnp.log1p(jnp.exp(-jnp.abs(row)))

@@ -151,6 +151,22 @@ class MaskHead(nn.Module):
         return logits[..., 0]                       # [R, 28, 28]
 
 
+class SoftmaxPropHead(nn.Module):
+    """WITH_SOFTMAX_PROP score head for WSDDN-style MIL
+    (ref: detic_fast_rcnn.py:118-125: Linear -> ReLU -> Linear(C+1))."""
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(x.shape[-1], dtype=jnp.float32, name="fc1")(
+            x.astype(jnp.float32))
+        y = nn.relu(y)
+        return nn.Dense(self.num_classes + 1, dtype=jnp.float32,
+                        kernel_init=nn.initializers.normal(0.001),
+                        name="fc2")(y)
+
+
 class StageOutput(NamedTuple):
     logits: jax.Array        # [R, C+1]
     deltas: jax.Array        # [R, 4]
