@@ -304,10 +304,15 @@ def parity_config(name: str) -> DetectorConfig:
     if name in ("pretrained", "vanilla_training"):
         return base.replace(memory=dataclasses.replace(base.memory, memory_type="image_only"))
     if name == "detic_finetuned":
-        return base.replace(memory=dataclasses.replace(base.memory, memory_type="implicit_memory",
-                                                       feat_fusion="sum"))
-    if name == "implicit_object_memory":
         return base.replace(memory=dataclasses.replace(
             base.memory, memory_type="implicit_memory", feat_fusion="sum",
-            map_feature_weight=5.0))
+            exact_write_subsample=True))
+    if name == "implicit_object_memory":
+        # parity runs pin the reference-exact write subsample
+        # (custom_rcnn.py:913-914 compacted ::8); the fast static-stride
+        # path is the default for the throughput headline (ARCHITECTURE.md
+        # divergence #1)
+        return base.replace(memory=dataclasses.replace(
+            base.memory, memory_type="implicit_memory", feat_fusion="sum",
+            map_feature_weight=5.0, exact_write_subsample=True))
     raise ValueError(f"unknown parity config {name!r}")

@@ -94,6 +94,28 @@ class Visualizer:
         img[obs] = self.palette[semmap_classes[obs] % len(self.palette)]
         return np.kron(img, np.ones((scale, scale, 1), np.uint8))
 
+    def draw_mask_boundaries(self, image_rgb: np.ndarray, masks: np.ndarray,
+                             classes: Optional[np.ndarray] = None,
+                             valid: Optional[np.ndarray] = None,
+                             thickness: int = 1) -> np.ndarray:
+        """Instance mask boundary contours (the reference Visualizer's
+        polygon-edge drawing, detic/visualizer.py draw_polygon path)."""
+        import cv2
+        img = np.array(image_rgb, np.uint8, copy=True)
+        masks = np.asarray(masks, bool)
+        n = masks.shape[0]
+        classes = np.zeros(n, np.int32) if classes is None else classes
+        valid = np.ones(n, bool) if valid is None else valid
+        for i in range(n):
+            if not valid[i]:
+                continue
+            contours, _ = cv2.findContours(masks[i].astype(np.uint8),
+                                           cv2.RETR_EXTERNAL,
+                                           cv2.CHAIN_APPROX_SIMPLE)
+            cv2.drawContours(img, contours, -1, self._color(int(classes[i])),
+                             thickness)
+        return img
+
     def legend(self, height: int = 480, width: int = 200) -> np.ndarray:
         """Color legend strip (ref: custom_rcnn.py:992-1009)."""
         import cv2
@@ -106,3 +128,78 @@ class Visualizer:
                         cv2.FONT_HERSHEY_SIMPLEX, 0.4, (255, 255, 255), 1,
                         cv2.LINE_AA)
         return img
+
+
+def heatmap_color_image(heatmap: np.ndarray) -> np.ndarray:
+    """[H, W] in [0, 1] -> RGB uint8 via a red-yellow ramp
+    (ref: centernet/modeling/debug.py _get_color_image — per-class colored
+    heatmaps; agnostic maps get one ramp)."""
+    h = np.clip(np.asarray(heatmap, np.float32), 0, 1)
+    img = np.zeros((*h.shape, 3), np.float32)
+    img[..., 0] = 255 * h                      # red ramp
+    img[..., 1] = 255 * np.clip(2 * h - 1, 0, 1)  # yellow at high confidence
+    return img.astype(np.uint8)
+
+
+def blend_heatmap(image_rgb: np.ndarray, heatmap: np.ndarray,
+                  alpha: float = 0.7) -> np.ndarray:
+    """Upsample a level heatmap to the image and alpha-blend
+    (ref: debug.py _blend_image / _blend_image_heatmaps)."""
+    import cv2
+    img = np.asarray(image_rgb, np.uint8)
+    hm = np.asarray(heatmap, np.float32)
+    hm_up = cv2.resize(hm, (img.shape[1], img.shape[0]),
+                       interpolation=cv2.INTER_LINEAR)
+    color = heatmap_color_image(hm_up).astype(np.float32)
+    w = alpha * np.clip(hm_up, 0, 1)[..., None]
+    out = img.astype(np.float32) * (1 - w) + color * w
+    return out.astype(np.uint8)
+
+
+def debug_train_dump(image_rgb: np.ndarray, agn_heatmaps, gt_boxes,
+                     gt_classes, gt_valid, class_names,
+                     out_dir: str, prefix: str = "train") -> List[str]:
+    """Per-level GT-heatmap overlays + GT boxes, saved as PNGs
+    (ref: centernet/modeling/debug.py debug_train:73-139). `agn_heatmaps`
+    are per-level [H_l, W_l] maps in [0, 1] (targets or sigmoid outputs)."""
+    import os
+    from PIL import Image
+    os.makedirs(out_dir, exist_ok=True)
+    vis = Visualizer(class_names)
+    paths = []
+    boxed = vis.draw_ground_truth(image_rgb, gt_boxes, gt_classes, gt_valid)
+    for lvl, hm in enumerate(agn_heatmaps):
+        out = blend_heatmap(boxed, np.asarray(hm).reshape(hm.shape[0],
+                                                          hm.shape[1]))
+        p = os.path.join(out_dir, f"{prefix}_hm_l{lvl}.png")
+        Image.fromarray(out).save(p)
+        paths.append(p)
+    return paths
+
+
+def debug_test_dump(image_rgb: np.ndarray, agn_heatmaps, dets: Detections,
+                    class_names, out_dir: str, prefix: str = "test",
+                    vis_thresh: float = 0.3) -> List[str]:
+    """Prediction overlays: detections + per-level agnostic heatmaps
+    (ref: centernet/modeling/debug.py debug_test:141-216)."""
+    import os
+    from PIL import Image
+    os.makedirs(out_dir, exist_ok=True)
+    vis = Visualizer(class_names)
+    det_img = vis.draw_detections(image_rgb, dets, score_thresh=vis_thresh)
+    paths = []
+    p0 = os.path.join(out_dir, f"{prefix}_dets.png")
+    Image.fromarray(det_img).save(p0)
+    paths.append(p0)
+    for lvl, hm in enumerate(agn_heatmaps):
+        out = blend_heatmap(image_rgb, np.asarray(hm).reshape(
+            hm.shape[0], hm.shape[1]))
+        p = os.path.join(out_dir, f"{prefix}_agn_l{lvl}.png")
+        Image.fromarray(out).save(p)
+        paths.append(p)
+    return paths
+
+
+def legend_strip(class_names: Sequence[str], height: int = 480,
+                 width: int = 200) -> np.ndarray:
+    return Visualizer(class_names).legend(height, width)

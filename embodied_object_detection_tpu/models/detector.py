@@ -429,6 +429,27 @@ class EmbodiedDetector(nn.Module):
                 deltas, cur, cfg.roi.cascade_bbox_reg_weights[s])), h, w)
         return losses
 
+    def image_box_embedding(self, image: jax.Array,
+                            image_box_size: float = 1.0) -> jax.Array:
+        """CLIP-space embedding of the whole-image box — the caption region.
+
+        ref: the caption path scores `score[-1:]` (the appended image box,
+        detic_fast_rcnn.py:477 / _add_image_box detic_roi_heads.py:271-295)
+        through the stage-0 zero-shot head's 512-d projection."""
+        cfg = self.cfg
+        h, w = cfg.input.height, cfg.input.width
+        p3, p4, p5, p6, p7 = self._features(image, None)
+        f = image_box_size
+        box = jnp.asarray([[w * (1 - f) / 2, h * (1 - f) / 2,
+                            w * (1 - (1 - f) / 2), h * (1 - (1 - f) / 2)]],
+                          jnp.float32)
+        pooled = self.roi_heads._pool((p3, p4, p5), box,
+                                      cfg.roi.pooler_resolution)
+        x = self.roi_heads.box_heads[0](pooled)
+        zs_dummy = jnp.zeros((cfg.roi.zs_weight_dim, 1), jnp.float32)
+        _, _, feat = self.roi_heads.predictors[0](x, zs_dummy)
+        return feat[0]
+
     # ------------------------------------------------- single-frame, no mem
     def __call__(self, image: jax.Array, zs_weight: jax.Array,
                  mem_features: jax.Array, mem_obs: jax.Array,

@@ -42,3 +42,17 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
 def replicate(mesh: Mesh, tree):
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_zs_weight(mesh: Mesh, zs_weight, axis: str = "model"):
+    """Shard the class dimension of the CLIP classifier matrix over the
+    model axis — lightweight tensor parallelism for the zs_weight matmul
+    (logits columns computed per shard; XLA re-gathers where needed). The
+    reference has no TP (SURVEY §2.4); this is the one place the detector's
+    math offers a clean model axis (the [D, C+1] classifier, C up to 22k for
+    in21k vocabularies). Falls back to replication when the class count
+    doesn't divide the axis."""
+    n = mesh.shape[axis]
+    if zs_weight.shape[-1] % n != 0:
+        return jax.device_put(zs_weight, NamedSharding(mesh, P()))
+    return jax.device_put(zs_weight, NamedSharding(mesh, P(None, axis)))

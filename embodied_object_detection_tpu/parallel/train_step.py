@@ -84,6 +84,38 @@ def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None):
     return init_state, step_fn
 
 
+def make_caption_train_step(model: EmbodiedDetector, cfg: DetectorConfig,
+                            caption_weight: float = 1.0,
+                            neg_cap_weight: float = 0.125):
+    """Caption co-training step with GLOBAL-batch negatives.
+
+    ref: CustomRCNN ann_type='caption' (custom_rcnn.py:188-278) +
+    `_sync_caption_features` (:294-307), which all_gathers every rank's
+    caption features so each image's contrastive loss sees the full global
+    batch as negatives. TPU-native: under jit over the data-sharded batch,
+    the [B_global, D] caption matrix IS the global set — XLA inserts the
+    all_gather from the sharding annotations; no collective code.
+
+    Returns loss_fn(params, images [B,H,W,3], caption_features [B,D],
+    weight [B]) -> (total, aux)."""
+    from ..models.losses import caption_loss
+
+    def loss_fn(params, images, caption_features, weight):
+        embs = jax.vmap(lambda im: model.apply(
+            params, im, method=EmbodiedDetector.image_box_embedding))(images)
+        b = images.shape[0]
+
+        def per_frame(i):
+            return caption_loss(embs[i][None], caption_features, i,
+                                cfg.roi.norm_temperature, neg_cap_weight)
+        losses = jax.vmap(per_frame)(jnp.arange(b))
+        wsum = jnp.maximum(jnp.sum(weight), 1.0)
+        total = caption_weight * jnp.sum(losses * weight) / wsum
+        return total, {"caption_loss": total}
+
+    return loss_fn
+
+
 def jit_train_step(step_fn, mesh: Mesh, data_axis: str = "data"):
     """Compile step_fn with params/state replicated; batch sharding is taken
     from the committed input arrays (use parallel.mesh.shard_batch). XLA

@@ -127,3 +127,29 @@ def test_create_coco_annotations(synth_root, tmp_path):
         height=128, width=160, max_gt=8)
     item = ds[0]
     assert item["image"].shape == (128, 160, 3)
+
+
+def test_trace_self_time_aggregation():
+    """Nested-event self-time parsing (round-2 per-op attribution): the
+    `while` umbrella must not absorb its children's time."""
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "trace_episode", os.path.join(os.path.dirname(__file__), "..",
+                                      "tools", "trace_episode.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    trace = {"traceEvents": [
+        # while umbrella [0, 100) with two children: fusion [10, 40),
+        # gather [50, 80); fusion has its own child convolution [15, 25)
+        dict(ph="X", pid=1, tid=1, name="while", ts=0, dur=100),
+        dict(ph="X", pid=1, tid=1, name="fusion.1", ts=10, dur=30),
+        dict(ph="X", pid=1, tid=1, name="convolution", ts=15, dur=10),
+        dict(ph="X", pid=1, tid=1, name="gather.2", ts=50, dur=30),
+        # a separate track must not interact
+        dict(ph="X", pid=1, tid=2, name="fusion.9", ts=0, dur=7),
+    ]}
+    agg = mod.aggregate_self_time(trace)
+    assert agg["while"] == 40           # 100 - 30 - 30
+    assert agg["fusion"] == 27          # (30 - 10) + 7
+    assert agg["convolution"] == 10
+    assert agg["gather"] == 30

@@ -54,17 +54,45 @@ def main():
         return
     with gzip.open(sorted(files)[-1]) as f:
         trace = json.load(f)
-    events = [e for e in trace.get("traceEvents", [])
-              if e.get("ph") == "X" and e.get("dur", 0) > 0]
-    # aggregate by name on device tracks
-    agg = {}
-    for e in events:
-        name = e["name"].split(".")[0][:60]
-        agg[name] = agg.get(name, 0) + e["dur"]
-    top = sorted(agg.items(), key=lambda kv: -kv[1])[:25]
+    agg = aggregate_self_time(trace)
+    top = sorted(agg.items(), key=lambda kv: -kv[1])[:30]
     total = sum(agg.values())
     for name, dur in top:
         print(f"{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {name}")
+
+
+def aggregate_self_time(trace: dict) -> dict:
+    """Per-op SELF time (duration minus nested children) aggregated by name.
+
+    The scan compiles to a `while` op whose child fusions nest *inside* its
+    trace event — flat summing double-counts and the umbrella hides the
+    breakdown (round-1 gap). Events on each (pid, tid) track form a proper
+    nesting; a stack walk subtracts child durations from their parent.
+    """
+    from collections import defaultdict
+    events = [e for e in trace.get("traceEvents", [])
+              if e.get("ph") == "X" and e.get("dur", 0) > 0
+              and "ts" in e]
+    tracks = defaultdict(list)
+    for e in events:
+        tracks[(e.get("pid"), e.get("tid"))].append(
+            dict(name=e["name"], ts=float(e["ts"]), dur=float(e["dur"]),
+                 child=0.0))
+    agg = {}
+    for tr in tracks.values():
+        # parents start no later and end no earlier: sort ts asc, dur desc
+        tr.sort(key=lambda e: (e["ts"], -e["dur"]))
+        stack = []
+        for e in tr:
+            while stack and e["ts"] >= stack[-1]["ts"] + stack[-1]["dur"] - 1e-9:
+                stack.pop()
+            if stack:
+                stack[-1]["child"] += e["dur"]
+            stack.append(e)
+        for e in tr:
+            name = e["name"].split(".")[0][:60]
+            agg[name] = agg.get(name, 0.0) + max(e["dur"] - e["child"], 0.0)
+    return agg
 
 
 if __name__ == "__main__":
