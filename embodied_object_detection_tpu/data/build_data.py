@@ -1,0 +1,167 @@
+"""Sensor-data generation: render agent trajectories into the h5 episode
+format the loader consumes (the build_data.py analog).
+
+ref: Detic/SMNet/build_data.py:56-292 — drives a habitat-sim renderer over
+precomputed agent paths (paths.json), renders rgb / depth / semantic /
+GT boxes per frame, projects depth to per-pixel world xyz + outlier masks,
+and writes one h5 per 20-frame sample with keys rgb / depth / positions /
+orientations / projection_indices / masks_outliers / detection_data
+(stringified dicts) / segmentation_data (:220-286).
+
+The renderer is a pluggable host-side interface (`Renderer`): habitat-sim is
+external C++ outside this environment (SURVEY §7.8), so the default backend
+is the synthetic scene renderer (data/synthetic.py); a habitat-backed
+implementation only needs the four render methods. Geometry (depth -> world
+xyz, outliers) is the jax projector — the same code the runtime uses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Protocol, Sequence, Tuple
+
+import numpy as np
+
+
+class Renderer(Protocol):
+    """The HabitatUtils surface the build script needs
+    (ref: SMNet/utils/habitat_utils.py:14-284)."""
+
+    def set_agent_state(self, position: np.ndarray, rotation: np.ndarray
+                        ) -> None: ...
+    def render_rgb(self) -> np.ndarray: ...            # [H, W, 3] uint8
+    def render_depth(self) -> np.ndarray: ...          # [H, W] float meters
+    def render_semantic(self) -> np.ndarray: ...       # [H, W] int class+1
+    def render_boxes(self) -> List[dict]: ...          # per-instance dicts
+
+
+def detection_record_str(file_name: str, boxes_xyxy: Sequence[Sequence[float]],
+                         classes: Sequence[int]) -> str:
+    """The stringified-dict GT record the loader parses back
+    (ref: build_data.py:230 detection_data vlen str; loader.py:255-267 —
+    gt_boxes are stored xywh)."""
+    xywh = [[float(b[0]), float(b[1]),
+             float(b[2] - b[0]), float(b[3] - b[1])] for b in boxes_xyxy]
+    return str({"file_name": file_name, "image": 0,
+                "gt_boxes": xywh, "gt_classes": [int(c) for c in classes]})
+
+
+def build_sample_h5(renderer: Renderer, positions: np.ndarray,
+                    rotations_euler: np.ndarray, out_h5: str,
+                    vfov_deg: float = 67.5, z_clip: float = 0.5,
+                    min_box_edge: int = 15) -> dict:
+    """Render one multi-frame sample and write the sensor h5.
+
+    positions [T, 3], rotations_euler [T, 3] (agent states along the path);
+    GT boxes below `min_box_edge` px are dropped (habitat_utils.py:12, 273).
+    Returns summary stats."""
+    import math
+
+    import h5py
+    import jax.numpy as jnp
+    from ..geometry.projector import (camera_to_world, depth_to_point_cloud,
+                                      transform3d)
+
+    vfov = math.radians(vfov_deg)
+    t = len(positions)
+    rgb_all, depth_all, xyz_all, outlier_all = [], [], [], []
+    det_strs, seg_all = [], []
+    for i in range(t):
+        renderer.set_agent_state(positions[i], rotations_euler[i])
+        rgb = renderer.render_rgb()
+        depth = renderer.render_depth()
+        # camera-to-world from position + heading/elevation
+        # (ref: build_data.py:116-160 via _transform3D)
+        xyzhe = np.asarray([[positions[i][0], positions[i][1], positions[i][2],
+                             rotations_euler[i][1], rotations_euler[i][0]]],
+                           np.float32)
+        cam2world = transform3d(jnp.asarray(xyzhe))[0]
+        xyz1 = depth_to_point_cloud(jnp.asarray(depth), vfov)
+        world = camera_to_world(xyz1, cam2world)[..., :3]
+        # invalid-depth pixels are the outliers at this stage
+        # (ref: projector/point_cloud.py:8-56 no_depth mask; the z-clip
+        # against camera height happens downstream in build_memory)
+        outliers = np.asarray(depth) <= 0.0
+        boxes_recs = renderer.render_boxes()
+        boxes, classes = [], []
+        for r in boxes_recs:
+            x1, y1, x2, y2 = r["box"]
+            if min(x2 - x1, y2 - y1) >= min_box_edge:
+                boxes.append([x1, y1, x2, y2])
+                classes.append(r["id"])
+        rgb_all.append(rgb)
+        depth_all.append(depth)
+        xyz_all.append(np.asarray(world))
+        outlier_all.append(outliers)
+        base = os.path.splitext(os.path.basename(out_h5))[0]
+        det_strs.append(detection_record_str(f"{base}_{i}.jpg", boxes,
+                                             classes))
+        seg_all.append(renderer.render_semantic())
+
+    os.makedirs(os.path.dirname(out_h5) or ".", exist_ok=True)
+    with h5py.File(out_h5, "w") as f:
+        f.create_dataset("rgb", data=np.stack(rgb_all).astype(np.uint8))
+        f.create_dataset("depth", data=np.stack(depth_all).astype(np.float32))
+        f.create_dataset("positions", data=np.asarray(positions, np.float32))
+        f.create_dataset("orientations",
+                         data=np.asarray(rotations_euler, np.float32))
+        f.create_dataset("projection_indices",
+                         data=np.stack(xyz_all).astype(np.float32))
+        f.create_dataset("masks_outliers",
+                         data=np.stack(outlier_all).astype(bool))
+        f.create_dataset("detection_data", data=np.asarray(det_strs, object),
+                         dtype=h5py.special_dtype(vlen=str))
+        f.create_dataset("segmentation_data",
+                         data=np.stack(seg_all).astype(np.int32))
+    return dict(frames=t, path=out_h5)
+
+
+def build_env_samples(renderer: Renderer, env: str, path: Dict[str, list],
+                      output_dir: str, nb_samples: int = 50,
+                      nb_frames: int = 20, seed: int = 0, **kw) -> List[str]:
+    """Slice `nb_samples` random `nb_frames`-windows from an env's path and
+    render each (ref: build_data.py:84-118: deterministic evenly-spaced
+    starts over the path)."""
+    positions = np.asarray(path["positions"], np.float32)
+    rotations = np.asarray(path["orientations"], np.float32)
+    n = len(positions)
+    assert n >= nb_frames, (env, n)
+    starts = np.linspace(0, n - nb_frames, num=min(nb_samples,
+                                                   n - nb_frames + 1),
+                         dtype=int)
+    out = []
+    for m, start in enumerate(starts):
+        fn = os.path.join(output_dir, f"{env}_{m}.h5")
+        build_sample_h5(renderer, positions[start: start + nb_frames],
+                        rotations[start: start + nb_frames], fn, **kw)
+        out.append(fn)
+    return out
+
+
+def main(argv: Optional[list] = None):  # pragma: no cover
+    import argparse
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--paths-json", required=True,
+                   help="env -> {positions, orientations} trajectories")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--renderer", default="synthetic",
+                   choices=["synthetic"],
+                   help="habitat-sim is external C++; plug a Renderer "
+                        "implementation for real scenes")
+    p.add_argument("--samples-per-env", type=int, default=50)
+    p.add_argument("--frames-per-sample", type=int, default=20)
+    args = p.parse_args(argv)
+    with open(args.paths_json) as f:
+        paths = json.load(f)
+    from .synthetic import SyntheticRenderer
+    for env, path in paths.items():
+        renderer = SyntheticRenderer(seed=abs(hash(env)) % (2 ** 31))
+        files = build_env_samples(renderer, env, path, args.output_dir,
+                                  args.samples_per_env,
+                                  args.frames_per_sample)
+        print(f"{env}: {len(files)} samples")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -47,6 +47,60 @@ def _render_frame(rng: np.random.RandomState, h: int, w: int,
     return img, boxes, classes
 
 
+class SyntheticRenderer:
+    """Renderer-protocol backend for data/build_data.py: a panoramic wall of
+    colored rectangles at fixed depth, panned by the agent heading — the
+    habitat-free stand-in for HabitatUtils (habitat_utils.py:14-284)."""
+
+    def __init__(self, height: int = 480, width: int = 640, seed: int = 0,
+                 num_objects: int = 6, wall_depth: float = 3.0,
+                 class_ids: Optional[List[int]] = None):
+        self.h, self.w = height, width
+        self.wall_depth = wall_depth
+        self.rng = np.random.RandomState(seed)
+        class_ids = class_ids or [0, 2, 3, 4, 5]
+        self.objects = []
+        for _ in range(num_objects):
+            self.objects.append(dict(
+                x=int(self.rng.rand() * width * 2),
+                y=int(self.rng.rand() * (height - 120)),
+                w=int(40 + self.rng.rand() * 120),
+                h=int(40 + self.rng.rand() * 120),
+                color=self.rng.randint(90, 255, 3,
+                                       dtype=np.int64).astype(np.uint8),
+                cls=int(class_ids[self.rng.randint(len(class_ids))])))
+        self._pan = 0.0
+
+    def set_agent_state(self, position, rotation_euler):
+        # heading (rotation_euler[1], radians) pans the panorama
+        self._pan = float(rotation_euler[1]) * self.w / 1.5 + \
+            float(position[0]) * 40.0
+
+    def _frame(self):
+        return _render_frame(self.rng, self.h, self.w, self.objects,
+                             self._pan)
+
+    def render_rgb(self) -> np.ndarray:
+        img, _, _ = self._frame()
+        return img
+
+    def render_depth(self) -> np.ndarray:
+        return np.full((self.h, self.w), self.wall_depth, np.float32)
+
+    def render_semantic(self) -> np.ndarray:
+        img, boxes, classes = self._frame()
+        seg = np.zeros((self.h, self.w), np.int32)
+        for b, c in zip(boxes, classes):
+            x, y, bw, bh = (int(v) for v in b)
+            seg[y: y + bh, x: x + bw] = c + 1
+        return seg
+
+    def render_boxes(self) -> List[dict]:
+        _, boxes, classes = self._frame()
+        return [dict(box=[b[0], b[1], b[0] + b[2], b[1] + b[3]], id=c)
+                for b, c in zip(boxes, classes)]
+
+
 def generate_synthetic_dataset(root: str, num_scenes: int = 1,
                                chunks_per_scene: int = 2, frames: int = 20,
                                height: int = 480, width: int = 640,
