@@ -26,13 +26,25 @@ _CLOSE = "close"
 _CALL = "call"
 
 
-def _worker(conn, env_fn):
+def _do_step(env, action, auto_reset_done: bool):
+    res = env.step(action)
+    # Gym-tuple envs: auto-reset finished episodes in the worker so the
+    # pool always yields fresh observations (ref: vector_env.py:184-190,
+    # auto_reset_done=True default — relied on by the PPO trainers).
+    if (auto_reset_done and isinstance(res, tuple) and len(res) == 4
+            and res[2]):
+        obs = env.reset()
+        res = (obs, res[1], res[2], res[3])
+    return res
+
+
+def _worker(conn, env_fn, auto_reset_done=False):
     env = env_fn()
     try:
         while True:
             cmd, data = conn.recv()
             if cmd == _STEP:
-                conn.send(env.step(data))
+                conn.send(_do_step(env, data, auto_reset_done))
             elif cmd == _RESET:
                 conn.send(env.reset())
             elif cmd == _CALL:
@@ -52,13 +64,15 @@ class VectorEnv:
     habitat's multiprocessing_start_method knob)."""
 
     def __init__(self, env_fns: Sequence[Callable[[], Any]],
-                 start_method: str = "fork"):
+                 start_method: str = "fork", auto_reset_done: bool = False):
         ctx = mp.get_context(start_method)
         self._conns = []
         self._procs = []
         for fn in env_fns:
             parent, child = ctx.Pipe()
-            proc = ctx.Process(target=_worker, args=(child, fn), daemon=True)
+            proc = ctx.Process(target=_worker,
+                               args=(child, fn, auto_reset_done),
+                               daemon=True)
             proc.start()
             child.close()
             self._conns.append(parent)
@@ -131,13 +145,14 @@ class ThreadedVectorEnv(VectorEnv):
     for envs that can't fork (or debugging)."""
 
     def __init__(self, env_fns: Sequence[Callable[[], Any]],
-                 start_method: str = "fork"):
+                 start_method: str = "fork", auto_reset_done: bool = False):
         self._envs = [fn() for fn in env_fns]
         self._queues = [queue_mod.Queue() for _ in env_fns]
         self._results = [queue_mod.Queue() for _ in env_fns]
         self._threads = []
         for env, q, r in zip(self._envs, self._queues, self._results):
-            t = threading.Thread(target=self._loop, args=(env, q, r),
+            t = threading.Thread(target=self._loop,
+                                 args=(env, q, r, auto_reset_done),
                                  daemon=True)
             t.start()
             self._threads.append(t)
@@ -145,13 +160,13 @@ class ThreadedVectorEnv(VectorEnv):
         self._awaiting = False
 
     @staticmethod
-    def _loop(env, q, r):
+    def _loop(env, q, r, auto_reset_done=False):
         while True:
             cmd, data = q.get()
             if cmd == _CLOSE:
                 return
             if cmd == _STEP:
-                r.put(env.step(data))
+                r.put(_do_step(env, data, auto_reset_done))
             elif cmd == _RESET:
                 r.put(env.reset())
             elif cmd == _CALL:
