@@ -34,11 +34,21 @@ AREA_RNGS = {
 }
 
 
+def _native_core():
+    """Compiled eval core (native/eval_core.cc — the pycocotools-C analog);
+    None -> pure-numpy fallback."""
+    from embodied_object_detection_tpu import native
+    return native.eval_core
+
+
 def _iou_xywh(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
     """Pairwise IoU of xywh boxes, [D, G] (pycocotools maskUtils.iou,
     iscrowd=0)."""
     if len(dets) == 0 or len(gts) == 0:
         return np.zeros((len(dets), len(gts)))
+    core = _native_core()
+    if core is not None:
+        return core.iou_xywh(dets, gts)
     dx1, dy1 = dets[:, 0], dets[:, 1]
     dx2, dy2 = dets[:, 0] + dets[:, 2], dets[:, 1] + dets[:, 3]
     gx1, gy1 = gts[:, 0], gts[:, 1]
@@ -144,27 +154,33 @@ class COCOEvaluator:
 
         ious = _iou_xywh(d_boxes, g_boxes)
         nd, ng = len(d_boxes), len(g_boxes)
-        dt_m = np.zeros((n_thrs, nd), np.int64)        # matched gt idx + 1
-        gt_m = np.zeros((n_thrs, ng), np.int64)
-        dt_ig = np.zeros((n_thrs, nd), bool)
-        for t, thr in enumerate(IOU_THRS[:n_thrs]):
-            for d in range(nd):
-                best_iou = min(thr, 1 - 1e-10)
-                best_g = -1
-                for g in range(ng):
-                    if gt_m[t, g] > 0:
+        core = _native_core()
+        if core is not None:
+            dt_m, _, dt_ig = core.greedy_match(
+                ious, g_ignore, np.asarray(IOU_THRS[:n_thrs]))
+        else:
+            dt_m = np.zeros((n_thrs, nd), np.int64)    # matched gt idx + 1
+            gt_m = np.zeros((n_thrs, ng), np.int64)
+            dt_ig = np.zeros((n_thrs, nd), bool)
+            for t, thr in enumerate(IOU_THRS[:n_thrs]):
+                for d in range(nd):
+                    best_iou = min(thr, 1 - 1e-10)
+                    best_g = -1
+                    for g in range(ng):
+                        if gt_m[t, g] > 0:
+                            continue
+                        if best_g > -1 and not g_ignore[best_g] \
+                                and g_ignore[g]:
+                            break
+                        if ious[d, g] < best_iou:
+                            continue
+                        best_iou = ious[d, g]
+                        best_g = g
+                    if best_g == -1:
                         continue
-                    if best_g > -1 and not g_ignore[best_g] and g_ignore[g]:
-                        break
-                    if ious[d, g] < best_iou:
-                        continue
-                    best_iou = ious[d, g]
-                    best_g = g
-                if best_g == -1:
-                    continue
-                dt_ig[t, d] = g_ignore[best_g]
-                dt_m[t, d] = best_g + 1
-                gt_m[t, best_g] = d + 1
+                    dt_ig[t, d] = g_ignore[best_g]
+                    dt_m[t, d] = best_g + 1
+                    gt_m[t, best_g] = d + 1
         # unmatched detections outside the area range are ignored
         d_areas = d_boxes[:, 2] * d_boxes[:, 3]
         out_of_rng = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
@@ -182,18 +198,49 @@ class COCOEvaluator:
         ap_per_cat = {}
         precisions = np.full((n_thrs, len(REC_THRS), len(self.category_ids)),
                              -1.0)
+        core = _native_core()
         for ci, cat in enumerate(self.category_ids):
-            per_img = [self._evaluate_img_cat(i, cat, area_rng, n_thrs)
-                       for i in ids]
-            per_img = [r for r in per_img if r is not None]
-            if not per_img:
-                continue
-            n_gt = sum(r["n_gt"] for r in per_img)
-            if n_gt == 0:
-                continue
-            scores = np.concatenate([r["scores"] for r in per_img])
-            dt_m = np.concatenate([r["dt_m"] for r in per_img], axis=1)
-            dt_ig = np.concatenate([r["dt_ig"] for r in per_img], axis=1)
+            if core is not None:
+                # whole-category sweep in one native call (one ctypes
+                # round-trip per category, not per image)
+                g_boxes, g_areas, g_off = [], [], [0]
+                d_boxes, d_scores, d_off = [], [], [0]
+                any_entries = False
+                for i in ids:
+                    for box, ar in self._gt[i].get(cat, []):
+                        g_boxes.append(box)
+                        g_areas.append(ar)
+                        any_entries = True
+                    g_off.append(len(g_boxes))
+                    for box, sc in self._dt[i].get(cat, []):
+                        d_boxes.append(box)
+                        d_scores.append(sc)
+                        any_entries = True
+                    d_off.append(len(d_boxes))
+                if not any_entries:
+                    continue
+                scores, dt_m, dt_ig, n_gt = core.evaluate_category(
+                    np.asarray(g_boxes, np.float64).reshape(-1, 4),
+                    np.asarray(g_areas, np.float64),
+                    np.asarray(g_off, np.int64),
+                    np.asarray(d_boxes, np.float64).reshape(-1, 4),
+                    np.asarray(d_scores, np.float64),
+                    np.asarray(d_off, np.int64),
+                    np.asarray(IOU_THRS[:n_thrs]), area_rng, self.max_dets)
+                if n_gt == 0:
+                    continue
+            else:
+                per_img = [self._evaluate_img_cat(i, cat, area_rng, n_thrs)
+                           for i in ids]
+                per_img = [r for r in per_img if r is not None]
+                if not per_img:
+                    continue
+                n_gt = sum(r["n_gt"] for r in per_img)
+                if n_gt == 0:
+                    continue
+                scores = np.concatenate([r["scores"] for r in per_img])
+                dt_m = np.concatenate([r["dt_m"] for r in per_img], axis=1)
+                dt_ig = np.concatenate([r["dt_ig"] for r in per_img], axis=1)
             order = np.argsort(-scores, kind="mergesort")
             dt_m = dt_m[:, order]
             dt_ig = dt_ig[:, order]
@@ -204,6 +251,10 @@ class COCOEvaluator:
             for t in range(n_thrs):
                 tp = tp_sum[t]
                 fp = fp_sum[t]
+                if core is not None:
+                    precisions[t, :, ci] = core.precision_at_recall(
+                        tp, fp, n_gt, np.asarray(REC_THRS))
+                    continue
                 rc = tp / n_gt
                 pr = tp / np.maximum(tp + fp, np.spacing(1))
                 # monotone envelope from the right (COCOeval accumulate)

@@ -205,7 +205,8 @@ class CascadeROIHeads(nn.Module):
             features, boxes, strides=tuple(self.cfg.strides),
             output_size=resolution, sampling_ratio=self.cfg.sampling_ratio,
             canonical_box_size=self.cfg.canonical_box_size,
-            canonical_level=self.cfg.canonical_level)
+            canonical_level=self.cfg.canonical_level,
+            impl=getattr(self.cfg, "align_impl", "v2"))
 
     def run_cascade(self, features: Sequence[jax.Array], proposals: Detections,
                     zs_weight: jax.Array, image_hw: Tuple[int, int]

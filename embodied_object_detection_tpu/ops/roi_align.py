@@ -83,13 +83,58 @@ def _bilinear_flat(flat_table: jax.Array, x: jax.Array, y: jax.Array,
             tap(y1i, x1i, ly * lx * okf))
 
 
+def _bilinear_flat_bf16(flat_table: jax.Array, x: jax.Array, y: jax.Array,
+                        h: jax.Array, w: jax.Array,
+                        base: jax.Array) -> jax.Array:
+    """`_bilinear_flat` with tap weights cast to the feature dtype.
+
+    Same CUDA-kernel semantics (outside [-1,size] -> 0, border clamp at
+    full weight); the only difference is executional: weights are cast to
+    the table dtype so on TPU the whole gather->weight->sum chain stays
+    bf16 — no f32 convert + T(8,128)->T(2,128) relayout between gather
+    and reduce (trace-guided: the f32 path cost ~2.4 ms/frame at the
+    480x640 flagship shapes). Under f32 inputs (CPU tests / parity
+    oracles) this is bit-identical to _bilinear_flat.
+
+    Note: a pair-slab variant (one lax.gather of slice_sizes=(2, C)
+    fetching both x-taps) was measured 25x SLOWER on v5e — TPU gathers
+    only vectorize for full single-row slices. Do not re-add.
+    """
+    hf = h.astype(x.dtype)
+    wf = w.astype(x.dtype)
+    valid = (x >= -1.0) & (x <= wf) & (y >= -1.0) & (y <= hf)
+    x = jnp.clip(x, 0.0, wf - 1.0)
+    y = jnp.clip(y, 0.0, hf - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    okf = valid.astype(x.dtype)
+    dt = flat_table.dtype
+
+    def tap(yi, xi, wgt):
+        v = flat_table[(base + yi * w + xi).astype(jnp.int32)]
+        return v * wgt.astype(dt)[..., None]
+
+    return (tap(y0i, x0i, (1 - ly) * (1 - lx) * okf) +
+            tap(y0i, x1i, (1 - ly) * lx * okf) +
+            tap(y1i, x0i, ly * (1 - lx) * okf) +
+            tap(y1i, x1i, ly * lx * okf))
+
+
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "strides",
-                                   "canonical_box_size", "canonical_level"))
+                                   "canonical_box_size", "canonical_level",
+                                   "impl"))
 def multilevel_roi_align(features: Sequence[jax.Array], boxes: jax.Array,
                          strides: Tuple[int, ...], output_size: int,
                          sampling_ratio: int = 2,
                          canonical_box_size: int = 224,
-                         canonical_level: int = 4) -> jax.Array:
+                         canonical_level: int = 4,
+                         impl: str = "v1") -> jax.Array:
     """ROIAlignV2 over an FPN pyramid.
 
     features: per-level [H_l, W_l, C] (NHWC, single image)
@@ -140,11 +185,23 @@ def multilevel_roi_align(features: Sequence[jax.Array], boxes: jax.Array,
     sxx = sxx - 0.5
     syy = syy - 0.5
 
-    vals = _bilinear_flat(
+    bilinear = _bilinear_flat_bf16 if impl == "v2" else _bilinear_flat
+    vals = bilinear(
         flat, sxx, syy,
         jnp.broadcast_to(roi_h[:, None, None], sxx.shape),
         jnp.broadcast_to(roi_w[:, None, None], sxx.shape),
         jnp.broadcast_to(roi_base[:, None, None], sxx.shape))    # [R, P, P, C]
+
+    if impl == "v2":
+        # strided-slice window sum instead of a 6-D reshape+mean: the 6-D
+        # view forces an XLA relayout (T(8,128)->T(2,128) copy); strided
+        # slices fuse into the add. 1/s^2 is a power of two — exact in bf16.
+        acc = vals[:, ::s, ::s]
+        for ki in range(s):
+            for kj in range(s):
+                if ki or kj:
+                    acc = acc + vals[:, ki::s, kj::s]
+        return acc * (1.0 / (s * s))
 
     # average the s x s samples per bin
     vals = vals.reshape(r, output_size, s, output_size, s, c)
