@@ -1,0 +1,87 @@
+"""ObjectNav / EQA / VLN task variants."""
+
+import numpy as np
+
+from embodied_object_detection_tpu.rl.core import Env
+from embodied_object_detection_tpu.rl.sim import GridSimulator
+from embodied_object_detection_tpu.rl import tasks as T
+from embodied_object_detection_tpu.rl import nav
+
+
+def _env(task_cls, make_ds, scene="tscene0", **kw):
+    sim = GridSimulator(render_rgb=False)
+    ds = make_ds(sim, [scene], **kw)
+    task = task_cls.build(sim)
+    return Env(task, ds, max_episode_steps=30, seed=0)
+
+
+def test_objectnav_sensor_and_distance():
+    env = _env(T.ObjectNavigationTask, T.make_objectnav_dataset,
+               episodes_per_scene=3)
+    obs = env.reset()
+    assert obs["objectgoal"].shape == (1,)
+    cat_id = int(obs["objectgoal"][0])
+    assert 0 <= cat_id < len(T.CATEGORIES)
+    env.step(1)
+    m = env.get_metrics()
+    assert np.isfinite(m["distance_to_goal"])
+    # min-over-instances: metric <= distance to the pointgoal reference
+    ep = env.current_episode
+    d_ref = env.sim.geodesic_distance(
+        env.sim.get_agent_state().position, np.asarray(ep.info["goal"]))
+    assert m["distance_to_goal"] <= d_ref + 1e-6
+    env.close()
+
+
+def test_objectnav_success_near_any_instance():
+    env = _env(T.ObjectNavigationTask, T.make_objectnav_dataset,
+               episodes_per_scene=3)
+    env.reset()
+    ep = env.current_episode
+    # teleport next to an instance, then stop
+    env.sim.agent.position = np.asarray(ep.info["goal_positions"][0],
+                                        np.float32) + 0.05
+    env.step(0)
+    assert env.get_metrics()["success"] == 1.0
+    env.close()
+
+
+def test_eqa_answer_accuracy():
+    env = _env(T.EQATask, T.make_eqa_dataset, episodes_per_scene=3)
+    obs = env.reset()
+    assert obs["question"].shape == (T.MAX_QUESTION_LEN,)
+    ep = env.current_episode
+    env.task.pending_answer = ep.info["answer_id"]
+    env.step("answer")
+    m = env.get_metrics()
+    assert m["answer_accuracy"] == 1.0
+    assert m["correct_answer"] == ep.info["answer_id"]
+    assert env.episode_over
+
+    # wrong answer -> 0
+    env.reset()
+    env.task.pending_answer = (env.current_episode.info["answer_id"] + 1) % \
+        len(T.ANSWERS)
+    env.step("answer")
+    assert env.get_metrics()["answer_accuracy"] == 0.0
+    env.close()
+
+
+def test_vln_instruction_and_path():
+    env = _env(T.VLNTask, T.make_vln_dataset, episodes_per_scene=3)
+    obs = env.reset()
+    assert obs["instruction"].shape == (T.MAX_QUESTION_LEN,)
+    path = env.current_episode.info["reference_path"]
+    assert len(path) == 3
+    np.testing.assert_allclose(path[0], env.current_episode.start_position,
+                               atol=1e-6)
+    env.close()
+
+
+def test_place_objects_deterministic():
+    sim = GridSimulator(render_rgb=False)
+    a = T.place_objects(sim, "detscene")
+    b = T.place_objects(sim, "detscene")
+    assert [o.category for o in a] == [o.category for o in b]
+    for oa, ob in zip(a, b):
+        np.testing.assert_allclose(oa.position, ob.position)
