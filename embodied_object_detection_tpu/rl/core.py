@@ -209,13 +209,42 @@ class Episode:
 
 class Dataset:
     """Episode container (habitat/core/dataset.py Dataset, trimmed to the
-    surface the Env/trainers consume)."""
+    surface the Env/trainers consume + JSON (de)serialization per
+    dataset.py:168-208 — habitat datasets ship as episode JSON files)."""
 
     def __init__(self, episodes: Sequence[Episode]):
         self.episodes: List[Episode] = list(episodes)
 
     def get_scenes(self) -> List[str]:
         return sorted({e.scene_id for e in self.episodes})
+
+    def to_json(self) -> str:
+        import json
+
+        def default(o):
+            if isinstance(o, np.ndarray):
+                return o.tolist()
+            if isinstance(o, (np.floating, np.integer)):
+                return o.item()
+            raise TypeError(f"not serializable: {type(o)}")
+
+        return json.dumps(
+            {"episodes": [{
+                "episode_id": e.episode_id, "scene_id": e.scene_id,
+                "start_position": np.asarray(e.start_position).tolist(),
+                "start_rotation": float(e.start_rotation),
+                "info": e.info,
+            } for e in self.episodes]}, default=default)
+
+    @classmethod
+    def from_json(cls, json_str: str) -> "Dataset":
+        import json
+        blob = json.loads(json_str)
+        return cls([Episode(
+            episode_id=str(d["episode_id"]), scene_id=str(d["scene_id"]),
+            start_position=np.asarray(d["start_position"], np.float32),
+            start_rotation=float(d["start_rotation"]),
+            info=d.get("info", {})) for d in blob["episodes"]])
 
     def get_episode_iterator(self, cycle: bool = True, shuffle: bool = False,
                              seed: Optional[int] = None) -> "EpisodeIterator":

@@ -163,7 +163,7 @@ class QuestionSensor(Sensor):
     observation_space = Box(0, len(VOCAB) - 1, (MAX_QUESTION_LEN,), np.int64)
 
     def get_observation(self, sim, episode, task):
-        return episode.info["question_tokens"]
+        return np.asarray(episode.info["question_tokens"], np.int64)
 
 
 @registry.register_action()
@@ -268,7 +268,7 @@ class InstructionSensor(Sensor):
     observation_space = Box(0, len(VOCAB) - 1, (MAX_QUESTION_LEN,), np.int64)
 
     def get_observation(self, sim, episode, task):
-        return episode.info["instruction_tokens"]
+        return np.asarray(episode.info["instruction_tokens"], np.int64)
 
 
 @registry.register_task()

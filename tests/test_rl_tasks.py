@@ -85,3 +85,27 @@ def test_place_objects_deterministic():
     assert [o.category for o in a] == [o.category for o in b]
     for oa, ob in zip(a, b):
         np.testing.assert_allclose(oa.position, ob.position)
+
+
+def test_dataset_json_roundtrip(tmp_path):
+    """habitat/core/dataset.py:168-208 to_json/from_json parity surface."""
+    from embodied_object_detection_tpu.rl.core import Dataset
+    sim = GridSimulator(render_rgb=False)
+    ds = T.make_eqa_dataset(sim, ["jscene"], episodes_per_scene=3)
+    blob = ds.to_json()
+    back = Dataset.from_json(blob)
+    assert len(back.episodes) == len(ds.episodes)
+    for a, b in zip(ds.episodes, back.episodes):
+        assert a.episode_id == b.episode_id and a.scene_id == b.scene_id
+        np.testing.assert_allclose(a.start_position, b.start_position)
+        assert a.start_rotation == b.start_rotation
+        np.testing.assert_array_equal(
+            np.asarray(a.info["question_tokens"]),
+            np.asarray(b.info["question_tokens"]))
+        assert a.info["answer_id"] == b.info["answer_id"]
+    # an Env can run on the deserialized dataset
+    task = T.EQATask.build(sim)
+    env = Env(task, back, max_episode_steps=5, seed=0)
+    obs = env.reset()
+    assert obs["question"].shape[0] == T.MAX_QUESTION_LEN
+    env.close()
