@@ -146,10 +146,24 @@ class PPOTrainer:
         self.num_steps_done += self.cfg.num_envs
         return hidden, jnp.asarray(actions_np), jnp.asarray(new_masks)
 
-    # -- train loop (ppo_trainer.py:282-420) -------------------------------
-    def train(self, num_updates: Optional[int] = None) -> List[dict]:
+    # -- train loop (ppo_trainer.py:282-420; DD-PPO preemption wiring per
+    # ddppo_trainer.py:150-180, 330-380) -----------------------------------
+    def train(self, num_updates: Optional[int] = None,
+              handle_preemption: bool = False) -> List[dict]:
         cfg = self.cfg
         num_updates = num_updates or cfg.num_updates
+        start_update = 0
+
+        if handle_preemption:
+            from embodied_object_detection_tpu.rl import ddppo
+            ddppo.add_signal_handlers()
+            interrupted = ddppo.load_interrupted_state()
+            if interrupted is not None:
+                params = jax.tree_util.tree_map(jnp.asarray,
+                                                interrupted["params"])
+                self.state = self.state._replace(params=params)
+                start_update = int(interrupted.get("update", 0))
+                self.num_steps_done = int(interrupted.get("steps", 0))
 
         obs_list = self.envs.reset()
         self.rollouts.set_first_observations(_stack_obs(obs_list))
@@ -157,7 +171,16 @@ class PPOTrainer:
         prev_actions = jnp.zeros((cfg.num_envs,), jnp.int32)
         masks = jnp.zeros((cfg.num_envs,), jnp.float32)
 
-        for update in range(num_updates):
+        for update in range(start_update, num_updates):
+            if handle_preemption:
+                from embodied_object_detection_tpu.rl import ddppo
+                if ddppo.EXIT.is_set():
+                    ddppo.save_interrupted_state({
+                        "params": jax.tree_util.tree_map(
+                            np.asarray, self.state.params),
+                        "update": update, "steps": self.num_steps_done})
+                    ddppo.requeue_job()
+                    return self.metrics_log
             for _ in range(cfg.num_steps):
                 hidden, prev_actions, masks = self._collect_rollout_step(
                     hidden, prev_actions, masks)

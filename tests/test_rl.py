@@ -382,3 +382,40 @@ def test_num_rollouts_done_store(tmp_path):
     assert store.get() == 3
     store.reset()
     assert store.get() == 0
+
+
+def test_trainer_preemption_resume(tmp_path, monkeypatch):
+    """ddppo_trainer.py:150-180 preemption contract: EXIT -> interrupted
+    state saved; next train() resumes from the saved update index."""
+    from embodied_object_detection_tpu.rl import ddppo
+    from embodied_object_detection_tpu.rl.trainer import (
+        PPOTrainer, PPOTrainerConfig)
+    state_file = str(tmp_path / "int.pkl")
+    monkeypatch.setattr(ddppo, "_interrupted_state_file", lambda: state_file)
+
+    cfg = PPOTrainerConfig(
+        num_envs=2, num_steps=4, num_updates=3, hidden_size=32,
+        ppo=PPOConfig(ppo_epoch=1, num_mini_batch=1))
+
+    def env_fn(i):
+        return make_nav_rl_env(scene_ids=("pre",), episodes_per_scene=2,
+                               seed=i, max_episode_steps=8)
+
+    t1 = PPOTrainer(cfg, env_fn)
+    ddppo.EXIT.set()
+    try:
+        log = t1.train(handle_preemption=True)
+    finally:
+        ddppo.EXIT.clear()
+    t1.close()
+    assert log == []  # exited before the first update
+    saved = ddppo.load_interrupted_state(state_file)
+    assert saved is not None and saved["update"] == 0
+
+    # simulate a mid-run save, then resume skips completed updates
+    saved["update"] = 2
+    ddppo.save_interrupted_state(saved, state_file)
+    t2 = PPOTrainer(cfg, env_fn)
+    log2 = t2.train(handle_preemption=True)
+    t2.close()
+    assert len(log2) == 1 and log2[0]["update"] == 2
