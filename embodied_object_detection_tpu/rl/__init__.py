@@ -15,5 +15,7 @@ Layout:
   trainer.py  PPO trainer loop over VectorEnv
 """
 
-from embodied_object_detection_tpu.rl import core, nav, sim  # noqa: F401
+from embodied_object_detection_tpu.rl import (  # noqa: F401
+    agents, config, core, nav, sim, slam, stream_sim, tasks)
+from embodied_object_detection_tpu.rl.agents import Agent, Benchmark  # noqa: F401
 from embodied_object_detection_tpu.rl.core import Env, RLEnv, registry  # noqa: F401

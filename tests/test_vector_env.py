@@ -56,3 +56,69 @@ def test_async_step_and_pause(cls):
     envs.resume_all()
     assert envs.num_envs == 3
     envs.close()
+
+
+@pytest.mark.parametrize("start_method", ["spawn", "forkserver"])
+def test_start_method_matrix(start_method):
+    """habitat test_habitat_env.py:101-163 runs fork/spawn/forkserver; the
+    non-fork methods require picklable env factories."""
+    with VectorEnv([CounterEnvFactory(i * 100) for i in range(2)],
+                   start_method=start_method) as envs:
+        assert envs.reset() == [0, 100]
+        assert envs.step([2, 2]) == [2, 102]
+
+
+class CounterEnvFactory:
+    def __init__(self, base):
+        self.base = base
+
+    def __call__(self):
+        return CounterEnv(self.base)
+
+
+class GymTupleEnv:
+    """(obs, reward, done, info) env ending every 2 steps."""
+
+    def __init__(self):
+        self.t = 0
+
+    def reset(self):
+        self.t = 0
+        return {"t": 0}
+
+    def step(self, action):
+        self.t += 1
+        done = self.t >= 2
+        return ({"t": self.t}, 1.0, done, {"steps": self.t})
+
+
+@pytest.mark.parametrize("cls", [VectorEnv, ThreadedVectorEnv])
+def test_auto_reset_done(cls):
+    """auto_reset_done=True resets finished episodes in the worker
+    (vector_env.py:184-190) — the PPO trainer contract."""
+    envs = cls([GymTupleEnv for _ in range(2)], auto_reset_done=True)
+    envs.reset()
+    envs.step([0, 0])
+    obs, r, done, info = envs.step([0, 0])[0]
+    assert done and obs == {"t": 0}  # fresh obs from the worker reset
+    # next step runs on the reset episode
+    obs, _, done2, _ = envs.step([0, 0])[0]
+    assert obs == {"t": 1} and not done2
+    envs.close()
+
+
+def test_rl_env_in_subprocess_pool():
+    """Real nav envs across forked workers (the data-generation use)."""
+    from embodied_object_detection_tpu.rl.nav import make_nav_rl_env
+    envs = VectorEnv(
+        [lambda i=i: make_nav_rl_env(scene_ids=(f"vp{i}",),
+                                     episodes_per_scene=2, seed=i,
+                                     max_episode_steps=5)
+         for i in range(2)],
+        auto_reset_done=True)
+    obs = envs.reset()
+    assert all("pointgoal_with_gps_compass" in o for o in obs)
+    for _ in range(6):
+        results = envs.step([1, 2])
+    assert all(len(r) == 4 for r in results)
+    envs.close()
