@@ -85,17 +85,27 @@ def chunks_to_train_batch(chunks: List[EpisodeChunk], cfg: DetectorConfig,
 
 
 class MetricsWriter:
-    """detectron2 JSONWriter analog: one JSON line per logging period."""
+    """detectron2 JSONWriter + TensorboardXWriter analog
+    (train_mp3d.py:534-542): one JSON line per logging period, mirrored
+    into a tensorboard events file under <output_dir>/tb/."""
 
-    def __init__(self, output_dir: str):
+    def __init__(self, output_dir: str, tensorboard: bool = True):
         os.makedirs(output_dir, exist_ok=True)
         self.path = os.path.join(output_dir, "metrics.json")
+        self._tb = None
+        if tensorboard:
+            from ..utils.tb_writer import SummaryWriter
+            self._tb = SummaryWriter(os.path.join(output_dir, "tb"))
 
     def write(self, iteration: int, scalars: Dict[str, float]):
         rec = {"iteration": iteration,
                **{k: float(v) for k, v in scalars.items()}}
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalars(
+                {k: v for k, v in rec.items() if k != "iteration"},
+                iteration)
 
 
 def train(model: EmbodiedDetector, params, cfg: DetectorConfig,

@@ -134,6 +134,11 @@ def decode_proposals(agn_hms: Sequence[jax.Array], regs: Sequence[jax.Array],
     scores = jnp.concatenate(all_scores, axis=0)
     valid = jnp.concatenate(all_valid, axis=0)
     cap = cfg.nms_candidate_cap
+    if cap:
+        # the cap is a pure NMS-cost optimization (ARCHITECTURE divergence
+        # #2) — it must never truncate below the requested output size
+        # (post_nms_topk_train=2000 > the 1024 default cap at train time)
+        cap = max(cap, post_topk)
     if cap and cap < boxes.shape[0]:
         key = jnp.where(valid, scores, -1e10)
         _, keep = jax.lax.top_k(key, cap)

@@ -117,6 +117,15 @@ def main(argv=None):
         memory=dataclasses.replace(cfg.memory, test_type=args.test_type,
                                    save_semmap=args.save_semmap))
     cfg = apply_opts(cfg, args.opts)
+    if cfg.output_dir.endswith("/auto"):
+        # ref: train_mp3d.py:678-689 — '/auto' expands to a config-derived
+        # run directory name with the date
+        import datetime
+        tag = args.parity_config or cfg.memory.memory_type or "default"
+        stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        cfg = cfg.replace(output_dir=os.path.join(
+            os.path.dirname(cfg.output_dir), f"{tag}-{stamp}"))
+        print(f"output dir (auto): {cfg.output_dir}")
     os.makedirs(cfg.output_dir, exist_ok=True)
 
     model, params = build_detector(cfg, jax.random.PRNGKey(0))

@@ -110,3 +110,26 @@ def test_multiclass_nms_rows(rng):
     assert np.all(rows[~det_v] == -1)
     # scores above threshold only
     assert np.all(np.asarray(det.scores)[det_v] > 0.05)
+
+
+def test_decode_proposals_train_post_topk_exceeds_cap():
+    """post_nms_topk_train (2000 default) > nms_candidate_cap (1024): the
+    cap must expand to the requested output size instead of feeding top_k
+    fewer rows than k (regression: ValueError in jax.lax.top_k)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from embodied_object_detection_tpu.config import CenterNetConfig
+    from embodied_object_detection_tpu.models.centernet import (
+        decode_proposals)
+    cfg = CenterNetConfig(pre_nms_topk_train=2000, post_nms_topk_train=2000,
+                          nms_candidate_cap=1024,
+                          strides=(8, 16, 32), not_nms=True)
+    rng = np.random.RandomState(0)
+    shapes = [(40, 52), (20, 26), (10, 13)]
+    hms = [jnp.asarray(rng.randn(h, w, 1).astype(np.float32))
+           for h, w in shapes]
+    regs = [jnp.asarray(np.abs(rng.randn(h, w, 4)).astype(np.float32))
+            for h, w in shapes]
+    out = decode_proposals(hms, regs, cfg, training=True)
+    assert out.boxes.shape[0] == 2000
+    assert bool(out.valid.any())
