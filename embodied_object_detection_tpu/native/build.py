@@ -1,29 +1,39 @@
 """Build + ctypes-bind the native eval core.
 
-Compiles eval_core.cc with the system g++ on first use (cached next to
-the source; rebuilt when the source is newer). No pip/pybind11 — plain
-C ABI + ctypes, per the environment's toolchain constraints.
+Compiles eval_core.cc with the system g++ on first *use* (never at
+import time — a cold build can take tens of seconds). The artifact name
+embeds a hash of the source, so a stale or foreign binary (different
+source, or one copied across machines) is never loaded; binaries are
+gitignored and rebuilt per machine with portable flags (-O3 only, no
+-march=native — the evaluator must not SIGILL on older ISAs).
 
-Set EODT_NO_NATIVE=1 to force the pure-Python evaluator paths.
+No pip/pybind11 — plain C ABI + ctypes, per the environment's toolchain
+constraints. Set EODT_NO_NATIVE=1 to force the pure-Python evaluator
+paths.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import Optional
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                    "eval_core.cc")
-_SO = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "_eval_core.so")
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "eval_core.cc")
 
 _f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 _i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_DIR, f"_eval_core_{digest}.so")
 
 
 class EvalCore:
@@ -109,9 +119,8 @@ class EvalCore:
         return out
 
 
-def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", _SO, _SRC]
+def _build(so: str) -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", so, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -119,14 +128,25 @@ def _build() -> bool:
         return False
 
 
+_CACHE: dict = {}
+
+
 def load_eval_core() -> Optional[EvalCore]:
+    """Build (if needed) and bind the core; cached after the first call.
+    Returns None when disabled or the toolchain is unavailable."""
     if os.environ.get("EODT_NO_NATIVE"):
         return None
+    if "core" in _CACHE:
+        return _CACHE["core"]
+    core = None
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            if not _build():
+        so = _so_path()
+        if not os.path.exists(so):
+            if not _build(so):
+                _CACHE["core"] = None
                 return None
-        return EvalCore(ctypes.CDLL(_SO))
+        core = EvalCore(ctypes.CDLL(so))
     except OSError:
-        return None
+        core = None
+    _CACHE["core"] = core
+    return core

@@ -34,11 +34,17 @@ class AgentState:
     rotation: float
 
 
+def _scene_seed(scene_id: str, salt: int = 0) -> int:
+    """Process-stable scene seed (hash() is randomized per interpreter)."""
+    import zlib
+    return (zlib.crc32(scene_id.encode()) + salt) % (2 ** 31)
+
+
 def _build_scene(scene_id: str, size_m: float, cell_m: float) -> np.ndarray:
     """Deterministic occupancy grid for a scene id: border walls + a few
     rectangular obstacles (True = occupied)."""
     n = int(round(size_m / cell_m))
-    rng = np.random.RandomState(abs(hash(scene_id)) % (2 ** 31))
+    rng = np.random.RandomState(_scene_seed(scene_id))
     occ = np.zeros((n, n), bool)
     occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = True
     for _ in range(rng.randint(2, 6)):

@@ -230,9 +230,15 @@ class DepthMapperAndPlannerAgent(Agent):
         return p
 
     def _to_cell(self, xz: np.ndarray) -> Tuple[int, int]:
+        """World coords -> map cell, registered to pcl_to_obstacles'
+        rasterization: obstacle cell = round(p/cell + s/2) with p measured
+        from the map centre (= coord - size/2), i.e. round(coord/cell -
+        size/(2*cell) + s/2). Using plain round(coord/cell) here would be
+        off by half a cell against the obstacle grid (s = ceil(size/cell)-1)."""
         s = self.mapper.map_cells
-        r = int(round(xz[1] / self.cell_m))
-        c = int(round(xz[0] / self.cell_m))
+        off = s / 2.0 - self.map_size_m / (2.0 * self.cell_m)
+        r = int(round(xz[1] / self.cell_m + off))
+        c = int(round(xz[0] / self.cell_m + off))
         return (int(np.clip(r, 0, s - 1)), int(np.clip(c, 0, s - 1)))
 
     def update_map(self, observations: Dict[str, np.ndarray]) -> None:
@@ -270,7 +276,10 @@ class DepthMapperAndPlannerAgent(Agent):
         if len(path) <= 1:
             return FORWARD  # no plan; probe ahead
         wp = path[min(self.lookahead, len(path) - 1)]
-        wp_xz = np.array([wp[1] * self.cell_m, wp[0] * self.cell_m])
+        s = self.mapper.map_cells
+        off = s / 2.0 - self.map_size_m / (2.0 * self.cell_m)
+        wp_xz = np.array([(wp[1] - off) * self.cell_m,
+                          (wp[0] - off) * self.cell_m])
         to_wp = wp_xz - st.position
         angle = float((np.arctan2(to_wp[1], to_wp[0]) - st.rotation + np.pi)
                       % (2 * np.pi) - np.pi)

@@ -53,7 +53,8 @@ def place_objects(sim: GridSimulator, scene_id: str,
                   num_objects: int = 6) -> List[ObjectInstance]:
     """Deterministic object instances on free cells of a scene (the
     semantic-annotation analog of habitat-sim scenes)."""
-    rng = np.random.RandomState((abs(hash(scene_id)) + 7) % (2 ** 31))
+    from embodied_object_detection_tpu.rl.sim import _scene_seed
+    rng = np.random.RandomState(_scene_seed(scene_id, salt=7))
     out = []
     for i in range(num_objects):
         cat_id = int(rng.randint(len(CATEGORIES)))
@@ -177,9 +178,12 @@ class AnswerAction(Action):
         task.pending_answer = None
 
     def step(self, sim, task):
+        # no answer chosen -> 'nothing' (an id-0 default would spuriously
+        # score whenever the ground truth happens to be category 0)
+        default = ANSWERS.index("nothing")
         task.answer = (task.pending_answer
                        if getattr(task, "pending_answer", None) is not None
-                       else 0)
+                       else default)
         task.is_stop_called = True
 
 

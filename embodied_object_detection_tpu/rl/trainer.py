@@ -114,6 +114,12 @@ class PPOTrainer:
         self.metrics_log: List[dict] = []
         self.num_steps_done = 0
 
+    def _fingerprint(self) -> str:
+        """Identifies the experiment an interrupted state belongs to."""
+        c = self.cfg
+        return (f"envs{c.num_envs}-steps{c.num_steps}-hid{c.hidden_size}-"
+                f"rgb{int(c.with_rgb)}-acts{self._num_actions}")
+
     # -- rollout collection (ppo_trainer.py:217-280) -----------------------
     def _collect_rollout_step(self, hidden, prev_actions, masks):
         t = self.rollouts.step
@@ -158,12 +164,23 @@ class PPOTrainer:
             from embodied_object_detection_tpu.rl import ddppo
             ddppo.add_signal_handlers()
             interrupted = ddppo.load_interrupted_state()
-            if interrupted is not None:
+            if interrupted is not None and \
+                    interrupted.get("fingerprint") == self._fingerprint():
                 params = jax.tree_util.tree_map(jnp.asarray,
                                                 interrupted["params"])
-                self.state = self.state._replace(params=params)
+                opt_state = jax.tree_util.tree_map(
+                    jnp.asarray, interrupted["opt_state"])
+                self.state = self.state._replace(params=params,
+                                                 opt_state=opt_state)
                 start_update = int(interrupted.get("update", 0))
                 self.num_steps_done = int(interrupted.get("steps", 0))
+            if interrupted is not None:
+                # consume the state file either way: a fingerprint mismatch
+                # means it belongs to a different experiment and must not
+                # hijack later runs
+                f = ddppo._interrupted_state_file()
+                if os.path.exists(f):
+                    os.remove(f)
 
         obs_list = self.envs.reset()
         self.rollouts.set_first_observations(_stack_obs(obs_list))
@@ -178,6 +195,9 @@ class PPOTrainer:
                     ddppo.save_interrupted_state({
                         "params": jax.tree_util.tree_map(
                             np.asarray, self.state.params),
+                        "opt_state": jax.tree_util.tree_map(
+                            np.asarray, self.state.opt_state),
+                        "fingerprint": self._fingerprint(),
                         "update": update, "steps": self.num_steps_done})
                     ddppo.requeue_job()
                     return self.metrics_log

@@ -34,7 +34,8 @@ def export_frame_step(model, params, cfg, num_classes: Optional[int] = None,
 
     h, w = cfg.input.height, cfg.input.width
     cells = cfg.memory.max_cells
-    d = cfg.roi.zs_weight_dim
+    zs_dim = cfg.roi.zs_weight_dim
+    mem_dim = cfg.memory.memory_dim
     nc = num_classes or cfg.roi.num_classes
 
     def step(image, zs_weight, mem_features, mem_obs, proj_indices,
@@ -50,8 +51,8 @@ def export_frame_step(model, params, cfg, num_classes: Optional[int] = None,
 
     args = (
         jax.ShapeDtypeStruct((h, w, 3), jnp.float32),
-        jax.ShapeDtypeStruct((d, nc + 1), jnp.float32),
-        jax.ShapeDtypeStruct((cells, d), jnp.float32),
+        jax.ShapeDtypeStruct((zs_dim, nc + 1), jnp.float32),
+        jax.ShapeDtypeStruct((cells, mem_dim), jnp.float32),
         jax.ShapeDtypeStruct((cells,), jnp.float32),
         jax.ShapeDtypeStruct((h, w), jnp.int32),
         jax.ShapeDtypeStruct((h, w), jnp.bool_),

@@ -185,27 +185,34 @@ def _parse_event(buf: bytes):
     return step, scalars
 
 
+def _read_varint(buf: bytes, p: int):
+    shift = v = 0
+    while True:
+        b = buf[p]
+        v |= (b & 0x7F) << shift
+        p += 1
+        if not b & 0x80:
+            return v, p
+        shift += 7
+
+
 def _parse_summary(buf: bytes):
     out = {}
     pos = 0
     while pos < len(buf):
-        key = buf[pos]
-        pos += 1
+        key, pos = _read_varint(buf, pos)
         num, wire = key >> 3, key & 7
         assert wire == 2 and num == 1
-        ln = buf[pos]
-        pos += 1
+        ln, pos = _read_varint(buf, pos)
         val = buf[pos:pos + ln]
         pos += ln
         tag, simple = None, None
         vp = 0
         while vp < len(val):
-            k = val[vp]
-            vp += 1
+            k, vp = _read_varint(val, vp)
             n, w = k >> 3, k & 7
             if w == 2:
-                l2 = val[vp]
-                vp += 1
+                l2, vp = _read_varint(val, vp)
                 if n == 1:
                     tag = val[vp:vp + l2].decode()
                 vp += l2

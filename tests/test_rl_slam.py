@@ -96,7 +96,9 @@ def test_trace_path_descends_to_goal():
 
 def test_mapper_marks_wall_ahead():
     sim = GridSimulator(image_hw=(64, 64))
-    ep = Episode("e", "slamscene", np.array([6.4, 6.4], np.float32), 0.0)
+    # face the -x border wall from 1 m away (inside the mapper's far_th)
+    ep = Episode("e", "slamscene", np.array([1.0, 6.4], np.float32),
+                 float(np.pi))
     sim.reset(ep)
     depth = sim.render_depth()[..., 0]
     mapper = DirectDepthMapper(map_size_m=sim.size_m, cell_m=0.2,

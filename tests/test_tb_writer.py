@@ -49,3 +49,14 @@ def test_metrics_writer_emits_tb(tmp_path):
     assert len(files) == 1
     events = list(tb_writer.read_events(files[0]))
     assert events[0] == (3, {"total_loss": pytest.approx(2.0)})
+
+
+def test_long_tag_roundtrip(tmp_path):
+    """Value submessages >127 bytes need multi-byte length varints in the
+    reader (regression: single-byte assumption desynced the parse)."""
+    tag = "AP-" + "x" * 150
+    with tb_writer.SummaryWriter(str(tmp_path)) as w:
+        w.add_scalar(tag, 3.25, 7)
+        path = w.path
+    events = list(tb_writer.read_events(path))
+    assert events[0] == (7, {tag: pytest.approx(3.25)})

@@ -38,7 +38,9 @@ def main():
     state, _ = init_state(params)
 
     b, h, w = args.batch, args.height, args.width
-    cells, d, g = cfg.memory.max_cells, cfg.roi.zs_weight_dim, 64
+    cells, g = cfg.memory.max_cells, 64
+    d = cfg.memory.memory_dim
+    zs_dim = cfg.roi.zs_weight_dim
     rng = np.random.RandomState(0)
     batch = TrainBatch(
         image=jnp.asarray(rng.randint(0, 255, (b, h, w, 3)).astype(np.float32)),
@@ -50,7 +52,8 @@ def main():
         gt_classes=jnp.zeros((b, g), jnp.int32),
         gt_valid=jnp.asarray(np.tile(np.arange(g) < 5, (b, 1))),
         weight=jnp.ones((b,), jnp.float32))
-    zs = jnp.asarray(rng.randn(d, cfg.roi.num_classes + 1).astype(np.float32))
+    zs = jnp.asarray(rng.randn(zs_dim,
+                               cfg.roi.num_classes + 1).astype(np.float32))
 
     jit_step = jax.jit(step_fn, donate_argnums=(0,))
     state, losses = jit_step(state, batch, zs)
