@@ -167,3 +167,17 @@ class Benchmark:
                 if np.isscalar(v) and np.isfinite(v):
                     agg[k].append(float(v))
         return {k: float(np.mean(v)) for k, v in agg.items()}
+
+
+class Challenge(Benchmark):
+    """Challenge-submission wrapper (habitat/core/challenge.py:13-21):
+    evaluate an agent and print the metric table. The reference's remote
+    grpc evaluation-server mode (benchmark.py:41-115) is challenge
+    infrastructure outside the framework; local evaluation is complete."""
+
+    def submit(self, agent: Agent,
+               num_episodes: Optional[int] = None) -> Dict[str, float]:
+        metrics = self.evaluate(agent, num_episodes)
+        for k, v in metrics.items():
+            print(f"{k}: {v}")
+        return metrics

@@ -110,3 +110,29 @@ def test_rl_cli_distributed_smoke():
                "--max-episode-steps", "8", "--num-mini-batch", "1",
                "--distributed"])
     assert rc == 0
+
+
+def test_spaces_contract():
+    """habitat test/test_spaces.py analog: sample/contains round-trip."""
+    from embodied_object_detection_tpu.rl.core import (
+        Box, DictSpace, Discrete)
+    rng = np.random.RandomState(0)
+    b = Box(-1.0, 1.0, (3,))
+    assert b.contains(b.sample(rng))
+    assert not b.contains(np.full(3, 5.0))
+    d = Discrete(4)
+    assert d.contains(d.sample(rng)) and not d.contains(7)
+    ds = DictSpace({"a": b, "c": d})
+    s = ds.sample(rng)
+    assert ds.contains(s) and set(s) == {"a", "c"}
+
+
+def test_challenge_submit(capsys):
+    from embodied_object_detection_tpu.rl.agents import Challenge
+    env = make_nav_rl_env(scene_ids=("ch0",), episodes_per_scene=2, seed=3,
+                          max_episode_steps=10)
+    metrics = Challenge(env.habitat_env).submit(ForwardOnlyAgent(),
+                                                num_episodes=1)
+    out = capsys.readouterr().out
+    assert "distance_to_goal" in metrics and "distance_to_goal" in out
+    env.close()
