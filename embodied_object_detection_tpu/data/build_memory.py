@@ -77,19 +77,63 @@ def build_memory_file(sensor_h5: str, out_h5: str,
     return map_w, map_h
 
 
+def map_shift_from_info(env: str, info: dict,
+                        dataset: str = "mp3d") -> np.ndarray:
+    """Per-scene map_world_shift from the dataset's map-info json.
+
+    mp3d: semmap_GT_info.json carries an explicit `map_world_shift`
+    (build_memory_data.py:128-131). replica: replica_map_info.json carries
+    x/y extents, shift = [x_min-1, 0, y_min-1]
+    (build_replica_memory_data.py:131).
+    """
+    entry = info[env]
+    if dataset == "replica":
+        return np.array([entry["x_min"] - 1.0, 0.0, entry["y_min"] - 1.0],
+                        np.float64)
+    return np.asarray(entry["map_world_shift"], np.float64)
+
+
+def build_dataset_memories(sensor_dir: str, out_dir: str,
+                           map_info_json: Optional[str] = None,
+                           dataset: str = "mp3d",
+                           resolution: float = 0.2) -> dict:
+    """Convert every sensor h5 under sensor_dir, resolving each scene's
+    map shift from the dataset map-info json when given (the
+    build_memory_data / build_replica_memory_data drivers; scene id =
+    filename prefix before the first '_'). Returns {file: (map_w, map_h)}."""
+    import json
+    info = json.load(open(map_info_json)) if map_info_json else None
+    dims = {}
+    for f in sorted(os.listdir(sensor_dir)):
+        if not f.endswith(".h5"):
+            continue
+        shift = None
+        if info is not None:
+            env = f.split("_")[0]
+            if env in info:
+                shift = map_shift_from_info(env, info, dataset)
+        dims[f] = build_memory_file(os.path.join(sensor_dir, f),
+                                    os.path.join(out_dir, f),
+                                    map_world_shift=shift,
+                                    resolution=resolution)
+    return dims
+
+
 def main(argv=None):  # pragma: no cover
     import argparse
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--sensor-dir", required=True)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--resolution", type=float, default=0.2)
+    p.add_argument("--dataset", choices=["mp3d", "replica"], default="mp3d")
+    p.add_argument("--map-info-json", default=None,
+                   help="semmap_GT_info.json / replica_map_info.json")
     args = p.parse_args(argv)
-    for f in sorted(os.listdir(args.sensor_dir)):
-        if f.endswith(".h5"):
-            dims = build_memory_file(os.path.join(args.sensor_dir, f),
-                                     os.path.join(args.out_dir, f),
-                                     resolution=args.resolution)
-            print(f, "->", dims)
+    dims = build_dataset_memories(args.sensor_dir, args.out_dir,
+                                  args.map_info_json, args.dataset,
+                                  args.resolution)
+    for f, d in dims.items():
+        print(f, "->", d)
 
 
 if __name__ == "__main__":  # pragma: no cover
