@@ -154,3 +154,28 @@ def test_caption_negatives_span_global_batch():
                     mesh, P("data", *([None] * (x.ndim - 1))))),
                 (images, caps, weight)))
     np.testing.assert_allclose(float(total_1), float(sharded[0]), rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_ddppo_update():
+    """One DD-PPO update over a 2-process cluster: both processes report
+    the same globally-averaged losses (rl/ddppo shard_map semantics over
+    a process-spanning mesh)."""
+    child = os.path.join(os.path.dirname(__file__), "multihost_ddppo_child.py")
+    port = str(_free_port())
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen([sys.executable, child, str(i), port],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True,
+                              cwd=os.path.dirname(os.path.dirname(child)))
+             for i in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    vals = []
+    for out in outs:
+        line = [l for l in out.splitlines() if "MULTIHOST_DDPPO_OK" in l]
+        assert line, out[-2000:]
+        vals.append([float(tok.split("=")[1]) for tok in line[0].split()[1:]])
+    np.testing.assert_allclose(vals[0], vals[1], rtol=1e-6)

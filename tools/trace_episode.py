@@ -60,6 +60,12 @@ def main():
     for name, dur in top:
         print(f"{dur/1e3:9.2f} ms  {100*dur/total:5.1f}%  {name}")
 
+    print("\n-- by source line (device ops with source metadata) --")
+    src = aggregate_by_source(trace)
+    src_top = sorted(src.items(), key=lambda kv: -kv[1])[:20]
+    for loc, dur in src_top:
+        print(f"{dur/1e3:9.2f} ms  {loc}")
+
 
 def aggregate_self_time(trace: dict) -> dict:
     """Per-op SELF time (duration minus nested children) aggregated by name.
@@ -92,6 +98,25 @@ def aggregate_self_time(trace: dict) -> dict:
         for e in tr:
             name = e["name"].split(".")[0][:60]
             agg[name] = agg.get(name, 0.0) + max(e["dur"] - e["child"], 0.0)
+    return agg
+
+
+def aggregate_by_source(trace: dict) -> dict:
+    """Total device time per source file:line (from XLA op metadata).
+
+    Complements the name aggregation: fusions/reshapes carry the python
+    frame that emitted the op, so this answers "which line of OUR code is
+    the time going to" directly.
+    """
+    agg = {}
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") != "X" or e.get("dur", 0) <= 0:
+            continue
+        srcline = (e.get("args") or {}).get("source", "")
+        if not srcline or "/repo/" not in srcline:
+            continue
+        loc = srcline.split("/repo/")[-1]
+        agg[loc] = agg.get(loc, 0.0) + float(e["dur"])
     return agg
 
 
