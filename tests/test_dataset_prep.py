@@ -85,3 +85,54 @@ def test_clip_features_with_stub_encoder(tmp_path):
     assert calls["texts"] == ["a chair", "a table"]
     assert emb.shape == (2, 512)
     assert np.load(out).shape == (2, 512)
+
+
+def test_merge_coco_into_lvis():
+    lvis = {
+        "categories": [{"id": 100, "name": "person", "synset": "person.n.01"},
+                       {"id": 200, "name": "cat", "synset": "cat.n.01"}],
+        "images": [{"id": 1, "coco_url": "http://x/000000000001.jpg",
+                    "neg_category_ids": [200]}],
+        "annotations": [{"id": 1, "image_id": 1, "category_id": 100,
+                         "bbox": [10, 10, 20, 20]}],
+    }
+    coco = {
+        "categories": [{"id": 1, "name": "person"}, {"id": 17, "name": "cat"}],
+        "images": [{"id": 5, "file_name": "000000000001.jpg"}],
+        "annotations": [
+            # duplicate of the lvis person box (IoU 1) -> dropped
+            {"id": 9, "image_id": 5, "category_id": 1,
+             "bbox": [10, 10, 20, 20]},
+            # distinct person box -> merged with remapped ids
+            {"id": 10, "image_id": 5, "category_id": 1,
+             "bbox": [100, 100, 30, 30]},
+            # cat is in the image's neg_category_ids -> dropped
+            {"id": 11, "image_id": 5, "category_id": 17,
+             "bbox": [50, 50, 10, 10]},
+        ],
+    }
+    merged = dataset_prep.merge_coco_into_lvis(coco, lvis)
+    anns = merged["annotations"]
+    assert len(anns) == 2
+    boxes = sorted(a["bbox"][0] for a in anns)
+    assert boxes == [10, 100]
+    added = [a for a in anns if a["bbox"][0] == 100][0]
+    assert added["category_id"] == 100 and added["image_id"] == 1
+
+
+def test_imagenet_tar_json(tmp_path):
+    import tarfile
+    tdir = tmp_path / "tars"
+    tdir.mkdir()
+    for wnid, n in (("n001", 3), ("n002", 2)):
+        with tarfile.open(tdir / f"{wnid}.tar", "w") as tf:
+            for i in range(n):
+                p = tmp_path / f"{wnid}_{i}.jpg"
+                p.write_bytes(b"\xff\xd8fakejpeg")
+                tf.add(p, arcname=f"{wnid}_{i}.jpg")
+    out = dataset_prep.imagenet_tar_json(str(tdir), str(tmp_path / "ds.json"))
+    assert len(out["images"]) == 5
+    assert len(out["categories"]) == 2
+    assert out["images"][0]["tar_index"] == 0
+    assert out["images"][-1]["tar_index"] == 1
+    assert out["images"][3]["pos_category_ids"] == [1]

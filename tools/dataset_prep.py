@@ -67,6 +67,118 @@ def clip_features(names, out_path: str, clip_weights: str = None,
     return emb
 
 
+def _iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)))
+    ix = np.maximum(0, np.minimum(a[:, None, 2], b[None, :, 2]) -
+                    np.maximum(a[:, None, 0], b[None, :, 0]))
+    iy = np.maximum(0, np.minimum(a[:, None, 3], b[None, :, 3]) -
+                    np.maximum(a[:, None, 1], b[None, :, 1]))
+    inter = ix * iy
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def merge_coco_into_lvis(coco_data: dict, lvis_data: dict,
+                         synset_table=None, iou_thresh: float = 0.7) -> dict:
+    """Merge COCO annotations into an LVIS json
+    (Detic/tools/merge_lvis_coco.py:112-202).
+
+    COCO categories map to LVIS ids through the synset table; annotations
+    whose category is in the image's neg_category_ids are dropped, and a
+    COCO box overlapping any same-image LVIS box at IoU >= iou_thresh is a
+    duplicate and skipped. Returns the merged LVIS-format dict.
+    """
+    if synset_table is None:
+        meta = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                            "embodied_object_detection_tpu", "data",
+                            "metadata", "coco_synset_categories.json")
+        synset_table = json.load(open(meta))
+    synset2lvisid = {x["synset"]: x["id"] for x in lvis_data["categories"]}
+    coco2lvis = {x["coco_cat_id"]: synset2lvisid[x["synset"]]
+                 for x in synset_table if x["synset"] in synset2lvisid}
+
+    def tail(name):  # match images by trailing filename (merge_lvis_coco:129)
+        return name[-16:]
+
+    file_key = "file_name" if any(
+        "file_name" in x for x in lvis_data["images"][:1]) else "coco_url"
+    lvis_file2img = {tail(x[file_key]): x for x in lvis_data["images"]}
+    coco_id2img = {x["id"]: x for x in coco_data["images"]}
+
+    def xyxy(ann):
+        b = ann["bbox"]
+        return [b[0], b[1], b[0] + b[2], b[1] + b[3]]
+
+    from collections import defaultdict
+    coco_img2anns = defaultdict(list)
+    for ann in coco_data["annotations"]:
+        fn = tail(coco_id2img[ann["image_id"]]["file_name"])
+        if ann["category_id"] not in coco2lvis or fn not in lvis_file2img:
+            continue
+        lvis_img = lvis_file2img[fn]
+        lvis_cat = coco2lvis[ann["category_id"]]
+        if lvis_cat in lvis_img.get("neg_category_ids", []):
+            continue
+        ann = dict(ann, category_id=lvis_cat, image_id=lvis_img["id"])
+        coco_img2anns[fn].append(ann)
+
+    lvis_img2anns = defaultdict(list)
+    for ann in lvis_data["annotations"]:
+        fn = tail({x["id"]: x for x in
+                   lvis_data["images"]}[ann["image_id"]][file_key])
+        lvis_img2anns[fn].append(ann)
+
+    merged, ann_id = [], 0
+    for fn, lvis_anns in lvis_img2anns.items():
+        keep = list(lvis_anns)
+        coco_anns = coco_img2anns.get(fn, [])
+        if coco_anns:
+            ious = _iou_xyxy(np.array([xyxy(a) for a in coco_anns]),
+                             np.array([xyxy(a) for a in lvis_anns]))
+            for i, ann in enumerate(coco_anns):
+                if len(lvis_anns) == 0 or ious[i].max() < iou_thresh:
+                    keep.append(ann)
+        for ann in keep:
+            ann_id += 1
+            merged.append(dict(ann, id=ann_id))
+    out = dict(lvis_data)
+    out["annotations"] = merged
+    return out
+
+
+def imagenet_tar_json(tar_dir: str, out_path: str,
+                      categories=None) -> dict:
+    """Dataset-records json for the tar ImageNet pipeline
+    (Detic/tools/get_imagenet_21k_full_tar_json.py): one image record per
+    tar member with its tarfile index as the label, consumable by
+    data/tar_dataset.DiskTarDataset + the weak-supervision mapper."""
+    from embodied_object_detection_tpu.data.tar_dataset import (
+        build_tar_index)
+    import glob as _glob
+    tars = sorted(_glob.glob(os.path.join(tar_dir, "*.tar")))
+    images, cats = [], []
+    image_id = 0
+    for ti, tar in enumerate(tars):
+        names_npy, _ = build_tar_index(tar, tar_dir)
+        names = np.load(names_npy)
+        wnid = os.path.splitext(os.path.basename(tar))[0]
+        cats.append({"id": ti, "name": wnid})
+        for member in names:
+            images.append({"id": image_id,
+                           "file_name": str(member),
+                           "tar_index": ti,
+                           "pos_category_ids": [ti]})
+            image_id += 1
+    out = {"images": images,
+           "categories": categories or cats,
+           "annotations": []}
+    json.dump(out, open(out_path, "w"))
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -82,11 +194,28 @@ def main(argv=None):
     cf.add_argument("--clip-params", required=True)
     cf.add_argument("--out", required=True)
     cf.add_argument("--prompt", default="a {}")
+    mg = sub.add_parser("merge-lvis-coco")
+    mg.add_argument("--coco", required=True)
+    mg.add_argument("--lvis", required=True)
+    mg.add_argument("--out", required=True)
+    mg.add_argument("--iou-thresh", type=float, default=0.7)
+    tj = sub.add_parser("imagenet-tar-json")
+    tj.add_argument("--tar-dir", required=True)
+    tj.add_argument("--out", required=True)
     args = p.parse_args(argv)
     if args.cmd == "cat-info":
         cats = cat_info(args.ann, args.add_freq, args.r_thresh,
                         args.c_thresh, args.out)
         print(f"{len(cats)} categories annotated")
+    elif args.cmd == "merge-lvis-coco":
+        merged = merge_coco_into_lvis(json.load(open(args.coco)),
+                                      json.load(open(args.lvis)),
+                                      iou_thresh=args.iou_thresh)
+        json.dump(merged, open(args.out, "w"))
+        print(f"{len(merged['annotations'])} annotations -> {args.out}")
+    elif args.cmd == "imagenet-tar-json":
+        out = imagenet_tar_json(args.tar_dir, args.out)
+        print(f"{len(out['images'])} images -> {args.out}")
     else:
         names = json.load(open(args.names))
         emb = clip_features(names, args.out, clip_weights=args.clip_params,
