@@ -250,7 +250,8 @@ class EmbodiedDetector(nn.Module):
     # -------------------------------------------------------------- training
     def frame_train(self, image: jax.Array, zs_weight: jax.Array,
                     mem_features: jax.Array, mem_obs: jax.Array,
-                    proj_indices: jax.Array, gt) -> dict:
+                    proj_indices: jax.Array, gt,
+                    sample_rng: "jax.Array | None" = None) -> dict:
         """Per-frame training losses.
 
         ref: CustomRCNNRecurrent training branch (custom_rcnn.py:444-464 +
@@ -292,14 +293,29 @@ class EmbodiedDetector(nn.Module):
 
         proposals = decode_proposals(agn_hms, regs, cfg.centernet,
                                      training=True)
-        # ref: label_and_sample_proposals appends GT (detic_roi_heads.py:236);
-        # with <=320 proposals the reference's 512-batch subsample is the
-        # identity, so no random sampling is performed here.
+        # ref: label_and_sample_proposals (detic_roi_heads.py:236-238):
+        # GT boxes appended, then the proposal set is subsampled to
+        # batch_size_per_image (512) with positive_fraction (0.25) BEFORE
+        # any pooling — pooling all post-NMS train proposals (2000) would
+        # be both unfaithful and ~4x the cascade's ROIAlign cost.
         proposals = add_gt_to_proposals(proposals, gt)
         from ..structures import clip_boxes as _clip, nonempty as _nonempty
         # stage-0 boxes stay unclipped (reference pools/regresses raw boxes)
         boxes = jax.lax.stop_gradient(proposals.boxes)
         valid = proposals.valid
+        bsz = cfg.roi.batch_size_per_image
+        if bsz and boxes.shape[0] > bsz:
+            from .losses import sample_proposals
+            if sample_rng is None:
+                sample_rng = jax.random.PRNGKey(0)
+            m0 = match_proposals(boxes, valid, gt, cfg.roi.cascade_ious[0],
+                                 cfg.roi.num_classes)
+            fg = (m0.gt_classes < cfg.roi.num_classes) & m0.valid
+            idx, keep = sample_proposals(valid, fg, bsz,
+                                         cfg.roi.positive_fraction,
+                                         sample_rng)
+            boxes = jnp.take(boxes, idx, axis=0)
+            valid = jnp.take(valid, idx) & keep
 
         def grad_scale(x, s):
             # ref: _ScaleGradient 1/num_stages (detic_roi_heads.py:333)

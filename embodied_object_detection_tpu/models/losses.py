@@ -350,6 +350,33 @@ def add_gt_to_proposals(proposals: Detections, gt: GroundTruth) -> Detections:
     return Detections(boxes=boxes, scores=scores, classes=classes, valid=valid)
 
 
+def sample_proposals(valid: jax.Array, fg: jax.Array, batch_size: int,
+                     positive_fraction: float, rng: jax.Array):
+    """detectron2 `subsample_labels` as fixed-shape masked top-k.
+
+    ref: ROIHeads.label_and_sample_proposals -> subsample_labels
+    (detectron2 roi_heads.py / sampling.py): sample up to
+    batch_size*positive_fraction foreground rows uniformly, fill the
+    rest of `batch_size` with uniform background rows. Returns
+    (idx [batch_size], keep_valid [batch_size]) selecting rows of the
+    padded proposal set; keep_valid masks slots that had no candidate.
+    """
+    n = valid.shape[0]
+    num_pos_cap = int(batch_size * positive_fraction)
+    r = jax.random.uniform(rng, (n,))
+    pos = fg & valid
+    # pick <=num_pos_cap positives uniformly
+    pos_key = jnp.where(pos, r, -1.0)
+    _, pos_idx = jax.lax.top_k(pos_key, min(num_pos_cap, n))
+    pos_sel = jnp.zeros((n,), bool).at[pos_idx].set(True) & pos
+    # positives rank above every negative; negatives fill the remainder
+    neg_key = jnp.where(valid & ~pos, r, -1.0)
+    final_key = jnp.where(pos_sel, 2.0 + r, neg_key)
+    _, idx = jax.lax.top_k(final_key, min(batch_size, n))
+    keep_valid = jnp.take(final_key, idx) > 0.0
+    return idx, keep_valid
+
+
 def fed_loss_class_weight(gt_classes: jax.Array, valid: jax.Array,
                           freq_weight: jax.Array, num_sample_cats: int,
                           num_classes: int, rng: jax.Array) -> jax.Array:

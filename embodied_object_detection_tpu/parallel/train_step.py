@@ -48,15 +48,19 @@ def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None):
     """Returns (init_state_fn, step_fn). step_fn is jit-compiled with batch
     sharded over the mesh data axis."""
 
-    def loss_fn(params, batch: TrainBatch, zs_weight):
-        def one_frame(image, proj, memf, memo, gb, gc, gv):
+    def loss_fn(params, batch: TrainBatch, zs_weight, step):
+        def one_frame(image, proj, memf, memo, gb, gc, gv, key):
             gt = GroundTruth(boxes=gb, classes=gc, valid=gv)
             return model.apply(params, image, zs_weight, memf, memo, proj, gt,
-                               method=EmbodiedDetector.frame_train)
+                               key, method=EmbodiedDetector.frame_train)
+        # per-frame proposal-sampling keys, deterministic per step
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(17), step),
+            batch.image.shape[0])
         losses = jax.vmap(one_frame)(batch.image, batch.proj_indices,
                                      batch.mem_features, batch.mem_obs,
                                      batch.gt_boxes, batch.gt_classes,
-                                     batch.gt_valid)
+                                     batch.gt_valid, keys)
         # weighted average over frames (ref: custom_rcnn.py:541-544);
         # padding rows carry weight 0
         wsum = jnp.maximum(jnp.sum(batch.weight), 1.0)
@@ -74,7 +78,7 @@ def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None):
     def step_fn(state: TrainState, batch: TrainBatch, zs_weight
                 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, zs_weight)
+            state.params, batch, zs_weight, state.step)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         losses["total_loss"] = total

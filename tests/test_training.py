@@ -283,3 +283,77 @@ def test_softmax_ce_variant():
     valid = jnp.asarray([True, True, False])
     loss = float(softmax_cross_entropy_loss(jnp.asarray(logits), gt, valid, 5))
     assert loss < 0.01          # both valid rows near-perfect
+
+
+def test_sample_proposals_caps_positives_and_fills_batch(rng):
+    """detectron2 subsample_labels semantics: <= batch*frac positives,
+    batch filled with negatives, invalid rows never selected."""
+    from embodied_object_detection_tpu.models.losses import sample_proposals
+    n, batch = 600, 128
+    valid = jnp.asarray(rng.rand(n) > 0.1)
+    fg = jnp.asarray(rng.rand(n) > 0.5) & valid
+    idx, keep = sample_proposals(valid, fg, batch, 0.25,
+                                 jax.random.PRNGKey(0))
+    assert idx.shape == (batch,)
+    sel_fg = np.asarray(fg)[np.asarray(idx)] & np.asarray(keep)
+    sel_valid = np.asarray(valid)[np.asarray(idx)] & np.asarray(keep)
+    assert sel_fg.sum() == 32                      # exactly the positive cap
+    assert sel_valid.sum() == batch                # plenty of candidates
+    assert sel_valid[~np.asarray(keep)].sum() == 0
+
+    # scarce positives: all of them selected
+    fg2 = jnp.zeros((n,), bool).at[:5].set(True) & valid
+    idx2, keep2 = sample_proposals(valid, fg2, batch, 0.25,
+                                   jax.random.PRNGKey(1))
+    sel_fg2 = np.asarray(fg2)[np.asarray(idx2)] & np.asarray(keep2)
+    assert sel_fg2.sum() == int(np.asarray(fg2).sum())
+
+    # fewer candidates than the batch: the rest is masked out
+    few_valid = jnp.zeros((n,), bool).at[:40].set(True)
+    idx3, keep3 = sample_proposals(few_valid, fg & few_valid, batch, 0.25,
+                                   jax.random.PRNGKey(2))
+    assert int(np.asarray(keep3).sum()) == 40
+
+
+@pytest.mark.slow
+def test_frame_train_with_proposal_sampling(rng):
+    """frame_train with batch_size_per_image < #proposals: sampling active,
+    losses finite, gradients flow (the default-config 2000-proposal path)."""
+    import jax
+    from common import tiny_config
+    from embodied_object_detection_tpu.models.detector import (
+        EmbodiedDetector, build_detector)
+    from embodied_object_detection_tpu.structures import GroundTruth
+    cfg = tiny_config()
+    cfg = cfg.replace(roi=dataclasses.replace(cfg.roi,
+                                              batch_size_per_image=16,
+                                              positive_fraction=0.25))
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    h, w = cfg.input.height, cfg.input.width
+    g = cfg.input.max_gt_boxes
+    image = jnp.asarray(rng.randint(0, 255, (h, w, 3)).astype(np.float32))
+    zs = jnp.asarray(rng.randn(cfg.roi.zs_weight_dim,
+                               cfg.roi.num_classes + 1).astype(np.float32))
+    memf = jnp.zeros((cfg.memory.max_cells, cfg.memory.memory_dim))
+    memo = jnp.zeros((cfg.memory.max_cells,))
+    proj = jnp.asarray(rng.randint(0, cfg.memory.max_cells, (h, w)),
+                       dtype=jnp.int32)
+    gt_b = np.zeros((g, 4), np.float32)
+    gt_b[0] = [4, 4, 40, 40]
+    gt = GroundTruth(boxes=jnp.asarray(gt_b),
+                     classes=jnp.zeros((g,), jnp.int32),
+                     valid=jnp.asarray(np.arange(g) < 1))
+
+    def loss(p, key):
+        losses = model.apply(p, image, zs, memf, memo, proj, gt, key,
+                             method=EmbodiedDetector.frame_train)
+        return sum(losses.values())
+
+    val, grads = jax.value_and_grad(loss)(params, jax.random.PRNGKey(3))
+    assert np.isfinite(float(val))
+    gnorm = sum(float(jnp.sum(x ** 2)) for x in
+                jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0
+    # different sampling keys give different losses (sampling is active)
+    v2 = loss(params, jax.random.PRNGKey(4))
+    assert float(v2) != pytest.approx(float(val), abs=1e-9)
