@@ -45,6 +45,10 @@ class PPOConfig:
     tau: float = 0.95
     use_clipped_value_loss: bool = True
     use_normalized_advantage: bool = True
+    # linear schedules over num_updates (ppo_trainer.py:328-343); 0 = off
+    use_linear_lr_decay: bool = False
+    use_linear_clip_decay: bool = False
+    num_updates: int = 0
 
 
 class PPOState(NamedTuple):
@@ -54,14 +58,29 @@ class PPOState(NamedTuple):
 
 
 def _make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+    if cfg.use_linear_lr_decay and cfg.num_updates > 0:
+        # one optimizer step per minibatch; decay per *update*
+        # (ppo_trainer.py:330 linear_decay over NUM_UPDATES)
+        per_update = cfg.ppo_epoch * cfg.num_mini_batch
+
+        def schedule(count):
+            frac = jnp.minimum(count // per_update, cfg.num_updates) \
+                / cfg.num_updates
+            return cfg.lr * (1.0 - frac)
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(schedule, eps=cfg.eps))
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adam(cfg.lr, eps=cfg.eps))
 
 
 def ppo_loss(evaluate_actions: Callable, params, minibatch: Dict,
-             cfg: PPOConfig) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Loss for one minibatch of shape [T, n_envs, ...] (ppo.py:84-134)."""
+             cfg: PPOConfig,
+             clip_param=None) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Loss for one minibatch of shape [T, n_envs, ...] (ppo.py:84-134).
+    `clip_param` overrides cfg.clip_param (traced, for linear clip decay)."""
+    clip = cfg.clip_param if clip_param is None else clip_param
     values, log_probs, entropy = evaluate_actions(
         params, minibatch["observations"], minibatch["hidden0"],
         minibatch["prev_actions"], minibatch["masks"], minibatch["actions"])
@@ -69,14 +88,13 @@ def ppo_loss(evaluate_actions: Callable, params, minibatch: Dict,
     ratio = jnp.exp(log_probs - minibatch["old_log_probs"])
     adv = minibatch["advantages"]
     surr1 = ratio * adv
-    surr2 = jnp.clip(ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param) * adv
+    surr2 = jnp.clip(ratio, 1.0 - clip, 1.0 + clip) * adv
     action_loss = -jnp.minimum(surr1, surr2).mean()
 
     returns = minibatch["returns"]
     if cfg.use_clipped_value_loss:
         v_old = minibatch["value_preds"]
-        v_clipped = v_old + jnp.clip(values - v_old, -cfg.clip_param,
-                                     cfg.clip_param)
+        v_clipped = v_old + jnp.clip(values - v_old, -clip, clip)
         value_loss = 0.5 * jnp.maximum((values - returns) ** 2,
                                        (v_clipped - returns) ** 2).mean()
     else:
@@ -132,7 +150,8 @@ def make_ppo(evaluate_actions: Callable, cfg: PPOConfig,
             mb[k] = jnp.take(batch[k], env_idx, axis=1)
 
         (_, metrics), grads = jax.value_and_grad(
-            lambda p: ppo_loss(evaluate_actions, p, mb, cfg),
+            lambda p: ppo_loss(evaluate_actions, p, mb, cfg,
+                               clip_param=batch.get("clip_param")),
             has_aux=True)(params)
         if axis_name is not None:
             # Under shard_map (jax>=0.9 varying-types AD), grads w.r.t.
@@ -159,6 +178,10 @@ def make_ppo(evaluate_actions: Callable, cfg: PPOConfig,
 
         batch = dict(batch)
         batch["advantages"] = _advantages(batch)
+        if cfg.use_linear_clip_decay and cfg.num_updates > 0:
+            frac = jnp.minimum(state.update_idx, cfg.num_updates) \
+                / cfg.num_updates
+            batch["clip_param"] = cfg.clip_param * (1.0 - frac)
 
         keys = jax.random.split(perm_key, cfg.ppo_epoch)
         perms = jnp.stack([jax.random.permutation(k, num_envs)

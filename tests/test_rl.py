@@ -419,3 +419,34 @@ def test_trainer_preemption_resume(tmp_path, monkeypatch):
     log2 = t2.train(handle_preemption=True)
     t2.close()
     assert len(log2) == 1 and log2[0]["update"] == 2
+
+
+def test_linear_lr_and_clip_decay():
+    """ppo_trainer.py:328-343: lr and clip_param decay linearly over
+    NUM_UPDATES."""
+    import optax
+    policy, params = _tiny_policy(4, 32)
+    cfg = PPOConfig(ppo_epoch=1, num_mini_batch=1, lr=1e-2,
+                    use_linear_lr_decay=True, use_linear_clip_decay=True,
+                    num_updates=4)
+
+    def evaluate_actions(p, obs, h0, prev, masks, actions):
+        return policy.apply(p, obs, h0, prev, masks, actions,
+                            method=PointNavPolicy.evaluate_actions)
+
+    init_state, update = make_ppo(evaluate_actions, cfg)
+    state = init_state(params)
+    batch = _fake_batch(np.random.RandomState(0))
+    upd = jax.jit(update)
+
+    deltas = []
+    for i in range(4):
+        prev_leaves = [np.asarray(x) for x in
+                       jax.tree_util.tree_leaves(state.params)]
+        state, _ = upd(state, batch, jax.random.PRNGKey(i))
+        new_leaves = jax.tree_util.tree_leaves(state.params)
+        deltas.append(max(np.abs(np.asarray(n) - p).max()
+                          for n, p in zip(new_leaves, prev_leaves)))
+    # step size shrinks as lr decays toward zero
+    assert deltas[-1] < deltas[0]
+    assert int(state.update_idx) == 4
