@@ -62,6 +62,23 @@ def build_memory_file(sensor_h5: str, out_h5: str,
     proj = world_to_proj_indices(world, map_world_shift, resolution,
                                  map_w, map_h)[..., None]
 
+    if semmap_gt is not None and \
+            np.asarray(semmap_gt).size != proj.size:
+        semmap_gt = None  # mismatched sensor layout; no per-pixel mapping
+    if semmap_gt is None:
+        cell_gt = np.zeros((map_h * map_w,), np.int32)
+    else:
+        # per-pixel classes -> per-cell majority class (the reference
+        # writes the precomputed GT semantic map; from sensor data the
+        # modal class over all projected pixels is the equivalent)
+        flat_proj = proj.reshape(-1)
+        classes = np.asarray(semmap_gt).reshape(-1).astype(np.int64)
+        n_cls = int(classes.max()) + 1 if classes.size else 1
+        counts = np.zeros((map_h * map_w, n_cls), np.int64)
+        np.add.at(counts, (flat_proj, classes), 1)
+        cell_gt = np.where(counts.sum(axis=1) > 0,
+                           counts.argmax(axis=1), 0).astype(np.int32)
+
     os.makedirs(os.path.dirname(out_h5) or ".", exist_ok=True)
     with h5py.File(out_h5, "w") as f:
         # zero-initialized memory — the reference does the same
@@ -70,10 +87,7 @@ def build_memory_file(sensor_h5: str, out_h5: str,
         f.create_dataset("memory_features",
                          data=np.zeros((map_h * map_w, memory_dim), np.float16))
         f.create_dataset("proj_indices", data=proj.astype(np.int64))
-        f.create_dataset("semmap_gt",
-                         data=np.zeros((map_h * map_w,), np.int32)
-                         if semmap_gt is None else
-                         np.zeros((map_h * map_w,), np.int32))
+        f.create_dataset("semmap_gt", data=cell_gt)
     return map_w, map_h
 
 
@@ -93,28 +107,64 @@ def map_shift_from_info(env: str, info: dict,
     return np.asarray(entry["map_world_shift"], np.float64)
 
 
+def map_dims_from_info(env: str, info: dict, dataset: str,
+                       resolution: float) -> Optional[Tuple[int, int]]:
+    """Per-scene map dims so every chunk of a scene shares ONE grid.
+
+    replica: from the x/y extents (+-1 margin like the shift,
+    build_replica_memory_data.py:131). mp3d: semmap_GT_info `dim` is in
+    0.02 m cells; the pipeline downsamples by resolution/0.02
+    (custom_rcnn.py:362-364 `downsample = 10` at 0.2 m)."""
+    entry = info[env]
+    if dataset == "replica" and "x_max" in entry:
+        w = int(np.ceil((entry["x_max"] - entry["x_min"] + 2) / resolution)) + 1
+        h = int(np.ceil((entry["y_max"] - entry["y_min"] + 2) / resolution)) + 1
+        return w, h
+    if "dim" in entry:
+        ds = resolution / 0.02
+        return (int(np.ceil(entry["dim"][0] / ds)),
+                int(np.ceil(entry["dim"][2] / ds))
+                if len(entry["dim"]) > 2 else
+                int(np.ceil(entry["dim"][1] / ds)))
+    return None
+
+
+def _scene_of(filename: str, info: dict) -> Optional[str]:
+    """Longest info key that prefixes the filename (scene ids themselves
+    contain underscores: apartment_0, frl_apartment_1, ...)."""
+    stem = filename[:-3] if filename.endswith(".h5") else filename
+    best = None
+    for k in info:
+        if stem == k or stem.startswith(k + "_"):
+            if best is None or len(k) > len(best):
+                best = k
+    return best
+
+
 def build_dataset_memories(sensor_dir: str, out_dir: str,
                            map_info_json: Optional[str] = None,
                            dataset: str = "mp3d",
                            resolution: float = 0.2) -> dict:
     """Convert every sensor h5 under sensor_dir, resolving each scene's
-    map shift from the dataset map-info json when given (the
-    build_memory_data / build_replica_memory_data drivers; scene id =
-    filename prefix before the first '_'). Returns {file: (map_w, map_h)}."""
+    map shift AND dims from the dataset map-info json when given (the
+    build_memory_data / build_replica_memory_data drivers), so all chunks
+    of a scene share one grid. Returns {file: (map_w, map_h)}."""
     import json
     info = json.load(open(map_info_json)) if map_info_json else None
     dims = {}
     for f in sorted(os.listdir(sensor_dir)):
         if not f.endswith(".h5"):
             continue
-        shift = None
+        shift, mdims = None, None
         if info is not None:
-            env = f.split("_")[0]
-            if env in info:
+            env = _scene_of(f, info)
+            if env is not None:
                 shift = map_shift_from_info(env, info, dataset)
+                mdims = map_dims_from_info(env, info, dataset, resolution)
         dims[f] = build_memory_file(os.path.join(sensor_dir, f),
                                     os.path.join(out_dir, f),
                                     map_world_shift=shift,
+                                    map_dims=mdims,
                                     resolution=resolution)
     return dims
 

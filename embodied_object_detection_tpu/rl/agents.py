@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from embodied_object_detection_tpu.rl.core import Env
 
 __all__ = ["Agent", "RandomAgent", "ForwardOnlyAgent", "RandomForwardAgent",
-           "GoalFollower", "PPOAgent", "Benchmark"]
+           "GoalFollower", "PPOAgent", "Benchmark", "Challenge"]
 
 # nav action indices (rl/nav.py NavigationTask.build order)
 STOP, FORWARD, LEFT, RIGHT = 0, 1, 2, 3

@@ -58,6 +58,13 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8080
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
+            replied = False
+
+            def reply(code, payload):
+                nonlocal replied
+                self._reply(code, payload)
+                replied = True
+
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
@@ -71,7 +78,7 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8080
                             predictor.reset_memory()
                         dets = predictor(image, proj_indices=proj)
                     valid = np.asarray(dets.valid)
-                    self._reply(200, {
+                    reply(200, {
                         "boxes": np.asarray(dets.boxes)[valid].tolist(),
                         "scores": np.asarray(dets.scores)[valid].tolist(),
                         "classes": np.asarray(dets.classes)[valid].tolist(),
@@ -80,11 +87,17 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8080
                     zs = np.asarray(body["zs_weight"], np.float32)
                     with lock:
                         predictor.set_vocabulary(zs, body.get("names"))
-                    self._reply(200, {"num_classes": int(zs.shape[1] - 1)})
+                    reply(200, {"num_classes": int(zs.shape[1] - 1)})
                 else:
-                    self._reply(404, {"error": "not found"})
-            except Exception as e:  # surface errors as 400 json
-                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                    reply(404, {"error": "not found"})
+            except (KeyError, ValueError, TypeError) as e:
+                # malformed request
+                if not replied:
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                # server-side failure; never write a second status line
+                if not replied:
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler)
 

@@ -136,3 +136,52 @@ def test_imagenet_tar_json(tmp_path):
     assert out["images"][0]["tar_index"] == 0
     assert out["images"][-1]["tar_index"] == 1
     assert out["images"][3]["pos_category_ids"] == [1]
+
+
+def test_build_memory_semmap_gt_majority(tmp_path):
+    """segmentation_data projects to per-cell majority classes (was
+    silently discarded before)."""
+    import h5py
+    world = np.zeros((1, 2, 4, 3), np.float32)
+    world[0, :, 2:, 0] = 1.0   # right half -> cell x=1 (res 1.0)
+    seg = np.zeros((1, 2, 4), np.int32)
+    seg[0, :, 2:] = 3          # right half is class 3
+    src = tmp_path / "s.h5"
+    with h5py.File(src, "w") as f:
+        f.create_dataset("projection_indices", data=world)
+        f.create_dataset("segmentation_data", data=seg)
+    from embodied_object_detection_tpu.data.build_memory import (
+        build_memory_file)
+    w, h = build_memory_file(str(src), str(tmp_path / "m.h5"),
+                             map_world_shift=np.zeros(3), resolution=1.0,
+                             map_dims=(2, 1))
+    with h5py.File(tmp_path / "m.h5") as f:
+        gt = np.array(f["semmap_gt"])
+    assert gt.tolist() == [0, 3]
+
+
+def test_scene_of_longest_prefix():
+    from embodied_object_detection_tpu.data.build_memory import _scene_of
+    info = {"apartment": {}, "apartment_0": {}, "frl_apartment_1": {}}
+    assert _scene_of("apartment_0_3.h5", info) == "apartment_0"
+    assert _scene_of("frl_apartment_1_0.h5", info) == "frl_apartment_1"
+    assert _scene_of("office_2_0.h5", info) is None
+
+
+def test_merge_keeps_coco_anns_on_lvis_images_without_positives():
+    lvis = {
+        "categories": [{"id": 100, "name": "person",
+                        "synset": "person.n.01"}],
+        "images": [{"id": 1, "coco_url": "http://x/000000000001.jpg",
+                    "neg_category_ids": []}],
+        "annotations": [],          # federated image with no positives
+    }
+    coco = {
+        "categories": [{"id": 1, "name": "person"}],
+        "images": [{"id": 5, "file_name": "000000000001.jpg"}],
+        "annotations": [{"id": 9, "image_id": 5, "category_id": 1,
+                         "bbox": [10, 10, 20, 20]}],
+    }
+    merged = dataset_prep.merge_coco_into_lvis(coco, lvis)
+    assert len(merged["annotations"]) == 1
+    assert merged["annotations"][0]["image_id"] == 1

@@ -125,14 +125,18 @@ def merge_coco_into_lvis(coco_data: dict, lvis_data: dict,
         ann = dict(ann, category_id=lvis_cat, image_id=lvis_img["id"])
         coco_img2anns[fn].append(ann)
 
+    lvis_id2img = {x["id"]: x for x in lvis_data["images"]}
     lvis_img2anns = defaultdict(list)
     for ann in lvis_data["annotations"]:
-        fn = tail({x["id"]: x for x in
-                   lvis_data["images"]}[ann["image_id"]][file_key])
+        fn = tail(lvis_id2img[ann["image_id"]][file_key])
         lvis_img2anns[fn].append(ann)
 
     merged, ann_id = [], 0
-    for fn, lvis_anns in lvis_img2anns.items():
+    # union: LVIS images with zero positive annotations (federated split)
+    # can still receive mapped COCO annotations
+    all_files = set(lvis_img2anns) | set(coco_img2anns)
+    for fn in all_files:
+        lvis_anns = lvis_img2anns.get(fn, [])
         keep = list(lvis_anns)
         coco_anns = coco_img2anns.get(fn, [])
         if coco_anns:

@@ -113,9 +113,10 @@ def aggregate_by_source(trace: dict) -> dict:
         if e.get("ph") != "X" or e.get("dur", 0) <= 0:
             continue
         srcline = (e.get("args") or {}).get("source", "")
-        if not srcline or "/repo/" not in srcline:
+        if not srcline or "embodied_object_detection_tpu" not in srcline:
             continue
-        loc = srcline.split("/repo/")[-1]
+        loc = "embodied_object_detection_tpu" + srcline.split(
+            "embodied_object_detection_tpu", 1)[1]
         agg[loc] = agg.get(loc, 0.0) + float(e["dur"])
     return agg
 
