@@ -247,25 +247,62 @@ class Dataset:
             info=d.get("info", {})) for d in blob["episodes"]])
 
     def get_episode_iterator(self, cycle: bool = True, shuffle: bool = False,
+                             group_by_scene: bool = False,
+                             max_scene_repeat_episodes: int = -1,
                              seed: Optional[int] = None) -> "EpisodeIterator":
-        return EpisodeIterator(self.episodes, cycle=cycle, shuffle=shuffle,
-                               seed=seed)
+        return EpisodeIterator(
+            self.episodes, cycle=cycle, shuffle=shuffle,
+            group_by_scene=group_by_scene,
+            max_scene_repeat_episodes=max_scene_repeat_episodes, seed=seed)
 
 
 class EpisodeIterator(Iterator[Episode]):
-    """Cycling/shuffling episode iterator (habitat/core/dataset.py:330-430,
-    without the scene-grouping heuristics — scene switching is free in the
-    synthetic simulator, so group_by_scene is unnecessary)."""
+    """Cycling/shuffling episode iterator (habitat/core/dataset.py:330-430).
+
+    `group_by_scene` keeps each scene's episodes contiguous (habitat does
+    this because scene switching is expensive in habitat-sim; it is free
+    on the synthetic simulator but the ordering contract is preserved);
+    shuffling then permutes scene groups, not individual episodes.
+    `max_scene_repeat_episodes` forces a scene switch after N consecutive
+    episodes of one scene by rotating the remaining group order
+    (dataset.py `_forced_scene_switch`)."""
 
     def __init__(self, episodes: Sequence[Episode], cycle: bool = True,
-                 shuffle: bool = False, seed: Optional[int] = None):
+                 shuffle: bool = False, group_by_scene: bool = False,
+                 max_scene_repeat_episodes: int = -1,
+                 seed: Optional[int] = None):
         self.episodes = list(episodes)
         self.cycle = cycle
         self.shuffle = shuffle
+        self.group_by_scene = group_by_scene or max_scene_repeat_episodes > 0
+        self.max_scene_repeat = max_scene_repeat_episodes
         self._rng = random.Random(seed)
         self._idx = 0
-        if shuffle:
+        self._same_scene_count = 0
+        self._prev_scene: Optional[str] = None
+        if self.group_by_scene:
+            self._regroup(shuffle_groups=shuffle)
+        elif shuffle:
             self._rng.shuffle(self.episodes)
+
+    def _regroup(self, shuffle_groups: bool) -> None:
+        groups: Dict[str, List[Episode]] = {}
+        for e in self.episodes:
+            groups.setdefault(e.scene_id, []).append(e)
+        keys = list(groups)
+        if shuffle_groups:
+            self._rng.shuffle(keys)
+        self.episodes = [e for k in keys for e in groups[k]]
+
+    def _forced_scene_switch(self) -> None:
+        """Rotate the remaining episodes so a new scene comes next."""
+        rest = self.episodes[self._idx:]
+        cur = rest[0].scene_id
+        pivot = next((i for i, e in enumerate(rest) if e.scene_id != cur),
+                     None)
+        if pivot is not None:
+            self.episodes = (self.episodes[:self._idx] + rest[pivot:] +
+                             rest[:pivot])
 
     def __iter__(self):
         return self
@@ -275,10 +312,22 @@ class EpisodeIterator(Iterator[Episode]):
             if not self.cycle:
                 raise StopIteration
             self._idx = 0
-            if self.shuffle:
+            if self.group_by_scene:
+                self._regroup(shuffle_groups=self.shuffle)
+            elif self.shuffle:
                 self._rng.shuffle(self.episodes)
+        if (self.max_scene_repeat > 0 and self._prev_scene is not None and
+                self._same_scene_count >= self.max_scene_repeat and
+                self._idx < len(self.episodes) and
+                self.episodes[self._idx].scene_id == self._prev_scene):
+            self._forced_scene_switch()
         ep = self.episodes[self._idx]
         self._idx += 1
+        if ep.scene_id == self._prev_scene:
+            self._same_scene_count += 1
+        else:
+            self._prev_scene = ep.scene_id
+            self._same_scene_count = 1
         return ep
 
 

@@ -109,3 +109,34 @@ def test_dataset_json_roundtrip(tmp_path):
     obs = env.reset()
     assert obs["question"].shape[0] == T.MAX_QUESTION_LEN
     env.close()
+
+
+def test_episode_iterator_scene_grouping():
+    """dataset.py:330-430: group_by_scene keeps scenes contiguous; a
+    max_scene_repeat_episodes cap forces a scene switch."""
+    from embodied_object_detection_tpu.rl.core import (
+        Episode, EpisodeIterator)
+    eps = []
+    for scene in ("a", "b"):
+        for k in range(4):
+            eps.append(Episode(f"{scene}{k}", scene,
+                               np.zeros(2, np.float32), 0.0))
+    rng = np.random.RandomState(0)
+    rng.shuffle(eps)
+
+    it = EpisodeIterator(eps, group_by_scene=True, shuffle=False)
+    seq = [next(it).scene_id for _ in range(8)]
+    # contiguous groups: exactly one transition point
+    assert sum(1 for i in range(1, 8) if seq[i] != seq[i - 1]) == 1
+
+    it2 = EpisodeIterator(eps, group_by_scene=True,
+                          max_scene_repeat_episodes=2)
+    seq2 = [next(it2).scene_id for _ in range(8)]
+    # never more than 2 consecutive episodes of the same scene
+    run, longest = 1, 1
+    for i in range(1, 8):
+        run = run + 1 if seq2[i] == seq2[i - 1] else 1
+        longest = max(longest, run)
+    assert longest <= 2
+    # all episodes still served exactly once per cycle
+    assert sorted(seq2) == ["a"] * 4 + ["b"] * 4
