@@ -450,3 +450,27 @@ def test_linear_lr_and_clip_decay():
     # step size shrinks as lr decays toward zero
     assert deltas[-1] < deltas[0]
     assert int(state.update_idx) == 4
+
+
+@pytest.mark.slow
+def test_ppo_learns_pointnav():
+    """128k-step reference run: reward 0.27 -> 6.0, success 0 -> 44%.
+    This pinned shorter run (26k steps) must already show the reward
+    climbing well clear of the random-policy plateau (~0.1)."""
+    from embodied_object_detection_tpu.rl.trainer import (
+        PPOTrainer, PPOTrainerConfig)
+    cfg = PPOTrainerConfig(
+        num_envs=8, num_steps=64, num_updates=50, hidden_size=128,
+        ppo=PPOConfig(ppo_epoch=2, num_mini_batch=2, lr=1e-3,
+                      entropy_coef=0.02),
+        reward_window_size=100, seed=0)
+    trainer = PPOTrainer(
+        cfg, lambda i: make_nav_rl_env(scene_ids=(f"learn{i % 4}",),
+                                       episodes_per_scene=16, seed=i,
+                                       max_episode_steps=80))
+    log = trainer.train()
+    trainer.close()
+    early = np.mean([r["reward"] for r in log[5:15]])
+    late = np.mean([r["reward"] for r in log[-10:]])
+    assert late > early + 0.5, (early, late)
+    assert late > 1.0, late
