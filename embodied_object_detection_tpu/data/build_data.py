@@ -156,7 +156,9 @@ def main(argv: Optional[list] = None):  # pragma: no cover
         paths = json.load(f)
     from .synthetic import SyntheticRenderer
     for env, path in paths.items():
-        renderer = SyntheticRenderer(seed=abs(hash(env)) % (2 ** 31))
+        import zlib
+        renderer = SyntheticRenderer(
+            seed=zlib.crc32(env.encode()) % (2 ** 31))
         files = build_env_samples(renderer, env, path, args.output_dir,
                                   args.samples_per_env,
                                   args.frames_per_sample)

@@ -75,10 +75,15 @@ class SyntheticRenderer:
         # heading (rotation_euler[1], radians) pans the panorama
         self._pan = float(rotation_euler[1]) * self.w / 1.5 + \
             float(position[0]) * 40.0
+        self._cached = None
 
     def _frame(self):
-        return _render_frame(self.rng, self.h, self.w, self.objects,
-                             self._pan)
+        # render once per pose: rgb/semantic/boxes must agree regardless
+        # of render_* call order, and the rng must advance once per frame
+        if getattr(self, "_cached", None) is None:
+            self._cached = _render_frame(self.rng, self.h, self.w,
+                                         self.objects, self._pan)
+        return self._cached
 
     def render_rgb(self) -> np.ndarray:
         img, _, _ = self._frame()

@@ -190,10 +190,16 @@ def _load_params(cfg, weights):
             missing, extra, mismatch = verify_against_model(converted, params)
             print(f"converted {weights}: missing={len(missing)} "
                   f"extra={len(extra)} mismatch={len(mismatch)}")
-            if not missing and not mismatch:
-                import jax.numpy as jnp
-                params = jax.tree_util.tree_map(
-                    jnp.asarray, {"params": converted["params"]})
+            if missing or mismatch:
+                # never fall back to random weights silently — garbage
+                # detections with only a console line as a clue
+                raise ValueError(
+                    f"checkpoint {weights} does not match the model: "
+                    f"{len(missing)} missing / {len(mismatch)} mismatched "
+                    f"params (first: {(list(missing) + list(mismatch))[:3]})")
+            import jax.numpy as jnp
+            params = jax.tree_util.tree_map(
+                jnp.asarray, {"params": converted["params"]})
         else:
             from ..engine.checkpoint import restore_checkpoint
             params = restore_checkpoint(weights, params)
@@ -235,6 +241,10 @@ def main(argv=None):
             print(f"{path}: detected {n} instances in {time.time() - t0:.2f}s")
             results.append((path, dets))
             if args.output:
+                if len(paths) > 1:
+                    # ref demo.py: multiple inputs require a directory
+                    assert not os.path.splitext(args.output)[1], (
+                        "--output must be a directory for multiple inputs")
                 if os.path.isdir(args.output) or len(paths) > 1:
                     os.makedirs(args.output, exist_ok=True)
                     out = os.path.join(args.output, os.path.basename(path))

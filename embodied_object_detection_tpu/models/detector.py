@@ -577,6 +577,10 @@ def build_detector(cfg: Optional[DetectorConfig] = None,
     480x640 frame-step trace just for init costs minutes on a slow link.
     """
     cfg = cfg or DetectorConfig()
+    if getattr(cfg.roi, "head_type", "cascade") == "res5":
+        # Res5ROIHeads variant (res5_roi_heads.py:20-172 analog)
+        from .res5_detector import build_res5_detector
+        return build_res5_detector(cfg, rng)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     model = EmbodiedDetector(cfg)
 

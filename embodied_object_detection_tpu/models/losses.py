@@ -500,7 +500,11 @@ def caption_loss(region_embeddings: jax.Array, caption_features: jax.Array,
     """
     emb = region_embeddings[-1]
     emb = norm_temperature * emb / jnp.maximum(jnp.linalg.norm(emb), 1e-12)
-    scores = caption_features @ emb                          # [B]
+    # fp32 like every zs_weight-style CLIP-space contraction (the
+    # reference computes caption scores in fp32; see roi_heads.py:108)
+    scores = jnp.dot(caption_features, emb,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)     # [B]
     b = scores.shape[0]
     target = jax.nn.one_hot(image_index, b)
     bce = jnp.maximum(scores, 0) - scores * target + \

@@ -107,7 +107,11 @@ class Res5Detector(nn.Module):
                              centernet_losses, match_proposals, stage_losses)
         cfg = self.cfg
         h, w = cfg.input.height, cfg.input.width
-        ccfg = dataclasses.replace(cfg.centernet, strides=(self.c4_stride,))
+        # single C4 level: its size-of-interest range must cover EVERY box
+        # (the 5-level (0,80)... ladder would leave large objects with no
+        # positive locations at all on the lone level)
+        ccfg = dataclasses.replace(cfg.centernet, strides=(self.c4_stride,),
+                                   sizes_of_interest=((0, 10000000),))
         _, c4 = self.backbone.stem_to_c4(self._normalize(image))
         agn_hms, regs = self.centernet((c4,))
         targets = centernet_targets(gt, ((c4.shape[0], c4.shape[1]),), ccfg)

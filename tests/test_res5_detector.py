@@ -71,3 +71,18 @@ def test_res5_train_grads_flow_through_shared_stage(rng):
     # features); conv weights of the shared stage must be nonzero-grad
     l4 = grads["params"]["backbone"]["layer4_0"]["conv1"]["kernel"]
     assert float(jnp.sum(jnp.abs(l4))) > 0
+
+
+def test_build_detector_dispatches_on_head_type():
+    """roi.head_type='res5' must actually select the Res5 variant through
+    the common build_detector entry (was a dead knob)."""
+    import dataclasses
+    import jax
+    from common import tiny_config
+    from embodied_object_detection_tpu.models.detector import build_detector
+    from embodied_object_detection_tpu.models.res5_detector import (
+        Res5Detector)
+    cfg = tiny_config()
+    cfg = cfg.replace(roi=dataclasses.replace(cfg.roi, head_type="res5"))
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    assert isinstance(model, Res5Detector)
