@@ -130,6 +130,18 @@ class PPOAgent(Agent):
         params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
         return cls(policy, params, hidden_size=policy.hidden_size, **kw)
 
+    @classmethod
+    def from_habitat_checkpoint(cls, path: str, policy,
+                                **kw) -> "PPOAgent":
+        """Load a reference habitat ppo_trainer .pth checkpoint through
+        rl/convert.py (torch state_dict -> flax params)."""
+        from embodied_object_detection_tpu.rl.convert import (
+            load_habitat_checkpoint)
+        params = jax.tree_util.tree_map(
+            jnp.asarray, load_habitat_checkpoint(
+                path, blind=getattr(policy, "blind", True)))
+        return cls(policy, params, hidden_size=policy.hidden_size, **kw)
+
     def reset(self):
         self._hidden = jnp.zeros((1, self.hidden_size), jnp.float32)
         self._prev = jnp.zeros((1,), jnp.int32)
