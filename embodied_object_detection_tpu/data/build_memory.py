@@ -68,16 +68,21 @@ def build_memory_file(sensor_h5: str, out_h5: str,
     if semmap_gt is None:
         cell_gt = np.zeros((map_h * map_w,), np.int32)
     else:
-        # per-pixel classes -> per-cell majority class (the reference
-        # writes the precomputed GT semantic map; from sensor data the
-        # modal class over all projected pixels is the equivalent)
+        # per-pixel classes -> per-cell majority OBJECT class (the
+        # reference writes the precomputed GT semantic map; a cell with
+        # any object pixels takes the modal object class — void/negative
+        # ids never outvote objects, and ids are compacted so arbitrary
+        # instance-id ranges can't blow up the counts matrix)
         flat_proj = proj.reshape(-1)
         classes = np.asarray(semmap_gt).reshape(-1).astype(np.int64)
-        n_cls = int(classes.max()) + 1 if classes.size else 1
-        counts = np.zeros((map_h * map_w, n_cls), np.int64)
-        np.add.at(counts, (flat_proj, classes), 1)
-        cell_gt = np.where(counts.sum(axis=1) > 0,
-                           counts.argmax(axis=1), 0).astype(np.int32)
+        obj = classes > 0
+        uniq, inv = np.unique(classes[obj], return_inverse=True)
+        cell_gt = np.zeros((map_h * map_w,), np.int32)
+        if uniq.size:
+            counts = np.zeros((map_h * map_w, uniq.size), np.int64)
+            np.add.at(counts, (flat_proj[obj], inv), 1)
+            has_obj = counts.sum(axis=1) > 0
+            cell_gt[has_obj] = uniq[counts.argmax(axis=1)[has_obj]]
 
     os.makedirs(os.path.dirname(out_h5) or ".", exist_ok=True)
     with h5py.File(out_h5, "w") as f:

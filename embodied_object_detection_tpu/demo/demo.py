@@ -241,9 +241,10 @@ def main(argv=None):
             print(f"{path}: detected {n} instances in {time.time() - t0:.2f}s")
             results.append((path, dets))
             if args.output:
-                if len(paths) > 1:
+                if len(paths) > 1 and not os.path.isdir(args.output) \
+                        and os.path.splitext(args.output)[1]:
                     # ref demo.py: multiple inputs require a directory
-                    assert not os.path.splitext(args.output)[1], (
+                    raise ValueError(
                         "--output must be a directory for multiple inputs")
                 if os.path.isdir(args.output) or len(paths) > 1:
                     os.makedirs(args.output, exist_ok=True)

@@ -292,6 +292,8 @@ class EpisodeIterator(Iterator[Episode]):
         keys = list(groups)
         if shuffle_groups:
             self._rng.shuffle(keys)
+            for g in groups.values():  # habitat reshuffles within groups
+                self._rng.shuffle(g)
         self.episodes = [e for k in keys for e in groups[k]]
 
     def _forced_scene_switch(self) -> None:

@@ -88,6 +88,14 @@ class PPOTrainer:
                                      actions, method=PointNavPolicy.
                                      evaluate_actions)
 
+        # linear decay schedules pace themselves by ppo.num_updates;
+        # default it to the trainer's plan so enabling the flag works
+        # without duplicating the count (ppo_trainer.py:328-343)
+        import dataclasses as _dc
+        if (cfg.ppo.use_linear_lr_decay or cfg.ppo.use_linear_clip_decay) \
+                and cfg.ppo.num_updates == 0:
+            cfg.ppo = _dc.replace(cfg.ppo, num_updates=cfg.num_updates)
+
         if cfg.distributed:
             from embodied_object_detection_tpu.rl.ddppo import make_ddppo
             assert mesh is not None, "distributed=True requires a mesh"
@@ -158,6 +166,10 @@ class PPOTrainer:
               handle_preemption: bool = False) -> List[dict]:
         cfg = self.cfg
         num_updates = num_updates or cfg.num_updates
+        if (cfg.ppo.use_linear_lr_decay or cfg.ppo.use_linear_clip_decay) \
+                and cfg.ppo.num_updates not in (0, num_updates):
+            print(f"warning: lr/clip decay paced by ppo.num_updates="
+                  f"{cfg.ppo.num_updates}, training {num_updates} updates")
         start_update = 0
 
         if handle_preemption:

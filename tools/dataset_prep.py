@@ -134,7 +134,7 @@ def merge_coco_into_lvis(coco_data: dict, lvis_data: dict,
     merged, ann_id = [], 0
     # union: LVIS images with zero positive annotations (federated split)
     # can still receive mapped COCO annotations
-    all_files = set(lvis_img2anns) | set(coco_img2anns)
+    all_files = sorted(set(lvis_img2anns) | set(coco_img2anns))
     for fn in all_files:
         lvis_anns = lvis_img2anns.get(fn, [])
         keep = list(lvis_anns)
