@@ -76,10 +76,19 @@ def evaluate_coco(model: EmbodiedDetector, params, cfg: DetectorConfig,
     memf = jnp.zeros((cfg.memory.max_cells, cfg.memory.memory_dim), jnp.float32)
     memo = jnp.zeros((cfg.memory.max_cells,), jnp.float32)
 
-    def one(params, image):
-        out = model.apply(params, image, zs, memf, memo, dummy_proj,
-                          dummy_out, method=EmbodiedDetector.frame_step)
-        return out.detections
+    from ..models.res5_detector import Res5Detector
+
+    if isinstance(model, Res5Detector):
+        # single-frame Res5 variant: frame_step(image, zs) only
+        def one(params, image):
+            out = model.apply(params, image, zs,
+                              method=Res5Detector.frame_step)
+            return out.detections
+    else:
+        def one(params, image):
+            out = model.apply(params, image, zs, memf, memo, dummy_proj,
+                              dummy_out, method=EmbodiedDetector.frame_step)
+            return out.detections
 
     batched = jax.jit(jax.vmap(one, in_axes=(None, 0)))
 

@@ -128,6 +128,12 @@ def main(argv=None):
         print(f"output dir (auto): {cfg.output_dir}")
     os.makedirs(cfg.output_dir, exist_ok=True)
 
+    if getattr(cfg.roi, "head_type", "cascade") == "res5" \
+            and not args.coco_json:
+        raise SystemExit(
+            "roi.head_type=res5 is a single-frame variant (no memory "
+            "inputs, ref res5_roi_heads.py) — use it with --coco-json "
+            "single-frame eval/train, not the episode protocol")
     model, params = build_detector(cfg, jax.random.PRNGKey(0))
     if args.weights:
         if args.weights.endswith((".pth", ".pkl")):

@@ -61,3 +61,28 @@ def test_evaluate_coco_smoke(coco_fixture):
     zs = np.random.RandomState(0).randn(512, cfg.roi.num_classes + 1).astype(np.float32)
     res = evaluate_coco(model, params, cfg, ds, zs, batch=2, verbose=False)
     assert "AP" in res
+
+
+@pytest.mark.slow
+def test_evaluate_coco_res5_variant(coco_fixture):
+    """The Res5 head variant runs the single-frame COCO path end-to-end
+    through the same build_detector + evaluate_coco surfaces."""
+    import jax
+    from embodied_object_detection_tpu.data.catalog import (
+        CocoDetectionDataset, DatasetEntry)
+    from embodied_object_detection_tpu.engine.coco import evaluate_coco
+    from embodied_object_detection_tpu.models.detector import build_detector
+    from embodied_object_detection_tpu.models.res5_detector import (
+        Res5Detector)
+
+    cfg = tiny_config()
+    cfg = cfg.replace(roi=dataclasses.replace(cfg.roi, head_type="res5"))
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    assert isinstance(model, Res5Detector)
+    jf, img_dir = coco_fixture
+    ds = CocoDetectionDataset(DatasetEntry(jf, img_dir), height=128,
+                              width=160, max_gt=8)
+    zs = np.random.RandomState(0).randn(
+        512, cfg.roi.num_classes + 1).astype(np.float32)
+    res = evaluate_coco(model, params, cfg, ds, zs, batch=2, verbose=False)
+    assert "AP" in res
