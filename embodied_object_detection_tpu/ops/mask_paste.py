@@ -60,9 +60,14 @@ def paste_masks(masks: jax.Array, boxes: jax.Array, height: int, width: int,
     rx = _hat_weights(sx, m)                            # [N, W, M]
     ry = _hat_weights(sy, m)                            # [N, H, M]
 
+    # fp32 inputs AND accumulation: mask probabilities near the 0.5
+    # threshold feed the memory write (one of CLAUDE.md's named fp32
+    # sites) — bf16-rounded hat weights would flip boundary pixels on TPU
     tmp = jnp.einsum("nha,nab->nhb", ry, masks.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
     out = jnp.einsum("nhb,nwb->nhw", tmp, rx,
+                     precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
     if threshold >= 0:
         return out >= threshold

@@ -149,7 +149,7 @@ def memory_write(det_features: jax.Array, det_masks: jax.Array,
     # weights w[p, i] = sel[p] * m_i[p] / c[p]; cell weight A[cell, i] =
     # segment-sum over pixels. The P x N intermediate is the only large
     # transient; the D-wide contraction below runs on the MXU.
-    pix_w = jnp.where((sel & observed)[:, None], masks_f.T / jnp.maximum(c, 1.0)[:, None], 0.0)
+    pix_w = jnp.where(sel[:, None], masks_f.T / jnp.maximum(c, 1.0)[:, None], 0.0)
     a = jax.ops.segment_sum(pix_w, idx, num_segments=num_cells)   # [cells, N]
     cell_count = jax.ops.segment_sum(sel.astype(jnp.float32), idx,
                                      num_segments=num_cells)      # [cells]
@@ -198,9 +198,14 @@ def semmap_classes(features: jax.Array, obs_count: jax.Array,
     c = zs_weight.shape[1] - 1
     norm = jnp.linalg.norm(features, axis=-1, keepdims=True)
     feats = norm_temperature * features / jnp.maximum(norm, 1e-12)
-    logits = jnp.dot(feats, zs_weight, preferred_element_type=jnp.float32)[:, :c]
-    probs = jax.nn.softmax(logits, axis=-1)
-    cls = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    # fp32 like every zs_weight contraction (CLAUDE.md matmul rule;
+    # preferred_element_type alone only fixes the accumulator, the MXU
+    # would still round the inputs to bf16). softmax is monotone, so the
+    # reference's softmax-then-argmax is just argmax(logits).
+    logits = jnp.dot(feats, zs_weight,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)[:, :c]
+    cls = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     intensity = jnp.mean(jnp.abs(features), axis=-1)
     intensity = jnp.where(obs_count > 1, intensity / jnp.maximum(obs_count, 1.0), intensity)

@@ -47,6 +47,11 @@ def _greedy_keep(iou_mask: jax.Array, valid: jax.Array, max_iters: int) -> jax.A
 
 
 def _nms_core(boxes, scores, valid, classes, iou_threshold, max_iters):
+    # greedy suppression-DAG depth is bounded by the candidate count, so
+    # max_iters <= 0 (the default) means "run to convergence": the
+    # while_loop exits as soon as the mask stops changing, so the bound
+    # costs nothing on typical scenes but guarantees the greedy fixpoint
+    # even for long suppression chains (> 64 deep).
     """Sort by score desc, run greedy NMS. Returns (order, keep, sorted arrays)."""
     n = boxes.shape[0]
     scores = jnp.where(valid, scores, NEG_INF)
@@ -60,7 +65,8 @@ def _nms_core(boxes, scores, valid, classes, iou_threshold, max_iters):
     same_class = classes_s[:, None] == classes_s[None, :]
     upper = jnp.triu(jnp.ones((n, n), bool), k=1)      # i < j strictly (i higher score)
     iou_mask = (iou > iou_threshold) & same_class & upper & valid_s[:, None] & valid_s[None, :]
-    keep = _greedy_keep(iou_mask, valid_s, max_iters)
+    iters = max_iters if max_iters and max_iters > 0 else boxes.shape[0]
+    keep = _greedy_keep(iou_mask, valid_s, iters)
     return order, keep, boxes_s, scores_s, classes_s
 
 
@@ -68,7 +74,7 @@ def _nms_core(boxes, scores, valid, classes, iou_threshold, max_iters):
 def nms_padded(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
                iou_threshold: float, topk: int,
                classes: Optional[jax.Array] = None,
-               max_iters: int = 64) -> Detections:
+               max_iters: int = 0) -> Detections:
     """Greedy NMS over padded candidates; returns top-`topk` by score.
 
     If `classes` is given, suppression only happens within a class
@@ -94,7 +100,7 @@ def nms_padded(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
 @partial(jax.jit, static_argnames=("topk", "max_iters"))
 def class_aware_nms(boxes: jax.Array, scores: jax.Array, classes: jax.Array,
                     valid: jax.Array, iou_threshold: float, topk: int,
-                    max_iters: int = 64) -> Detections:
+                    max_iters: int = 0) -> Detections:
     """Per-class NMS + global top-k (detectron2 `batched_nms` semantics)."""
     return nms_padded(boxes, scores, valid, iou_threshold, topk,
                       classes=classes, max_iters=max_iters)
@@ -103,7 +109,7 @@ def class_aware_nms(boxes: jax.Array, scores: jax.Array, classes: jax.Array,
 @partial(jax.jit, static_argnames=("topk", "max_iters", "candidate_cap"))
 def multiclass_nms(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
                    score_thresh: float, iou_threshold: float, topk: int,
-                   max_iters: int = 64, candidate_cap: int = 2048
+                   max_iters: int = 0, candidate_cap: int = 2048
                    ) -> Tuple[Detections, jax.Array]:
     """`fast_rcnn_inference` for class-agnostic boxes.
 
@@ -128,10 +134,12 @@ def multiclass_nms(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     flat_rows = jnp.repeat(jnp.arange(r, dtype=jnp.int32), c)
     flat_boxes = jnp.repeat(boxes, c, axis=0)           # class-agnostic boxes tiled
 
-    # cap the NMS working set: the O(N^2) IoU matrix over all R*C candidates
-    # is wasted work — only the top `candidate_cap` by score can influence
-    # the final top-`topk` in practice (suppression only removes
-    # lower-scored boxes).
+    # cap the NMS working set: the O(N^2) IoU matrix over all R*C
+    # candidates is mostly wasted work. This IS a documented divergence
+    # (ARCHITECTURE.md #2), not an exact identity: a below-cap candidate
+    # that greedy-over-all would keep (because everything above it was
+    # suppressed) is lost — negligible at cap=2048 vs topk<=300, and
+    # candidate_cap=0 disables the cap for bit-exact suppression.
     if candidate_cap and candidate_cap < flat_boxes.shape[0]:
         key = jnp.where(flat_valid, flat_scores, NEG_INF)
         _, keep_idx = jax.lax.top_k(key, candidate_cap)

@@ -40,8 +40,11 @@ def _kernel(idx_ref, w_ref, out_ref):
 
     idx = idx_ref[:, 0]                                    # [Pt] int32
     w = w_ref[:, :].astype(jnp.bfloat16)
-    # cell tiles of 512 keep the one-hot block MXU-shaped
+    # cell tiles of <=512 keep the one-hot block MXU-shaped; pick the
+    # largest divisor of `cells` so no tail cells are dropped
     ct = min(512, cells)
+    while cells % ct:
+        ct -= 1
     for i in range(cells // ct):
         cell_ids = i * ct + jax.lax.broadcasted_iota(
             jnp.int32, (pt, ct), 1)

@@ -39,7 +39,8 @@ def assign_levels(boxes: jax.Array, min_level: int, max_level: int,
 
 
 def _bilinear_flat(flat_table: jax.Array, x: jax.Array, y: jax.Array,
-                   h: jax.Array, w: jax.Array, base: jax.Array) -> jax.Array:
+                   h: jax.Array, w: jax.Array, base: jax.Array,
+                   cast_weights: bool = False) -> jax.Array:
     """Bilinear sample from a flattened level table.
 
     flat_table: [T, C]; x, y: [...] continuous coords in the level's grid;
@@ -51,6 +52,16 @@ def _bilinear_flat(flat_table: jax.Array, x: jax.Array, y: jax.Array,
     border pixel at FULL weight (no edge fade). This matters because stage-0
     cascade proposals are NOT clipped to the image (the reference regresses
     deltas from unclipped boxes).
+
+    cast_weights=True (the `impl="v2"` path) casts tap weights to the
+    feature dtype so the gather->weight->sum chain stays bf16 on TPU — no
+    f32 convert + T(8,128)->T(2,128) relayout between gather and reduce
+    (trace-guided: the f32 path cost ~2.4 ms/frame at 480x640 flagship
+    shapes). Bit-identical under f32 inputs (CPU tests / parity oracles).
+
+    Note: a pair-slab variant (one lax.gather of slice_sizes=(2, C)
+    fetching both x-taps) was measured 25x SLOWER on v5e — TPU gathers
+    only vectorize full single-row slices. Do not re-add.
     """
     hf = h.astype(x.dtype)
     wf = w.astype(x.dtype)
@@ -72,53 +83,13 @@ def _bilinear_flat(flat_table: jax.Array, x: jax.Array, y: jax.Array,
     # invalidity is folded into the *scalar* tap weights (cheap) rather than
     # masking the gathered [.., C] vectors
     okf = valid.astype(x.dtype)
+    wdt = flat_table.dtype if cast_weights else None
 
     def tap(yi, xi, wgt):
         v = flat_table[(base + yi * w + xi).astype(jnp.int32)]
+        if wdt is not None:
+            wgt = wgt.astype(wdt)
         return v * wgt[..., None]
-
-    return (tap(y0i, x0i, (1 - ly) * (1 - lx) * okf) +
-            tap(y0i, x1i, (1 - ly) * lx * okf) +
-            tap(y1i, x0i, ly * (1 - lx) * okf) +
-            tap(y1i, x1i, ly * lx * okf))
-
-
-def _bilinear_flat_bf16(flat_table: jax.Array, x: jax.Array, y: jax.Array,
-                        h: jax.Array, w: jax.Array,
-                        base: jax.Array) -> jax.Array:
-    """`_bilinear_flat` with tap weights cast to the feature dtype.
-
-    Same CUDA-kernel semantics (outside [-1,size] -> 0, border clamp at
-    full weight); the only difference is executional: weights are cast to
-    the table dtype so on TPU the whole gather->weight->sum chain stays
-    bf16 — no f32 convert + T(8,128)->T(2,128) relayout between gather
-    and reduce (trace-guided: the f32 path cost ~2.4 ms/frame at the
-    480x640 flagship shapes). Under f32 inputs (CPU tests / parity
-    oracles) this is bit-identical to _bilinear_flat.
-
-    Note: a pair-slab variant (one lax.gather of slice_sizes=(2, C)
-    fetching both x-taps) was measured 25x SLOWER on v5e — TPU gathers
-    only vectorize for full single-row slices. Do not re-add.
-    """
-    hf = h.astype(x.dtype)
-    wf = w.astype(x.dtype)
-    valid = (x >= -1.0) & (x <= wf) & (y >= -1.0) & (y <= hf)
-    x = jnp.clip(x, 0.0, wf - 1.0)
-    y = jnp.clip(y, 0.0, hf - 1.0)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    lx = x - x0
-    ly = y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    x1i = jnp.minimum(x0i + 1, w - 1)
-    y1i = jnp.minimum(y0i + 1, h - 1)
-    okf = valid.astype(x.dtype)
-    dt = flat_table.dtype
-
-    def tap(yi, xi, wgt):
-        v = flat_table[(base + yi * w + xi).astype(jnp.int32)]
-        return v * wgt.astype(dt)[..., None]
 
     return (tap(y0i, x0i, (1 - ly) * (1 - lx) * okf) +
             tap(y0i, x1i, (1 - ly) * lx * okf) +
@@ -185,7 +156,7 @@ def multilevel_roi_align(features: Sequence[jax.Array], boxes: jax.Array,
     sxx = sxx - 0.5
     syy = syy - 0.5
 
-    bilinear = _bilinear_flat_bf16 if impl == "v2" else _bilinear_flat
+    bilinear = partial(_bilinear_flat, cast_weights=(impl == "v2"))
     vals = bilinear(
         flat, sxx, syy,
         jnp.broadcast_to(roi_h[:, None, None], sxx.shape),
