@@ -34,7 +34,10 @@ def restore_checkpoint(path: str, template: Any) -> Any:
 def latest_checkpoint(directory: str) -> Optional[str]:
     if not os.path.isdir(directory):
         return None
-    cands = sorted(x for x in os.listdir(directory) if x.startswith("ckpt_"))
+    # skip orbax in-progress temp dirs — resuming from a half-written
+    # checkpoint after a crash is exactly what resume must survive
+    cands = sorted(x for x in os.listdir(directory)
+                   if x.startswith("ckpt_") and "tmp" not in x)
     return os.path.join(directory, cands[-1]) if cands else None
 
 
@@ -48,7 +51,10 @@ class PeriodicCheckpointer:
         self.max_iter = max_iter
 
     def step(self, iteration: int, state: Any):
-        if (iteration + 1) % self.period == 0 or (iteration + 1) == self.max_iter:
+        # period <= 0 disables periodic saves (fvcore semantics); the
+        # final-iteration save still happens
+        periodic = self.period > 0 and (iteration + 1) % self.period == 0
+        if periodic or (iteration + 1) == self.max_iter:
             save_checkpoint(self.directory, iteration + 1, state)
 
 

@@ -33,14 +33,17 @@ def items_to_train_batch(items: List[dict], cfg: DetectorConfig,
     pad = (-b) % max(pad_to_multiple, 1)
     h, w = cfg.input.height, cfg.input.width
     images = np.zeros((b + pad, h, w, 3), np.float32)
-    gt_boxes = np.zeros((b + pad,) + items[0]["gt_boxes"].shape, np.float32)
-    gt_classes = np.zeros((b + pad,) + items[0]["gt_classes"].shape, np.int32)
-    gt_valid = np.zeros((b + pad,) + items[0]["gt_valid"].shape, bool)
+    # datasets in a multi-source batch may carry different max_gt paddings
+    g = max(it["gt_boxes"].shape[0] for it in items)
+    gt_boxes = np.zeros((b + pad, g, 4), np.float32)
+    gt_classes = np.zeros((b + pad, g), np.int32)
+    gt_valid = np.zeros((b + pad, g), bool)
     for i, it in enumerate(items):
         images[i] = it["image"].astype(np.float32)
-        gt_boxes[i] = it["gt_boxes"]
-        gt_classes[i] = it["gt_classes"]
-        gt_valid[i] = it["gt_valid"]
+        gi = it["gt_boxes"].shape[0]
+        gt_boxes[i, :gi] = it["gt_boxes"]
+        gt_classes[i, :gi] = it["gt_classes"]
+        gt_valid[i, :gi] = it["gt_valid"]
     return TrainBatch(
         image=images,
         proj_indices=np.zeros((b + pad, h, w), np.int32),
@@ -113,10 +116,16 @@ def evaluate_coco(model: EmbodiedDetector, params, cfg: DetectorConfig,
             ev.add_image(img_id)
             gv = it["gt_valid"]
             s = it["scale"]
+            oh, ow = it["orig_hw"]
             ev.add_ground_truth(img_id, it["gt_boxes"][gv] / s,
                                 it["gt_classes"][gv])
             v = valid[k]
-            ev.add_detections(img_id, boxes[k][v] / s, scores[k][v],
+            # detector_postprocess clips output boxes to the original
+            # image size; unclipped boxes in the letterbox padding would
+            # change border-object IoU vs the reference protocol
+            db = np.clip(boxes[k][v] / s,
+                         0, [ow, oh, ow, oh]).astype(np.float32)
+            ev.add_detections(img_id, db, scores[k][v],
                               classes[k][v])
         done += len(items)
         if verbose and done % (batch * 10) == 0:

@@ -62,6 +62,7 @@ def chunk_to_frame_inputs(chunk: EpisodeChunk, max_cells: int) -> FrameInputs:
             obs_visibility_host(chunk.proj_indices, max_cells)),
         memory_reset=jnp.asarray(chunk.memory_reset),
         episode_start=jnp.asarray(chunk.episode_start),
+        frame_valid=jnp.asarray(chunk.frame_valid),
     )
 
 
@@ -92,13 +93,18 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
     total_frames = 0
 
     # host prefetch overlapping device compute (DataLoader-workers analog;
-    # ref: train_mp3d.py:404-413)
-    chunk_iter = prefetch_iterator(dataset.__getitem__, range(n_chunks),
+    # ref: train_mp3d.py:404-413). The per-frame visibility bincount +
+    # FrameInputs assembly runs INSIDE the workers too — on the serial
+    # path it would add ~1 ms x t_max per chunk to t_data.
+    def _fetch(i):
+        chunk = dataset[i]
+        return chunk, chunk_to_frame_inputs(chunk, cfg.memory.max_cells)
+
+    chunk_iter = prefetch_iterator(_fetch, range(n_chunks),
                                    num_workers=num_workers)
     for idx in range(n_chunks):
         t0 = time.perf_counter()
-        chunk = next(chunk_iter)
-        frames = chunk_to_frame_inputs(chunk, cfg.memory.max_cells)
+        chunk, frames = next(chunk_iter)
         t_data += time.perf_counter() - t0
 
         t0 = time.perf_counter()

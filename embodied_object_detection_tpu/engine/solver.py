@@ -64,14 +64,16 @@ def param_labels(params, cfg: SolverConfig) -> Any:
 
 
 def warmup_cosine_schedule(cfg: SolverConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """WarmupCosineLR (detectron2): linear warmup from warmup_factor, then
-    0.5 * (1 + cos(pi * t / max_iter))."""
+    """WarmupCosineLR (detectron2): lr = base * warmup_factor(t) *
+    0.5*(1 + cos(pi*t/max_iter)) — the cosine applies DURING warmup too
+    (multiplicative, no discontinuity at warmup end; d2 _get_warmup_factor
+    multiplies the base schedule)."""
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         warm = cfg.warmup_factor + (1 - cfg.warmup_factor) * \
             jnp.minimum(step / max(cfg.warmup_iters, 1), 1.0)
         cos = 0.5 * (1 + jnp.cos(math.pi * step / max(cfg.max_iter, 1)))
-        return cfg.base_lr * jnp.where(step < cfg.warmup_iters, warm, cos)
+        return cfg.base_lr * warm * cos
     return schedule
 
 

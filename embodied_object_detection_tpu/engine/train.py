@@ -133,8 +133,16 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
     writer = MetricsWriter(cfg.output_dir)
     checkpointer = PeriodicCheckpointer(cfg.output_dir,
                                         solver.checkpoint_period, max_iter)
-    rng = np.random.RandomState(seed)
     zs = jnp.asarray(zs_weight, jnp.float32)
+
+    def iter_rng(it: int) -> np.random.RandomState:
+        # per-iteration stream keyed on (seed, iteration): a resumed run
+        # continues sampling where it left off instead of replaying the
+        # pre-crash index sequence (detectron2's seeded TrainingSampler
+        # continues its stream; a single RandomState rebuilt at resume
+        # would restart it)
+        return np.random.RandomState(
+            np.random.SeedSequence([seed, it]).generate_state(1)[0])
 
     with mesh:
         state = replicate(mesh, state)
@@ -142,14 +150,26 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
         step = jit_train_step(step_fn, mesh)
         t_start = time.perf_counter()
         data_t = step_t = 0.0
+        dp = mesh.shape[cfg.parallel.data_axis]
+
+        def load_batch(it):
+            r = iter_rng(it)
+            idx = r.choice(len(dataset), solver.ims_per_batch,
+                           replace=len(dataset) < solver.ims_per_batch)
+            chunks = [dataset[int(i)] for i in idx]
+            return chunks_to_train_batch(chunks, cfg, frames_per_chunk, r,
+                                         pad_to_multiple=dp)
+
+        # one-batch lookahead: host h5 reads overlap the device step (the
+        # DataLoader-workers analog, train_mp3d.py:564-573)
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending = pool.submit(load_batch, start_iter)
         for it in range(start_iter, max_iter):
             t0 = time.perf_counter()
-            idx = rng.choice(len(dataset), solver.ims_per_batch,
-                             replace=len(dataset) < solver.ims_per_batch)
-            chunks = [dataset[int(i)] for i in idx]
-            dp = mesh.shape[cfg.parallel.data_axis]
-            batch = chunks_to_train_batch(chunks, cfg, frames_per_chunk, rng,
-                                          pad_to_multiple=dp)
+            batch = pending.result()
+            if it + 1 < max_iter:
+                pending = pool.submit(load_batch, it + 1)
             batch = shard_batch(mesh, batch)
             data_t += time.perf_counter() - t0
 
@@ -175,4 +195,5 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
             checkpointer.step(it, state)
             if eval_period > 0 and (it + 1) % eval_period == 0 and eval_fn:
                 eval_fn(state)
+        pool.shutdown(wait=False)
     return state

@@ -48,6 +48,10 @@ class FrameInputs(NamedTuple):
     obs_visibility: jax.Array  # [max_cells] float32
     memory_reset: jax.Array    # [] bool — reset memory before this frame
     episode_start: jax.Array   # [] bool — first frame of an episode chunk
+    # [] bool — False for rows padding a short chunk to t_max; padding
+    # frames never touch the carried memory (the reference never feeds
+    # them to the model at all). None (pytree-empty) = all frames valid.
+    frame_valid: "jax.Array | None" = None
 
 
 class FrameOutputs(NamedTuple):
@@ -537,9 +541,14 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
                               frame.outlier_mask, frame.obs_visibility,
                               method=EmbodiedDetector.frame_step)
             if not external_memory:
-                live = MemoryState(
+                updated = MemoryState(
                     features=live.features + out.write.features_update,
                     obs_count=live.obs_count + out.write.obs_update)
+                if frame.frame_valid is not None:
+                    # padding frames must not contaminate the carry
+                    live = _tree_where(frame.frame_valid, updated, live)
+                else:
+                    live = updated
             first_mem = _tree_where(t == 0, live, first_mem)
             return (live, snap, first_mem, t + 1), \
                 (out.detections, out.write.any_detection)
