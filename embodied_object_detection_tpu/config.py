@@ -169,7 +169,10 @@ class MemoryConfig:
     memory_type: str = "implicit_memory"        # MODEL.MEMORY_TYPE
     feat_fusion: str = "sum"                    # MODEL.MAP_FEAT_FUSION
     map_feature_weight: float = 5.0             # MODEL.MAP_FEATURE_WEIGHT (cfg #4 uses 5)
-    memory_feature_weight: float = 100.0        # MODEL.MEMORY_FEATURE_WEIGHT (config.py:62)
+    memory_feature_weight: float = 100.0        # MODEL.MEMORY_FEATURE_WEIGHT (config.py:62);
+                                                # NOTE: dead in the reference too — timm.py:60
+                                                # stores it but never applies it (only
+                                                # map_feature_weight is used, timm.py:177)
     cls_score_thresh: float = 0.3               # MEMORY_CLS_SCORE_THRESH (config.py:68)
     obs_score_thresh: float = 0.4               # MEMORY_OBS_SCORE_THRESH (config.py:69)
     test_type: str = "default"                  # MODEL.TEST_TYPE

@@ -118,8 +118,13 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, query_pos, ref_points, memory, spatial_shapes):
-        q = (tgt + query_pos)[None]
-        sa = nn.SelfAttention(num_heads=self.heads, name="self_attn")(q)[0]
+        # q = k = tgt+pos but value = tgt (DeformableTransformerDecoderLayer
+        # self_attn(q, k, value=tgt) — the positional term must NOT leak
+        # into the attention values)
+        qk = (tgt + query_pos)[None]
+        sa = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, name="self_attn")(
+                inputs_q=qk, inputs_k=qk, inputs_v=tgt[None])[0]
         tgt = nn.LayerNorm(name="norm1")(tgt + sa)
         ca = MSDeformAttnLayer(self.dim, self.heads, self.levels,
                                name="cross_attn")(tgt + query_pos, ref_points,
@@ -259,7 +264,12 @@ class DeformableDETR(nn.Module):
                 emb = cls_heads[k](x)
                 emb = self.norm_temperature * emb / jnp.maximum(
                     jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
-                return emb @ zs_weight[:, :self.num_classes]
+                # fp32 zs_weight logits (CLAUDE.md matmul rule; mirrors
+                # ZeroShotPredictor roi_heads.py:108-110)
+                import jax as _jax
+                return jnp.dot(emb, zs_weight[:, :self.num_classes],
+                               precision=_jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
             return cls_heads[k](x)
 
         def apply_bbox(k, x):
@@ -313,8 +323,10 @@ class DeformableDETR(nn.Module):
             all_logits.append(logits)
             all_boxes.append(boxes)
             if self.with_box_refine:
-                ref = jax.lax.stop_gradient(
-                    boxes if self.two_stage else boxes[:, :2])
+                # the reference upgrades refs to the full detached 4-d box
+                # after every layer regardless of two_stage
+                # (deformable_transformer.py new_reference_points)
+                ref = jax.lax.stop_gradient(boxes)
         return DETROutputs(logits=jnp.stack(all_logits),
                            boxes_cxcywh=jnp.stack(all_boxes),
                            enc_logits=enc_logits,

@@ -272,7 +272,12 @@ class EmbodiedDetector(nn.Module):
         cfg = self.cfg
         h, w = cfg.input.height, cfg.input.width
 
-        use_memory = cfg.memory.memory_type == "implicit_memory"
+        # same memory-type set as frame_step: the GT-memory baselines
+        # (semantic_gt / map_gt / explicit_map) must TRAIN through the
+        # fusion convs they evaluate through, or the merge projections
+        # stay random while eval routes the table through them
+        use_memory = cfg.memory.memory_type in (
+            "implicit_memory", "semantic_gt", "map_gt", "explicit_map")
         ego = memory_read(mem_features, mem_obs, proj_indices) if use_memory else None
         p3, p4, p5, p6, p7 = self._features(image, ego)
         feats = (p3, p4, p5, p6, p7)
@@ -529,8 +534,12 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
             if external_memory:
                 snap = live = carry[0]
             else:
-                live = _tree_where(frame.memory_reset, zeros, live)
-                snap = _tree_where(frame.memory_reset, zeros, snap)
+                # padding frames must not reset either (producers that pad
+                # by repeating a reset-bearing frame would wipe the carry)
+                do_reset = frame.memory_reset if frame.frame_valid is None \
+                    else frame.memory_reset & frame.frame_valid
+                live = _tree_where(do_reset, zeros, live)
+                snap = _tree_where(do_reset, zeros, snap)
                 if test_type in ("default", "episodic"):
                     snap = live
                 else:  # longterm

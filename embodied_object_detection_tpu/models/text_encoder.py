@@ -180,7 +180,11 @@ def _make_model(width=512, layers=12, heads=8):
                               nn.initializers.normal(width ** -0.5),
                               (width, width))
             eot = jnp.argmax(tokens, axis=-1)            # EOT has max id
-            feats = x[jnp.arange(b), eot] @ proj
+            # fp32 projection: these embeddings become zs_weight columns
+            # that every downstream fp32-forced contraction consumes
+            feats = jnp.dot(x[jnp.arange(b), eot], proj,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
             return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
 
     return TextTransformer()
