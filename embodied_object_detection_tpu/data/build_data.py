@@ -119,17 +119,24 @@ def build_sample_h5(renderer: Renderer, positions: np.ndarray,
 
 def build_env_samples(renderer: Renderer, env: str, path: Dict[str, list],
                       output_dir: str, nb_samples: int = 50,
-                      nb_frames: int = 20, seed: int = 0, **kw) -> List[str]:
-    """Slice `nb_samples` random `nb_frames`-windows from an env's path and
-    render each (ref: build_data.py:84-118: deterministic evenly-spaced
-    starts over the path)."""
+                      nb_frames: int = 20, seed: int = 0,
+                      random_starts: bool = False, **kw) -> List[str]:
+    """Slice `nb_samples` `nb_frames`-windows from an env's path and render
+    each. Default: deterministic evenly-spaced starts (reproducible
+    fixtures). random_starts=True draws seeded uniform starts — the
+    reference's original sampling (build_data.py:139-141 randint, later
+    frozen into an info json)."""
     positions = np.asarray(path["positions"], np.float32)
     rotations = np.asarray(path["orientations"], np.float32)
     n = len(positions)
     assert n >= nb_frames, (env, n)
-    starts = np.linspace(0, n - nb_frames, num=min(nb_samples,
-                                                   n - nb_frames + 1),
-                         dtype=int)
+    if random_starts:
+        starts = np.random.RandomState(seed).randint(
+            0, n - nb_frames + 1, size=nb_samples)
+    else:
+        starts = np.linspace(0, n - nb_frames, num=min(nb_samples,
+                                                       n - nb_frames + 1),
+                             dtype=int)
     out = []
     for m, start in enumerate(starts):
         fn = os.path.join(output_dir, f"{env}_{m}.h5")

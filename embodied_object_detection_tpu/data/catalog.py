@@ -10,6 +10,7 @@ fixed-shape frames for the single-frame trainer/evaluator.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from dataclasses import dataclass, field
@@ -188,18 +189,39 @@ class CocoDetectionDataset:
     ResizeShortestEdge to a fixed canvas; the mp3d path uses raw 480x640)."""
 
     def __init__(self, name_or_entry, height: int = 480, width: int = 640,
-                 max_gt: int = 64, filter_empty: bool = False):
+                 max_gt: int = 64, filter_empty: bool = False,
+                 remap_ids: bool = True):
+        """remap_ids=True maps category ids to contiguous [0, C) (the
+        detectron2 convention for training); False keeps raw ids — needed
+        when the json's ids ARE the model's vocabulary indices (the mp3d
+        jsons from create_coco.py) so eval compares matching label
+        spaces."""
         entry = (get_dataset(name_or_entry)
                  if isinstance(name_or_entry, str) else name_or_entry)
-        self.entry = entry
+        self.remap_ids = remap_ids
         self.height = height
         self.width = width
         self.max_gt = max_gt
         with open(entry.json_file) as f:
             coco = json.load(f)
         cats = sorted(coco.get("categories", []), key=lambda c: c["id"])
+        # work on a copy — mutating the registered entry would clobber
+        # vendored metadata (names, federated image counts) for every
+        # later consumer of the catalog; EMPTY registered fields are still
+        # enriched from the json as a convenience
+        registered = entry
+        entry = dataclasses.replace(entry)
+        self.entry = entry
         entry.thing_classes = [c.get("name", str(c["id"])) for c in cats]
-        entry.id_map = {c["id"]: i for i, c in enumerate(cats)}
+        if not registered.thing_classes:
+            registered.thing_classes = list(entry.thing_classes)
+        if self.remap_ids:
+            entry.id_map = {c["id"]: i for i, c in enumerate(cats)}
+        else:
+            # raw-id label space: the mp3d jsons (create_coco.py) use
+            # vocabulary indices as category ids, which must line up with
+            # the model's zs_weight columns un-remapped
+            entry.id_map = {c["id"]: c["id"] for c in cats}
         self.images = {im["id"]: im for im in coco["images"]}
         self.anns_by_image: Dict[int, List[dict]] = {}
         counts: Dict[int, int] = {}

@@ -125,11 +125,16 @@ class EpisodeDataset:
             self.clip_embeddings = np.concatenate(
                 [np.zeros((1, emb.shape[1]), np.float32), emb], axis=0)
 
-        files = sort_episode_files(os.listdir(self.memory_path))
+        files = sort_episode_files(
+            [f for f in os.listdir(self.memory_path) if f.endswith(".h5")])
         if test_type == "longterm":
             # ref: loader.py:108-117 — replay each 50-chunk block twice; the
             # first chunk of each replayed block is replaced by the block's
-            # last chunk so memory state carries over.
+            # last chunk so memory state carries over. Preserved quirks: the
+            # reference sorts the doubled BLOCKS lexicographically (so with
+            # >=100 chunks/scene "x_100" blocks precede "x_50" blocks) and
+            # steps the replacement by a fixed 100 (off for a trailing
+            # short block) — reproduced bit-for-bit, not corrected.
             blocks = [files[i:i + 50] for i in range(0, len(files), 50)]
             files = sorted(blocks * 2)
             files = [f for blk in files for f in blk]
@@ -157,11 +162,15 @@ class EpisodeDataset:
         t_max = self.max_sequence_length
 
         with h5py.File(os.path.join(self.memory_path, file), "r") as h5:
-            memory = np.array(h5["memory_features"])
+            # only the ROW COUNT of the (zero-filled) memory template is
+            # needed (ARCHITECTURE.md: "the h5 is only a cell-count
+            # template") — .shape reads no data, vs tens of MB per chunk
+            num_cells = int(h5["memory_features"].shape[0])
             proj = np.array(h5["proj_indices"])
+            semmap_gt = np.array(h5["semmap_gt"]) \
+                if "semmap_gt" in h5 else None
         if proj.ndim == 4:
             proj = proj[..., 0]
-        num_cells = int(memory.shape[0])
 
         mem_features = observations = None
         if self.semmap_path:
@@ -171,9 +180,6 @@ class EpisodeDataset:
                     mem_features = np.array(h5["impicit_memory"], np.float32)
                     observations = np.array(h5["observations"], np.float32)
                 num_cells = int(mem_features.shape[0])
-
-        with h5py.File(os.path.join(self.memory_path, file), "r") as h5m:
-            semmap_gt = np.array(h5m["semmap_gt"]) if "semmap_gt" in h5m else None
 
         with h5py.File(os.path.join(self.sensor_path, file), "r") as h5:
             rgb = np.array(h5["rgb"])
@@ -188,10 +194,20 @@ class EpisodeDataset:
             mem_features = self.clip_embeddings
             observations = np.ones((mem_features.shape[0],), np.float32)
             num_cells = mem_features.shape[0]
-            if self.memory_type == "semantic_gt" and segmentation is not None:
+            if self.memory_type == "semantic_gt":
+                if segmentation is None:
+                    raise ValueError(
+                        f"memory_type=semantic_gt needs segmentation_data "
+                        f"in the sensor h5 for {file} — projecting raw "
+                        "map-cell indices into the tiny CLIP table would "
+                        "silently clamp to garbage")
                 # per-pixel class id becomes the "projection" into the table
                 proj = segmentation.astype(np.int64)
-            elif self.memory_type == "map_gt" and semmap_gt is not None:
+            elif self.memory_type == "map_gt":
+                if semmap_gt is None:
+                    raise ValueError(
+                        f"memory_type=map_gt needs semmap_gt in the memory "
+                        f"h5 for {file}")
                 proj = semmap_gt[proj]
 
         t = len(det_records)

@@ -114,9 +114,11 @@ class DiskTarDataset:
         """-> (PIL image RGB, synset label or -1 on decode failure, index)."""
         from PIL import Image
         assert 0 <= index < len(self)
-        d_index = int(np.searchsorted(self.dataset_cumsums, index))
-        if index in self.dataset_cumsums:
-            d_index += 1
+        # side='right' handles boundary indices AND duplicate cumsums from
+        # empty tars (e.g. lens [3,0,2] -> cumsums [3,3,5]: index 3 must
+        # route to dataset 2, not the empty dataset 1)
+        d_index = int(np.searchsorted(self.dataset_cumsums, index,
+                                      side="right"))
         local = index if d_index == 0 \
             else index - int(self.dataset_cumsums[d_index - 1])
         data = self.chunk_datasets[d_index][local]

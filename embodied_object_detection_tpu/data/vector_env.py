@@ -164,6 +164,8 @@ class ThreadedVectorEnv(VectorEnv):
         while True:
             cmd, data = q.get()
             if cmd == _CLOSE:
+                if hasattr(env, "close"):
+                    env.close()
                 return
             if cmd == _STEP:
                 r.put(_do_step(env, data, auto_reset_done))

@@ -158,10 +158,13 @@ def main(argv=None):
         # vanilla single-frame evaluation (train_net.py analog)
         from .data.catalog import CocoDetectionDataset, DatasetEntry
         from .engine.coco import evaluate_coco
+        # raw-id label space: the mp3d jsons (create_coco.py) use vocabulary
+        # indices as category ids, which must match the model's zs_weight
+        # columns — contiguous remapping would scramble the comparison
         ds = CocoDetectionDataset(
             DatasetEntry(args.coco_json, args.image_root or args.data_path),
             height=cfg.input.height, width=cfg.input.width,
-            max_gt=cfg.input.max_gt_boxes)
+            max_gt=cfg.input.max_gt_boxes, remap_ids=False)
         res = evaluate_coco(model, params, cfg, ds, zs_weight)
         print("coco:", {k: round(v, 3) for k, v in res.items()
                         if not k.startswith("AP-")})
