@@ -237,7 +237,15 @@ def load_torch_checkpoint(path: str):
     import torch
     data = torch.load(path, map_location="cpu", weights_only=False)
     sd = data.get("model", data.get("state_dict", data))
-    sd_np = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+    def _to_np(v):
+        if hasattr(v, "numpy"):
+            # torch bf16 tensors reject .numpy(); upcast first
+            if "bfloat16" in str(getattr(v, "dtype", "")):
+                return v.float().numpy()
+            return v.numpy()
+        return np.asarray(v)
+
+    sd_np = {k: _to_np(v)
              for k, v in sd.items()}
     return convert_state_dict(sd_np)
 

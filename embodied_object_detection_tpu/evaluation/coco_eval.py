@@ -87,6 +87,7 @@ class COCOEvaluator:
         self.federated = federated
         self._pos: Dict[int, set] = {}
         self._neg: Dict[int, set] = {}
+        self._seen_ids: set = set()
         self._gt: Dict[int, Dict[int, list]] = defaultdict(lambda: defaultdict(list))
         self._dt: Dict[int, Dict[int, list]] = defaultdict(lambda: defaultdict(list))
         self._img_ids: List[int] = []
@@ -95,13 +96,19 @@ class COCOEvaluator:
         self._gt.clear()
         self._dt.clear()
         self._img_ids = []
+        self._seen_ids.clear()
+        self._pos.clear()
+        self._neg.clear()
+        self._last_precisions = None
 
     def add_image(self, image_id: int,
                   neg_category_ids: Sequence[int] = ()):
-        self._img_ids.append(image_id)
+        if image_id not in self._seen_ids:
+            self._img_ids.append(image_id)
+            self._seen_ids.add(image_id)
         if self.federated:
             self._pos.setdefault(image_id, set())
-            self._neg[image_id] = set(neg_category_ids)
+            self._neg.setdefault(image_id, set()).update(neg_category_ids)
 
     def add_ground_truth(self, image_id: int, boxes_xyxy: np.ndarray,
                          classes: np.ndarray,
@@ -124,21 +131,28 @@ class COCOEvaluator:
         classes = np.asarray(classes).reshape(-1)
         for i in range(len(boxes_xyxy)):
             c = int(classes[i])
-            if self.federated and \
-                    c not in self._pos.get(image_id, set()) and \
-                    c not in self._neg.get(image_id, set()):
-                continue
             x1, y1, x2, y2 = boxes_xyxy[i]
             self._dt[image_id][c].append(
                 ((x1, y1, x2 - x1, y2 - y1), float(scores[i])))
 
     # ------------------------------------------------------------------
+    def _federated_drop(self, img_id: int, cat: int) -> bool:
+        """LVIS federated protocol: detections of classes neither
+        positively annotated nor in the image's negative list are ignored
+        (the detector isn't penalized for unverified classes). Evaluated
+        HERE — at add time _pos may not be complete yet, which would make
+        the streaming API order-dependent."""
+        return (self.federated
+                and cat not in self._pos.get(img_id, set())
+                and cat not in self._neg.get(img_id, set()))
+
     def _evaluate_img_cat(self, img_id: int, cat: int, area_rng, n_thrs: int):
         """Greedy matching for one (image, category); mirrors
         COCOeval.evaluateImg."""
         gt_entries = self._gt[img_id].get(cat, [])
-        dt_entries = sorted(self._dt[img_id].get(cat, []),
-                            key=lambda e: -e[1])[: self.max_dets]
+        dt_entries = [] if self._federated_drop(img_id, cat) else sorted(
+            self._dt[img_id].get(cat, []),
+            key=lambda e: -e[1])[: self.max_dets]
         if not gt_entries and not dt_entries:
             return None
         g_boxes = np.array([e[0] for e in gt_entries], np.float64).reshape(-1, 4)
@@ -212,10 +226,11 @@ class COCOEvaluator:
                         g_areas.append(ar)
                         any_entries = True
                     g_off.append(len(g_boxes))
-                    for box, sc in self._dt[i].get(cat, []):
-                        d_boxes.append(box)
-                        d_scores.append(sc)
-                        any_entries = True
+                    if not self._federated_drop(i, cat):
+                        for box, sc in self._dt[i].get(cat, []):
+                            d_boxes.append(box)
+                            d_scores.append(sc)
+                            any_entries = True
                     d_off.append(len(d_boxes))
                 if not any_entries:
                     continue

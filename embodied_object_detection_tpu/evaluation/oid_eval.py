@@ -136,6 +136,7 @@ class OIDEvaluator:
 
         ioa = _iou_ioa(d_boxes, groups, ioa=True)
         g_scores = np.zeros(ioa.shape[1])
+        g_matched = np.zeros(ioa.shape[1], bool)
         if ioa.shape[1] > 0:
             best = np.argmax(ioa, axis=1)
             for i in range(nd):
@@ -143,8 +144,11 @@ class OIDEvaluator:
                 if (not tp[i] and ioa[i, g] >= self.iou_thresh and
                         not matched_group[i]):
                     matched_group[i] = True
+                    g_matched[g] = True
                     g_scores[g] = max(g_scores[g], scores[i])
-        sel = g_scores > 0
+        # boolean mask, not score>0: a score-0.0 detection matching a group
+        # must still yield the group's pseudo-TP
+        sel = g_matched
 
         keep = ~matched_group
         out_scores = np.concatenate([scores[keep], g_scores[sel]])
@@ -152,10 +156,14 @@ class OIDEvaluator:
         return out_scores, out_tp, len(gt)
 
     def evaluate(self) -> Dict[str, float]:
+        """Images = union of registered (add_image) and any image that
+        carries GT — GT on an unregistered image must still count in the
+        recall denominator."""
         aps = {}
         for cat, name in zip(self.category_ids, self.category_names):
             all_scores, all_tp, n_gt = [], [], 0
-            for img_id in self._pos:
+            gt_imgs = {i for (i, _c) in self._gt}
+            for img_id in sorted(set(self._pos) | gt_imgs):
                 r = self._evaluate_img_cat(img_id, cat)
                 if r is None:
                     continue

@@ -118,9 +118,22 @@ def main(argv: Optional[list] = None) -> int:  # pragma: no cover
     cfg = apply_opts(DetectorConfig(), args.opts)
     params = None
     if args.weights:
+        import jax
+        import jax.numpy as jnp
         from embodied_object_detection_tpu.convert.torch_weights import (
-            convert_checkpoint, load_torch_checkpoint)
-        params = convert_checkpoint(load_torch_checkpoint(args.weights), cfg)
+            load_torch_checkpoint, verify_against_model)
+        from embodied_object_detection_tpu.models.detector import (
+            build_detector)
+        _, init_params = build_detector(cfg)
+        converted, _zs = load_torch_checkpoint(args.weights)
+        missing, extra, mismatch = verify_against_model(converted,
+                                                        init_params)
+        if missing or mismatch:
+            raise SystemExit(
+                f"checkpoint {args.weights} does not match the model: "
+                f"{len(missing)} missing / {len(mismatch)} mismatched")
+        params = jax.tree_util.tree_map(jnp.asarray,
+                                        {"params": converted["params"]})
     predictor = EmbodiedPredictor(cfg, params=params)
     server = make_server(predictor, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port}")

@@ -144,3 +144,38 @@ def test_federated_lvis_mode():
                        np.array([0.5]), np.array([1]))
     res2 = ev2.evaluate()
     assert res2["AP-1"] < 100.0
+
+
+def test_federated_filter_is_order_independent(rng):
+    """Detections added BEFORE their image's GT must still count once the
+    positive set is complete (filtering happens at evaluate time)."""
+    from embodied_object_detection_tpu.evaluation.coco_eval import (
+        COCOEvaluator)
+
+    def run(dets_first):
+        ev = COCOEvaluator([0, 1], federated=True)
+        ev.add_image(1, neg_category_ids=[])
+        box = np.array([[10, 10, 50, 50]])
+        if dets_first:
+            ev.add_detections(1, box, np.array([0.9]), np.array([0]))
+            ev.add_ground_truth(1, box, np.array([0]))
+        else:
+            ev.add_ground_truth(1, box, np.array([0]))
+            ev.add_detections(1, box, np.array([0.9]), np.array([0]))
+        return ev.evaluate()["AP"]
+
+    assert run(True) == run(False) == pytest.approx(100.0)
+
+
+def test_federated_reset_clears_label_sets():
+    from embodied_object_detection_tpu.evaluation.coco_eval import (
+        COCOEvaluator)
+    ev = COCOEvaluator([0], federated=True)
+    ev.add_image(5)
+    ev.add_ground_truth(5, np.array([[0, 0, 10, 10]]), np.array([0]))
+    ev.reset()
+    assert ev._pos == {} and ev._neg == {}
+    # duplicate registration counts the image once
+    ev.add_image(5)
+    ev.add_image(5)
+    assert ev._img_ids == [5]
