@@ -1,6 +1,7 @@
 """COCO evaluator sanity tests against analytically known cases."""
 
 import numpy as np
+import pytest
 
 from embodied_object_detection_tpu.evaluation import COCOEvaluator
 
