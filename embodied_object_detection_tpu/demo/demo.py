@@ -209,6 +209,12 @@ def _load_params(cfg, weights):
 def main(argv=None):
     args = get_parser().parse_args(argv)
     cfg = DetectorConfig()
+    # the vanilla demo serves plain Detic checkpoints (no spatial memory):
+    # init the image-only model or verify_against_model would demand the
+    # map_merge_projection* params vanilla .pths don't have. --opts can
+    # still re-enable a memory type explicitly.
+    cfg = cfg.replace(memory=dataclasses.replace(
+        cfg.memory, memory_type="", write_memory=False))
     # ref: demo.py setup_cfg — score thresh from CLI, ONE_CLASS_PER_PROPOSAL
     # unless --pred-all-class
     cfg = cfg.replace(roi=dataclasses.replace(

@@ -59,10 +59,11 @@ class Predictor:
             self._demo = VisualizationDemo(self.cfg, zs, names,
                                            params=self._params)
         else:
-            # runtime vocabulary swap (reset_cls_test analog): new zs_weight
-            # array, same compiled program when C is unchanged
-            assert len(names) == len(self._demo.class_names), \
-                "vocabulary size changed; build a new Predictor"
+            # runtime vocabulary swap (reset_cls_test analog): the
+            # zs_weight is a model INPUT, so a different class count just
+            # triggers one re-jit of the frame step (the reference
+            # predictor rebuilds the classifier per call too,
+            # predict.py:60-83)
             self._demo.predictor.set_vocabulary(zs, names)
             self._demo.class_names = names
             from .visualizer import Visualizer

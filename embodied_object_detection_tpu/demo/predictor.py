@@ -144,7 +144,10 @@ class AsyncPredictor:
                 if item is None:
                     return
                 idx, image = item
-                det = run(image)
+                try:
+                    det = run(image)
+                except Exception as e:  # surface in get(), don't kill pool
+                    det = e
                 with self._cv:
                     self._results[idx] = det
                     self._cv.notify_all()
@@ -166,7 +169,9 @@ class AsyncPredictor:
                 self._cv.wait()
             det = self._results.pop(self._next_get)
             self._next_get += 1
-            return det
+        if isinstance(det, Exception):
+            raise det  # worker failure propagates instead of hanging get()
+        return det
 
     def __call__(self, image_rgb: np.ndarray) -> Detections:
         self.put(image_rgb)
@@ -298,7 +303,9 @@ class EmbodiedPredictor:
             color = tuple(int(x) for x in self.palette[int(c) % len(self.palette)])
             cv2.rectangle(img, (int(b[0]), int(b[1])), (int(b[2]), int(b[3])),
                           color, 2)
-            label = f"{self.class_names[int(c)]} {s:.2f}"
+            name = (self.class_names[int(c)]
+                    if int(c) < len(self.class_names) else str(int(c)))
+            label = f"{name} {s:.2f}"
             cv2.putText(img, label, (int(b[0]), max(int(b[1]) - 4, 10)),
                         cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
         return img

@@ -82,13 +82,22 @@ def compute_proj_indices(depth_mm: np.ndarray, xyzhe: np.ndarray,
 
     T = transform3d(jnp.asarray(xyzhe)[None])[0]
     # recenter map on the trajectory origin: shift world so the map covers
-    # [0, MAP_SIZE) around the start (ref keeps a fixed world shift, :470-476)
-    shift = jnp.asarray([-MAP_SIZE_M / 2, 0.0, -MAP_SIZE_M / 2], jnp.float32)
+    # [0, map_cells * GRID_CELL_M) around the start (ref keeps a fixed
+    # world shift, :470-476); derived from map_cells — a hardcoded
+    # MAP_SIZE_M/2 would push any non-default map size entirely outside
+    # the grid (silent all-outlier memory)
+    half = map_cells * GRID_CELL_M / 2.0
+    shift = jnp.asarray([-half, 0.0, -half], jnp.float32)
     world = pixel_to_world(jnp.asarray(depth_mm), T, vfov_rad, shift,
                            depth_scaling=DEPTH_SCALING)
     camera_height = jnp.asarray(xyzhe[1])
-    return world_to_map_indices(world, camera_height, GRID_CELL_M,
-                                map_cells, map_cells, Z_CLIP_M)
+    proj, outliers = world_to_map_indices(world, camera_height, GRID_CELL_M,
+                                          map_cells, map_cells, Z_CLIP_M)
+    # no-reading depth (0 mm on RealSense) projects to the camera's own
+    # cell — mask it like the reference's no_depth mask (SMNet
+    # point_cloud; build_data.py applies the same depth<=0 guard)
+    outliers = outliers | (jnp.asarray(depth_mm) <= 0)
+    return proj, outliers
 
 
 def main(argv=None):

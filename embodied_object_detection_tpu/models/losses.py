@@ -485,7 +485,8 @@ def image_label_loss(logits: jax.Array, boxes: jax.Array, valid: jax.Array,
 
 def caption_loss(region_embeddings: jax.Array, caption_features: jax.Array,
                  image_index: int, norm_temperature: float = 50.0,
-                 neg_cap_weight: float = 1.0) -> jax.Array:
+                 neg_cap_weight: float = 1.0,
+                 caption_valid: "jax.Array | None" = None) -> jax.Array:
     """Region-caption contrastive loss (Detic caption co-training).
 
     ref: DeticFastRCNNOutputLayers._caption_loss (detic_fast_rcnn.py:469-506):
@@ -497,6 +498,10 @@ def caption_loss(region_embeddings: jax.Array, caption_features: jax.Array,
     region_embeddings: [R, D] (the image box is the LAST row, ref
     :477 `caption_score[-1:]`); caption_features: [B, D] text-encoder
     outputs; image_index: this image's position in the caption batch.
+    caption_valid [B] masks divisibility-padding rows out of the negative
+    set (the reference all-gathers only real captions,
+    custom_rcnn.py:294-307; a repeated-sample pad would otherwise become
+    a hard negative against its own duplicate).
     """
     emb = region_embeddings[-1]
     emb = norm_temperature * emb / jnp.maximum(jnp.linalg.norm(emb), 1e-12)
@@ -509,8 +514,10 @@ def caption_loss(region_embeddings: jax.Array, caption_features: jax.Array,
     target = jax.nn.one_hot(image_index, b)
     bce = jnp.maximum(scores, 0) - scores * target + \
         jnp.log1p(jnp.exp(-jnp.abs(scores)))
+    valid = jnp.ones((b,)) if caption_valid is None \
+        else caption_valid.astype(bce.dtype)
     pos = jnp.sum(bce * target)
-    neg = jnp.sum(bce * (1 - target))
+    neg = jnp.sum(bce * (1 - target) * valid)
     return pos + neg_cap_weight * neg
 
 

@@ -27,6 +27,12 @@ def make_mesh(cfg: Optional[ParallelConfig] = None,
     n = len(devices)
     mp = max(1, cfg.model_parallel)
     dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
+    if dp * mp != n:
+        raise ValueError(
+            f"{n} devices do not factor into data_parallel={dp} x "
+            f"model_parallel={mp}; silently dropping devices would lose "
+            "throughput (set parallel.data_parallel/model_parallel "
+            "explicitly)")
     arr = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(arr, (cfg.data_axis, cfg.model_axis))
 

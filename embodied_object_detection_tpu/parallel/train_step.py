@@ -111,7 +111,8 @@ def make_caption_train_step(model: EmbodiedDetector, cfg: DetectorConfig,
 
         def per_frame(i):
             return caption_loss(embs[i][None], caption_features, i,
-                                cfg.roi.norm_temperature, neg_cap_weight)
+                                cfg.roi.norm_temperature, neg_cap_weight,
+                                caption_valid=weight > 0)
         losses = jax.vmap(per_frame)(jnp.arange(b))
         wsum = jnp.maximum(jnp.sum(weight), 1.0)
         total = caption_weight * jnp.sum(losses * weight) / wsum
