@@ -86,6 +86,23 @@ def load_categories(table: str) -> List[dict]:
         return json.load(f)
 
 
+def load_class_freq(path: str = "", freq_weight: float = 0.5) -> np.ndarray:
+    """Per-class image-count**freq_weight for federated-loss sampling.
+
+    ref: detic/modeling/utils.py:load_class_freq — reads the LVIS
+    cat-info json (vendored: data/metadata/lvis_v1_train_cat_info.json)
+    and raises counts to CAT_FREQ_PATH weight (default 0.5). Feed the
+    result to models.losses.fed_loss_class_weight."""
+    if not path:
+        path = os.path.join(METADATA_DIR, "lvis_v1_train_cat_info.json")
+    with open(path) as f:
+        cat_info = json.load(f)
+    counts = np.asarray([c["image_count"] for c in
+                         sorted(cat_info, key=lambda x: x["id"])],
+                        np.float32)
+    return counts ** freq_weight
+
+
 def builtin_class_names(vocabulary: str) -> List[str]:
     """Class-name list for a built-in vocabulary (demo/predict surface).
 
@@ -173,6 +190,22 @@ def register_builtin_datasets(root: str = "datasets"):
     register_dataset("imagenet_lvis-22k", entry(
         "imagenet/annotations/imagenet-22k_image_info_lvis-22k.json",
         "imagenet/ImageNet-LVIS/", lvis22k, extras={"ann_type": "image"}))
+
+    # Conceptual Captions (caption co-training data source).
+    # ref: Detic/detic/data/datasets/cc.py:9-22 — cc3m splits registered
+    # with the LVIS-v1 category space; image dicts carry `captions`, the
+    # tags variant additionally `pos_category_ids` (lvis_v1.py:84-96).
+    for name, (img, js, ann) in {
+        "cc3m_v1_val": ("cc3m/validation/", "cc3m/val_image_info.json",
+                        "caption"),
+        "cc3m_v1_train": ("cc3m/training/", "cc3m/train_image_info.json",
+                          "caption"),
+        "cc3m_v1_train_tags": ("cc3m/training/",
+                               "cc3m/train_image_info_tags.json",
+                               "captiontag"),
+    }.items():
+        register_dataset(name, entry(js, img, lvis,
+                                     extras={"ann_type": ann}))
 
     register_coco_instances(
         "mp3d_example",
@@ -278,10 +311,17 @@ class CocoDetectionDataset:
             boxes[i] = np.array([x, y, x + w, y + h]) * scale
             classes[i] = self.entry.id_map[ann["category_id"]]
             valid[i] = True
-        return dict(image=canvas, gt_boxes=boxes, gt_classes=classes,
-                    gt_valid=valid, image_id=img_id,
-                    file_name=info["file_name"], scale=scale,
-                    orig_hw=(h0, w0))
+        out = dict(image=canvas, gt_boxes=boxes, gt_classes=classes,
+                   gt_valid=valid, image_id=img_id,
+                   file_name=info["file_name"], scale=scale,
+                   orig_hw=(h0, w0))
+        # caption / image-label co-training fields riding on the image dict
+        # (ref: custom_load_lvis_json, lvis_v1.py:84-96)
+        for k in ("captions", "caption_features", "pos_category_ids",
+                  "neg_category_ids"):
+            if k in info:
+                out[k] = info[k]
+        return out
 
 
 class MultiDatasetSampler:
@@ -310,8 +350,18 @@ class MultiDatasetSampler:
     def sample(self, n: int) -> List[Tuple[int, int]]:
         out = []
         for _ in range(n):
-            d = int(self.rng.choice(len(self.datasets), p=self.p_dataset))
-            p = self.item_p[d]
-            i = int(self.rng.choice(len(self.datasets[d]), p=p))
-            out.append((d, i))
+            d = self.sample_source()
+            out.append((d, self.sample_items(d, 1)[0]))
         return out
+
+    def sample_source(self) -> int:
+        """Pick one dataset by ratio — per-source homogeneous batches are
+        the reference's design (custom_dataset_dataloader.py:268-306
+        per-dataset batch sizes; custom_rcnn.py:203-206 asserts one
+        ann_type per batch)."""
+        return int(self.rng.choice(len(self.datasets), p=self.p_dataset))
+
+    def sample_items(self, d: int, n: int) -> List[int]:
+        p = self.item_p[d]
+        return [int(self.rng.choice(len(self.datasets[d]), p=p))
+                for _ in range(n)]

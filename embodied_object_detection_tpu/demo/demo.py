@@ -34,8 +34,9 @@ from ..structures import Detections
 from .visualizer import Visualizer
 
 # vocabulary -> CLIP class-embedding .npy (ref: predictor.py:25-44 /
-# predict.py:33-38 BUILDIN_CLASSIFIER). Candidate roots are searched in
-# order; the read-only reference mount carries the actual data assets.
+# predict.py:33-38 BUILDIN_CLASSIFIER). The embedding matrices are constant
+# data assets vendored under data/metadata/, so a fresh clone resolves every
+# builtin vocabulary with no external mounts.
 _CLASSIFIER_FILES = {
     "mp3d": "mp3d_clip.npy",
     "lvis": "lvis_v1_clip_a+cname.npy",
@@ -44,8 +45,8 @@ _CLASSIFIER_FILES = {
     "coco": "coco_clip_a+cname.npy",
 }
 _METADATA_ROOTS = [
+    os.path.join(os.path.dirname(__file__), "..", "data", "metadata"),
     "datasets/metadata",
-    "/root/reference/Detic/datasets/metadata",
 ]
 
 

@@ -42,9 +42,10 @@ def argument_parser():
     p.add_argument("--weights", default="",
                    help=".pth (converted on the fly) or orbax checkpoint dir")
     p.add_argument("--zs-weight", default="",
-                   help="CLIP class embedding .npy (default: "
-                        "datasets/metadata/mp3d_clip.npy under --data-path "
-                        "parents or the reference layout)")
+                   help="CLIP class embedding .npy (default: the vendored "
+                        "data/metadata/mp3d_clip.npy, then datasets/metadata "
+                        "and --data-path parents). 'random' = deterministic "
+                        "random classifier for synthetic smoke runs.")
     p.add_argument("--output-dir", default="output/eodt")
     p.add_argument("--test-type", default="default",
                    choices=["default", "episodic", "longterm"])
@@ -72,28 +73,48 @@ def argument_parser():
 
 
 def find_zs_weight(args, num_classes: int) -> np.ndarray:
+    """Locate the CLIP class-embedding matrix (ref: reset_cls_test path,
+    zero_shot_classifier.py:41-54, train_mp3d.py:383-387).
+
+    The 20-class mp3d table (20x512 fp16, a constant data asset) is vendored
+    under data/metadata/ so a fresh clone runs eval with no external mounts.
+    Raises FileNotFoundError listing every searched path when nothing
+    usable is found — a silent random classifier would produce garbage AP.
+    """
     from .demo.predictor import load_zs_weight_npy
+    if args.zs_weight == "random":
+        # explicit opt-in for synthetic smoke runs where the CLIP space is
+        # arbitrary (never a silent fallback — mAP would be garbage)
+        print("zs_weight: deterministic random (requested via --zs-weight)")
+        rng = np.random.RandomState(0)
+        from .demo.predictor import build_zs_weight
+        return build_zs_weight(
+            rng.randn(num_classes, 512).astype(np.float32))
     candidates = [args.zs_weight] if args.zs_weight else []
     candidates += [
+        # vendored package asset (always present in a fresh clone)
+        os.path.join(os.path.dirname(__file__), "data", "metadata",
+                     "mp3d_clip.npy"),
         "datasets/metadata/mp3d_clip.npy",
         os.path.join(args.data_path, "..", "metadata", "mp3d_clip.npy"),
-        # read-only reference mount (data asset, loaded at runtime)
-        "/root/reference/Detic/datasets/metadata/mp3d_clip.npy",
     ]
+    skipped = []
     for c in candidates:
         if c and os.path.exists(c):
             w = load_zs_weight_npy(c)
             if w.shape[1] != num_classes + 1:
-                print(f"skipping {c}: {w.shape[1] - 1} classes, "
-                      f"config wants {num_classes}")
+                skipped.append(f"{c} ({w.shape[1] - 1} classes, "
+                               f"config wants {num_classes})")
                 continue
             print(f"zs_weight from {c}")
             return w
-    print("WARNING: no CLIP class embeddings found; using random zs_weight")
-    rng = np.random.RandomState(0)
-    w = rng.randn(num_classes, 512).astype(np.float32)
-    from .demo.predictor import build_zs_weight
-    return build_zs_weight(w)
+    lines = "\n  ".join(candidates + [f"[wrong size] {s}" for s in skipped])
+    raise FileNotFoundError(
+        "no CLIP class-embedding .npy found for "
+        f"{num_classes} classes; searched:\n  {lines}\n"
+        "Pass --zs-weight <path> (generate one with "
+        "models/text_encoder.py + CLIP weights, or export "
+        "datasets/metadata/*.npy from a Detic checkout).")
 
 
 def main(argv=None):
