@@ -149,11 +149,17 @@ class MultiSourceMapper:
             gt_valid[:n] = True
             out.update(gt_boxes=gt_boxes, gt_classes=gt_classes,
                        gt_valid=gt_valid)
-        else:  # image-labeled source
+        else:  # image-labeled / caption source
             labels = list(record.get("pos_category_ids", []))[: self.max_labels]
             lab = np.zeros((self.max_labels,), np.int32)
             lab_valid = np.zeros((self.max_labels,), bool)
             lab[: len(labels)] = labels
             lab_valid[: len(labels)] = True
             out.update(labels=lab, labels_valid=lab_valid)
+            if "caption" in self.dataset_ann[source]:
+                # one caption sampled per image per step
+                # (ref: custom_rcnn.py:226-229 torch.randint over captions)
+                caps = record.get("captions", [])
+                out["caption"] = (caps[self.rng.randint(len(caps))]
+                                  if caps else "")
         return out

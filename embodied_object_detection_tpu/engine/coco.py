@@ -64,6 +64,66 @@ def coco_train_batches(sampler: MultiDatasetSampler,
         yield items_to_train_batch(items, cfg)
 
 
+def caption_items_to_batch(items: List[dict], embed_fn, rng=None):
+    """Assemble a caption co-training batch from catalog items.
+
+    ref: CustomRCNN caption branch (custom_rcnn.py:226-232): one caption
+    sampled per image (torch.randint), embedded by the CLIP text tower.
+    `embed_fn(list[str]) -> [B, D]` is the text encoder (or a stub in
+    tests — the real weights are an external asset, as in the reference).
+    Returns (images [B,H,W,3] f32, caption_features [B,D] f32, weight [B])
+    for parallel.train_step.make_caption_train_step."""
+    rng = rng or np.random.RandomState(0)
+    caps = []
+    for it in items:
+        if "caption" in it:              # pre-sampled by MultiSourceMapper
+            caps.append(it["caption"])
+        else:
+            cc = it.get("captions", [])
+            caps.append(cc[rng.randint(len(cc))] if cc else "")
+    feats = np.asarray(embed_fn(caps), np.float32)
+    images = np.stack([np.asarray(it["image"], np.float32) for it in items])
+    weight = np.asarray([1.0 if c else 0.0 for c in caps], np.float32)
+    return images, feats, weight
+
+
+def multi_source_train_batches(sampler: MultiDatasetSampler,
+                               datasets: List[CocoDetectionDataset],
+                               ann_types: List[str], cfg: DetectorConfig,
+                               batch_size: int, embed_fn=None, seed: int = 0):
+    """Per-source homogeneous batches over the full Detic data matrix:
+    detection ('box'), image-label ('image'/'prop'/'proptag') and caption
+    ('caption'/'captiontag') sources.
+
+    ref: the reference trains with one ann_type per global batch
+    (custom_rcnn.py:203-206 assert) drawn by MultiDatasetSampler ratios
+    (custom_dataset_dataloader.py:195-266). Yields (ann_type, batch):
+      'box'     -> TrainBatch
+      'caption' -> (images, caption_features, weight)
+      'image'   -> (images, labels [B,L], labels_valid [B,L])
+    """
+    rng = np.random.RandomState(seed)
+    while True:
+        d = sampler.sample_source()
+        items = [datasets[d][i] for i in sampler.sample_items(d, batch_size)]
+        at = ann_types[d]
+        if at == "box":
+            yield "box", items_to_train_batch(items, cfg)
+        elif "caption" in at:
+            assert embed_fn is not None, "caption source needs a text encoder"
+            yield "caption", caption_items_to_batch(items, embed_fn, rng)
+        else:
+            labels = np.stack([np.asarray(
+                it.get("labels", it.get("pos_category_ids", [])), np.int32)
+                for it in items])
+            lv = np.stack([np.asarray(
+                it.get("labels_valid", np.ones(labels.shape[1], bool)))
+                for it in items])
+            images = np.stack([np.asarray(it["image"], np.float32)
+                               for it in items])
+            yield "image", (images, labels, lv)
+
+
 def evaluate_coco(model: EmbodiedDetector, params, cfg: DetectorConfig,
                   dataset: CocoDetectionDataset, zs_weight: np.ndarray,
                   batch: int = 8, max_images: Optional[int] = None,

@@ -1,0 +1,172 @@
+"""CC (Conceptual Captions) registration + caption co-training data path.
+
+ref: Detic/detic/data/datasets/cc.py:9-22 (cc3m splits in the LVIS-v1
+category space), custom_load_lvis_json captions passthrough
+(lvis_v1.py:84-96), and the CustomRCNN caption branch
+(custom_rcnn.py:226-232) — one caption sampled per image, CLIP-embedded,
+contrastive loss over the global batch.
+"""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from common import tiny_config
+
+
+def _stub_embed(caps, dim=512):
+    """Deterministic caption 'text encoder' (the real CLIP weights are an
+    external asset, as in the reference)."""
+    out = np.zeros((len(caps), dim), np.float32)
+    for i, c in enumerate(caps):
+        rng = np.random.RandomState(abs(hash(c)) % (2 ** 31))
+        out[i] = rng.randn(dim)
+    return out
+
+
+def _write_cc_fixture(root, n=4, h=32, w=40):
+    """cc3m-style image_info json: images carry captions, no box anns."""
+    from PIL import Image
+    img_dir = os.path.join(root, "cc3m", "validation")
+    os.makedirs(img_dir, exist_ok=True)
+    images = []
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        fn = f"cc_{i}.png"
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.int64)
+                        .astype(np.uint8)).save(os.path.join(img_dir, fn))
+        images.append(dict(id=i + 1, file_name=fn, height=h, width=w,
+                           captions=[f"a photo of thing {i}",
+                                     f"another view of object {i}"]))
+    js = dict(images=images, annotations=[],
+              categories=[dict(id=1, name="thing")])
+    path = os.path.join(root, "cc3m", "val_image_info.json")
+    with open(path, "w") as f:
+        json.dump(js, f)
+    return path, img_dir
+
+
+def _write_det_fixture(root, n=3, h=32, w=40):
+    from PIL import Image
+    img_dir = os.path.join(root, "det")
+    os.makedirs(img_dir, exist_ok=True)
+    images, anns = [], []
+    rng = np.random.RandomState(1)
+    for i in range(n):
+        fn = f"d_{i}.png"
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.int64)
+                        .astype(np.uint8)).save(os.path.join(img_dir, fn))
+        images.append(dict(id=i + 1, file_name=fn, height=h, width=w))
+        anns.append(dict(id=i + 1, image_id=i + 1, category_id=1,
+                         bbox=[4, 4, 20, 18], iscrowd=0, area=360))
+    js = dict(images=images, annotations=anns,
+              categories=[dict(id=1, name="thing")])
+    path = os.path.join(root, "det", "annotations.json")
+    with open(path, "w") as f:
+        json.dump(js, f)
+    return path, img_dir
+
+
+def test_cc3m_registered_builtin():
+    from embodied_object_detection_tpu.data.catalog import (
+        register_builtin_datasets, get_dataset)
+    register_builtin_datasets()
+    for name, ann in [("cc3m_v1_train", "caption"),
+                      ("cc3m_v1_val", "caption"),
+                      ("cc3m_v1_train_tags", "captiontag")]:
+        e = get_dataset(name)
+        assert e.extras["ann_type"] == ann
+        assert len(e.thing_classes) == 1203      # LVIS-v1 category space
+        assert "cc3m" in e.json_file
+
+
+def test_caption_items_flow_from_catalog(tmp_path):
+    """Captions ride the image dicts through CocoDetectionDataset, the
+    sampler draws per-source homogeneous batches, and caption batches
+    assemble with embedded features."""
+    from embodied_object_detection_tpu.data.catalog import (
+        CocoDetectionDataset, DatasetEntry, MultiDatasetSampler)
+    from embodied_object_detection_tpu.engine.coco import (
+        caption_items_to_batch, multi_source_train_batches)
+
+    cc_js, cc_img = _write_cc_fixture(str(tmp_path))
+    det_js, det_img = _write_det_fixture(str(tmp_path))
+    cfg = tiny_config()
+    h, w = cfg.input.height, cfg.input.width
+    cc = CocoDetectionDataset(
+        DatasetEntry(cc_js, cc_img, extras={"ann_type": "caption"}),
+        height=h, width=w, max_gt=8)
+    det = CocoDetectionDataset(
+        DatasetEntry(det_js, det_img, extras={"ann_type": "box"}),
+        height=h, width=w, max_gt=8)
+
+    item = cc[0]
+    assert len(item["captions"]) == 2 and "photo" in item["captions"][0]
+
+    imgs, feats, wt = caption_items_to_batch([cc[0], cc[1]], _stub_embed)
+    assert imgs.shape == (2, h, w, 3)
+    assert feats.shape == (2, 512) and np.all(np.isfinite(feats))
+    assert np.all(wt == 1.0)
+    # features match the sampled captions (first-caption determinism of
+    # seed-0 rng not assumed — just that each row embeds one of the two)
+    want = {tuple(np.round(_stub_embed([c])[0][:4], 5))
+            for c in cc[0]["captions"]}
+    assert tuple(np.round(feats[0][:4], 5)) in want
+
+    sampler = MultiDatasetSampler([det, cc], ratios=[1.0, 1.0], seed=3)
+    gen = multi_source_train_batches(sampler, [det, cc], ["box", "caption"],
+                                     cfg, batch_size=2,
+                                     embed_fn=_stub_embed)
+    seen = set()
+    for _ in range(12):
+        kind, batch = next(gen)
+        seen.add(kind)
+        if kind == "box":
+            assert batch.image.shape[0] == 2
+            assert batch.gt_valid.any()
+        else:
+            imgs, feats, wt = batch
+            assert imgs.shape == (2, h, w, 3) and feats.shape == (2, 512)
+        if seen == {"box", "caption"}:
+            break
+    assert seen == {"box", "caption"}
+
+
+@pytest.mark.slow
+def test_caption_train_step_from_catalog(tmp_path):
+    """End-to-end: a caption batch drawn from the registered catalog drives
+    make_caption_train_step — finite loss, nonzero grads (VERDICT r2 #6
+    'done' criterion)."""
+    from embodied_object_detection_tpu.data.catalog import (
+        CocoDetectionDataset, DatasetEntry, MultiDatasetSampler)
+    from embodied_object_detection_tpu.engine.coco import (
+        multi_source_train_batches)
+    from embodied_object_detection_tpu.models.detector import build_detector
+    from embodied_object_detection_tpu.parallel.train_step import (
+        make_caption_train_step)
+
+    cfg = tiny_config()
+    h, w = cfg.input.height, cfg.input.width
+    cc_js, cc_img = _write_cc_fixture(str(tmp_path), h=h, w=w)
+    cc = CocoDetectionDataset(
+        DatasetEntry(cc_js, cc_img, extras={"ann_type": "caption"}),
+        height=h, width=w, max_gt=8)
+    sampler = MultiDatasetSampler([cc], ratios=[1.0], seed=0)
+    gen = multi_source_train_batches(sampler, [cc], ["caption"], cfg,
+                                     batch_size=2, embed_fn=_stub_embed)
+    kind, (images, feats, wt) = next(gen)
+    assert kind == "caption"
+
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    loss_fn = make_caption_train_step(model, cfg)
+    (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, jnp.asarray(images), jnp.asarray(feats), jnp.asarray(wt))
+    assert np.isfinite(float(total))
+    gnorm = sum(float(jnp.sum(x ** 2))
+                for x in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0
