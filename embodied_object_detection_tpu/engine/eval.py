@@ -189,3 +189,162 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
                                 if not k.startswith("AP-")})
         print("timing:", {k: round(v, 4) for k, v in results.timing.items()})
     return results
+
+
+def _scene_of(chunk_file: str) -> str:
+    """'scene0000_lvl0_3.h5' -> 'scene0000_lvl0' (loader file convention)."""
+    return chunk_file.rsplit("_", 1)[0]
+
+
+def evaluate_dataset_sharded(model: EmbodiedDetector, params,
+                             cfg: DetectorConfig, dataset: EpisodeDataset,
+                             zs_weight: np.ndarray, mesh=None,
+                             streams: Optional[int] = None,
+                             verbose: bool = True,
+                             num_workers: int = 2) -> EvalResults:
+    """Episode-parallel eval: scenes partitioned over independent streams,
+    one stream per mesh data shard (the TPU-native AsyncPredictor;
+    ref: Detic/detic/predictor.py:441-529 one-process-per-GPU queues).
+
+    The recurrence binds memory only WITHIN a scene (reset flags fire at
+    scene starts, loader.py:288-293), so partitioning scenes across streams
+    reproduces the serial protocol's per-image detections exactly; quartile
+    buckets keep each chunk's ORIGINAL serial index (train_mp3d.py:210-217).
+    AP/timing aggregation happens host-side, as in the single-chip path.
+    """
+    from ..models.detector import make_batched_episode_runner
+    from ..parallel.mesh import make_mesh, replicate, shard_batch
+
+    if mesh is None:
+        mesh = make_mesh()
+    s = streams or mesh.shape[cfg.parallel.data_axis]
+    if s % mesh.shape[cfg.parallel.data_axis] != 0:
+        raise ValueError(f"streams={s} must be a multiple of the data axis "
+                         f"size {mesh.shape[cfg.parallel.data_axis]}")
+
+    # group chunk indices by scene, preserving serial order inside a scene
+    scene_chunks: Dict[str, List[int]] = {}
+    for i, f in enumerate(dataset.files):
+        scene_chunks.setdefault(_scene_of(f), []).append(i)
+    # greedy balance scenes over streams by chunk count
+    lanes: List[List[int]] = [[] for _ in range(s)]
+    for scene, idxs in sorted(scene_chunks.items(),
+                              key=lambda kv: -len(kv[1])):
+        min(lanes, key=len).extend(idxs)
+    n_steps = max((len(l) for l in lanes), default=0)
+
+    runner = jax.jit(make_batched_episode_runner(model, cfg))
+    zs = jnp.asarray(zs_weight, jnp.float32)
+    evaluator = COCOEvaluator(list(range(cfg.roi.num_classes)),
+                              OBJECT_LVIS[:cfg.roi.num_classes])
+    quartile_ids: List[List[int]] = [[], [], [], []]
+    score_every = cfg.input.score_every
+
+    memory = MemoryState(
+        features=jnp.zeros((s, cfg.memory.max_cells, cfg.memory.memory_dim),
+                           jnp.float32),
+        obs_count=jnp.zeros((s, cfg.memory.max_cells), jnp.float32))
+    im_id = 0
+    t_data = t_compute = t_eval = 0.0
+    t_total0 = time.perf_counter()
+    total_frames = 0
+
+    def _fetch(j):
+        row_chunks = []
+        for lane in lanes:
+            if j < len(lane):
+                row_chunks.append(dataset[lane[j]])
+            else:
+                row_chunks.append(None)
+        tmpl = next(c for c in row_chunks if c is not None)
+        frames_list, metas = [], []
+        for c in row_chunks:
+            if c is None:
+                # exhausted lane: replay the template with all frames
+                # invalid — padding frames never touch the carried memory
+                fi = chunk_to_frame_inputs(tmpl, cfg.memory.max_cells)
+                fi = fi._replace(
+                    frame_valid=jnp.zeros_like(fi.frame_valid))
+                frames_list.append(fi)
+                metas.append(None)
+            else:
+                frames_list.append(
+                    chunk_to_frame_inputs(c, cfg.memory.max_cells))
+                metas.append(c)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *frames_list)
+        return stacked, metas
+
+    fetch_iter = prefetch_iterator(_fetch, range(n_steps),
+                                   num_workers=num_workers)
+    with mesh:
+        params_d = replicate(mesh, params)
+        zs_d = replicate(mesh, zs)
+        for j in range(n_steps):
+            t0 = time.perf_counter()
+            frames, metas = next(fetch_iter)
+            frames = shard_batch(mesh, frames)
+            t_data += time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            out = runner(params_d, frames, zs_d, shard_batch(mesh, memory))
+            memory = out.memory
+            float(jnp.sum(out.detections.scores[:, -1, :1]))
+            t_compute += time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            det_boxes = np.asarray(out.detections.boxes)
+            det_scores = np.asarray(out.detections.scores)
+            det_classes = np.asarray(out.detections.classes)
+            det_valid = np.asarray(out.detections.valid)
+            for lane_i, chunk in enumerate(metas):
+                if chunk is None:
+                    continue
+                serial_idx = lanes[lane_i][j]
+                t_len = chunk.images.shape[0]
+                for i in range(0, t_len, score_every):
+                    if not chunk.frame_valid[i]:
+                        continue
+                    q = min(3, (serial_idx % 100) // 25)
+                    quartile_ids[q].append(im_id)
+                    evaluator.add_image(im_id)
+                    gv = chunk.gt_valid[i]
+                    b = chunk.gt_boxes[i][gv].astype(np.float64)
+                    gx = np.trunc(b[:, 0])
+                    gy = np.trunc(b[:, 1])
+                    gw = np.trunc(b[:, 2] - b[:, 0])
+                    gh = np.trunc(b[:, 3] - b[:, 1])
+                    gb = np.stack([gx, gy, gx + gw, gy + gh], axis=1) \
+                        if len(b) else b
+                    evaluator.add_ground_truth(
+                        im_id, gb, chunk.gt_classes[i][gv],
+                        areas=np.zeros(int(gv.sum())))
+                    v = det_valid[lane_i, i]
+                    evaluator.add_detections(im_id,
+                                             det_boxes[lane_i, i][v],
+                                             det_scores[lane_i, i][v],
+                                             det_classes[lane_i, i][v])
+                    im_id += 1
+                total_frames += int(chunk.frame_valid.sum())
+            t_eval += time.perf_counter() - t0
+
+    t_total = time.perf_counter() - t_total0
+    results = EvalResults(
+        overall=evaluator.evaluate(),
+        quartiles=[evaluator.evaluate(q) if q else {} for q in quartile_ids],
+        timing=dict(
+            data_s_per_chunk=t_data / max(n_steps, 1),
+            compute_s_per_chunk=t_compute / max(n_steps, 1),
+            eval_s_per_chunk=t_eval / max(n_steps, 1),
+            total_s=t_total,
+            frames_per_s=total_frames / max(t_compute, 1e-9),
+            streams=float(s),
+        ),
+        num_images=im_id,
+    )
+    if verbose:
+        print(f"sharded eval ({s} streams) AP (overall):",
+              {k: round(v, 2) for k, v in results.overall.items()
+               if not k.startswith("AP-")})
+        print("timing:", {k: round(v, 4) for k, v in results.timing.items()})
+    return results

@@ -51,6 +51,10 @@ def argument_parser():
                    choices=["default", "episodic", "longterm"])
     p.add_argument("--max-iter", type=int, default=None)
     p.add_argument("--max-chunks", type=int, default=None)
+    p.add_argument("--eval-streams", type=int, default=1,
+                   help="episode-parallel eval streams (scenes partitioned "
+                        "over the mesh data axis; must be a multiple of the "
+                        "data-axis size)")
     p.add_argument("--save-semmap", action="store_true",
                    help="TEST_SAVE_SEMMAP: write per-sequence memory h5")
     p.add_argument("--coordinator", default="",
@@ -192,14 +196,21 @@ def main(argv=None):
         return res
 
     if args.eval_only:
-        from .engine.eval import evaluate_dataset
+        from .engine.eval import evaluate_dataset, evaluate_dataset_sharded
         dataset = EpisodeDataset(cfg.test_data_path,
                                  test_type=cfg.memory.test_type,
                                  max_sequence_length=cfg.input.max_sequence_length,
                                  max_gt=cfg.input.max_gt_boxes)
-        results = evaluate_dataset(model, params, cfg, dataset, zs_weight,
-                                   max_chunks=args.max_chunks,
-                                   profile_dir=args.profile_dir or None)
+        if args.eval_streams > 1:
+            # episode-parallel eval: scenes partitioned over mesh data
+            # shards (the AsyncPredictor analog, parallel/eval_step.py)
+            results = evaluate_dataset_sharded(model, params, cfg, dataset,
+                                               zs_weight,
+                                               streams=args.eval_streams)
+        else:
+            results = evaluate_dataset(model, params, cfg, dataset, zs_weight,
+                                       max_chunks=args.max_chunks,
+                                       profile_dir=args.profile_dir or None)
         print("overall:", {k: round(v, 3) for k, v in results.overall.items()})
         for i, q in enumerate(results.quartiles):
             if q:
