@@ -25,6 +25,49 @@ import numpy as np
 
 REFERENCE_FPS_ESTIMATE = 10.0
 
+# Peak numbers for %-of-peak reporting (per chip). Source: public TPU specs
+# (cloud.google.com/tpu/docs): v5e (aka "v5 lite") 197 TFLOP/s bf16 and
+# 819 GB/s HBM BW; v4 275 TFLOP/s bf16, 1228 GB/s; v5p 459 TFLOP/s,
+# 2765 GB/s; v6e 918 TFLOP/s, 1640 GB/s. f32 matmul peak is half bf16
+# (MXU passes).
+_PEAKS = {
+    "v5 lite": (197e12, 819e9), "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6e": (918e12, 1640e9), "v6 lite": (918e12, 1640e9),
+}
+
+
+def device_peaks(device_str: str):
+    s = device_str.lower()
+    for key, peaks in _PEAKS.items():
+        if key in s:
+            return peaks
+    return None, None
+
+
+def _bound_label(frac_flops: float, frac_bw: float) -> str:
+    """Roofline wall label: the dominant wall, or 'latency' when the program
+    sits far from both (<35% of each) — then neither FLOPs nor bytes explain
+    the wall-clock and the cost is op dispatch / gather row latency / serial
+    NMS chains."""
+    if max(frac_flops, frac_bw) < 0.35:
+        return "latency"
+    return "memory" if frac_bw > frac_flops else "compute"
+
+
+def cost_numbers(compiled):
+    """flops + HBM bytes from XLA's own cost model (VERDICT r3 #3:
+    jit().lower().compile().cost_analysis())."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), \
+            float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
 
 def main():
     import jax
@@ -55,7 +98,11 @@ def main():
                                cfg.roi.num_classes + 1).astype(np.float32))
     init = MemoryState.zeros(cfg.memory.max_cells, cfg.memory.memory_dim)
 
-    runner = jax.jit(make_episode_runner(model, cfg))
+    lowered = jax.jit(make_episode_runner(model, cfg)).lower(
+        params, frames, zs, init)
+    compiled = lowered.compile()
+    runner = compiled
+    eval_flops, eval_bytes = cost_numbers(compiled)
 
     def sync(out):
         # NOTE: on the tunneled 'axon' backend block_until_ready does not
@@ -63,7 +110,7 @@ def main():
         return float(jnp.sum(out.detections.scores) +
                      jnp.sum(out.memory.obs_count))
 
-    # warmup/compile
+    # warmup
     out = runner(params, frames, zs, init)
     sync(out)
 
@@ -78,21 +125,115 @@ def main():
     sync(out)
     per_chunk = (time.perf_counter() - t0) / iters
     fps = t / per_chunk
+    per_frame_s = per_chunk / t
+
+    # ---- roofline / MFU detail (VERDICT r3 #3): XLA's own cost model
+    device = str(jax.devices()[0])
+    peak_flops, peak_bw = device_peaks(device)
+    detail = {
+        "resolution": f"{h}x{w}",
+        "chunk_frames": t,
+        "p50_latency_ms_per_frame": round(1000 * per_frame_s, 3),
+        "memory_cells": cfg.memory.max_cells,
+        "device": device,
+        "baseline_note": "reference publishes no numbers; 10 fps documented estimate (see bench.py docstring)",
+    }
+    if eval_flops > 0:
+        fpf = eval_flops / t                     # flops per frame
+        bpf = eval_bytes / t                     # HBM bytes per frame
+        detail["eval_roofline"] = {
+            "gflops_per_frame": round(fpf / 1e9, 2),
+            "hbm_gb_per_frame": round(bpf / 1e9, 3),
+            "achieved_tflops": round(fpf / per_frame_s / 1e12, 3),
+            "achieved_hbm_gbps": round(bpf / per_frame_s / 1e9, 1),
+        }
+        if peak_flops:
+            detail["eval_roofline"].update({
+                "pct_peak_flops": round(100 * fpf / per_frame_s / peak_flops, 2),
+                "pct_peak_hbm_bw": round(100 * bpf / per_frame_s / peak_bw, 1),
+                # which wall the program leans on at the XLA cost model's
+                # operational intensity; "latency" = far from BOTH walls
+                # (small-op / gather / NMS serial-chain bound)
+                "bound": _bound_label(fpf / per_frame_s / peak_flops,
+                                      bpf / per_frame_s / peak_bw),
+            })
+
+    # ---- train-step MFU (best-effort: a failure here must not lose the
+    # headline eval number)
+    try:
+        detail["train_roofline"] = _train_roofline(
+            jax, jnp, model, cfg, params, np.random.RandomState(1),
+            peak_flops, peak_bw)
+    except Exception as e:                                   # pragma: no cover
+        detail["train_roofline"] = {"error": repr(e)[:200]}
+
     result = {
         "metric": "embodied_implicit_memory_frames_per_sec_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
-        "detail": {
-            "resolution": f"{h}x{w}",
-            "chunk_frames": t,
-            "p50_latency_ms_per_frame": round(1000 * per_chunk / t, 3),
-            "memory_cells": cfg.memory.max_cells,
-            "device": str(jax.devices()[0]),
-            "baseline_note": "reference publishes no numbers; 10 fps documented estimate (see bench.py docstring)",
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
+
+
+def _train_roofline(jax, jnp, model, cfg, params, rng, peak_flops, peak_bw):
+    """Compile + time the batch-2 fwd+bwd+AdamW step (tools/bench_train.py
+    protocol) and report flops / bytes / %-peak from cost_analysis."""
+    from embodied_object_detection_tpu.parallel.train_step import (
+        make_train_step, TrainBatch)
+
+    b = cfg.solver.ims_per_batch
+    h, w = cfg.input.height, cfg.input.width
+    g = cfg.input.max_gt_boxes
+    gt_boxes = np.zeros((b, g, 4), np.float32)
+    gt_valid = np.zeros((b, g), bool)
+    gt_boxes[:, :2] = [[40, 40, 200, 180], [260, 120, 420, 300]]
+    gt_valid[:, :2] = True
+    batch = TrainBatch(
+        image=jnp.asarray(rng.randint(0, 255, (b, h, w, 3)).astype(np.float32)),
+        proj_indices=jnp.asarray(
+            rng.randint(0, cfg.memory.max_cells, (b, h, w)).astype(np.int32)),
+        mem_features=jnp.zeros((b, cfg.memory.max_cells,
+                                cfg.memory.memory_dim), jnp.float32),
+        mem_obs=jnp.zeros((b, cfg.memory.max_cells), jnp.float32),
+        gt_boxes=jnp.asarray(gt_boxes),
+        gt_classes=jnp.zeros((b, g), jnp.int32),
+        gt_valid=jnp.asarray(gt_valid),
+        weight=jnp.ones((b,), jnp.float32))
+    zs = jnp.asarray(rng.randn(cfg.roi.zs_weight_dim,
+                               cfg.roi.num_classes + 1).astype(np.float32))
+
+    init_state, step_fn = make_train_step(model, cfg)
+    state, _ = init_state(params)
+    compiled = jax.jit(step_fn, donate_argnums=(0,)).lower(
+        state, batch, zs).compile()
+    flops, bytes_ = cost_numbers(compiled)
+
+    state, losses = compiled(state, batch, zs)
+    float(losses["total_loss"])                              # sync
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, losses = compiled(state, batch, zs)
+    float(losses["total_loss"])
+    step_s = (time.perf_counter() - t0) / iters
+
+    out = {
+        "batch": b,
+        "step_ms": round(1000 * step_s, 2),
+        "frames_per_s": round(b / step_s, 2),
+        "gflops_per_step": round(flops / 1e9, 2),
+        "hbm_gb_per_step": round(bytes_ / 1e9, 3),
+        "achieved_tflops": round(flops / step_s / 1e12, 3),
+        "achieved_hbm_gbps": round(bytes_ / step_s / 1e9, 1),
+    }
+    if peak_flops and flops > 0:
+        out["pct_peak_flops"] = round(100 * flops / step_s / peak_flops, 2)
+        out["pct_peak_hbm_bw"] = round(100 * bytes_ / step_s / peak_bw, 1)
+        out["bound"] = _bound_label(flops / step_s / peak_flops,
+                                    bytes_ / step_s / peak_bw)
+    return out
 
 
 if __name__ == "__main__":

@@ -179,3 +179,58 @@ def test_two_process_ddppo_update():
         assert line, out[-2000:]
         vals.append([float(tok.split("=")[1]) for tok in line[0].split()[1:]])
     np.testing.assert_allclose(vals[0], vals[1], rtol=1e-6)
+
+
+def test_model_axis_sharding_lvis_width():
+    """tp zs_weight sharding at the width it exists for — LVIS C=1203
+    (ref: detic/config.py 1203-class classifiers; VERDICT r2 #9). The
+    column-sharded classifier matmul + sigmoid-CE loss + grads must match
+    full replication bit-for-bit-ish on a dp x tp 4x2 mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from embodied_object_detection_tpu.models.roi_heads import (
+        ZeroShotPredictor)
+    from embodied_object_detection_tpu.parallel.mesh import shard_zs_weight
+
+    devices = jax.devices()[:8]
+    mesh = Mesh(np.asarray(devices).reshape(4, 2), ("data", "model"))
+    c, d, fc, r = 1203, 512, 64, 256
+    rng = np.random.RandomState(0)
+    zs = rng.randn(d, c + 1).astype(np.float32)
+    zs[:, -1] = 0.0
+    zs /= np.maximum(np.linalg.norm(zs, axis=0, keepdims=True), 1e-6)
+    x = rng.randn(r, fc).astype(np.float32)
+    targets = rng.randint(0, c + 1, (r,))
+    onehot = np.zeros((r, c + 1), np.float32)
+    onehot[np.arange(r), targets] = 1.0
+
+    pred = ZeroShotPredictor(zs_dim=d, dtype=jnp.float32)
+    params = pred.init(jax.random.PRNGKey(1), jnp.asarray(x), jnp.asarray(zs))
+
+    def loss_fn(p, zsw):
+        logits, _, _ = pred.apply(p, jnp.asarray(x), zsw)
+        # fed-loss-style sigmoid CE over all C+1 columns
+        return jnp.mean(
+            jnp.maximum(logits, 0) - logits * jnp.asarray(onehot) +
+            jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+    vg = jax.jit(jax.value_and_grad(loss_fn),
+                 out_shardings=(NamedSharding(mesh, P()),
+                                NamedSharding(mesh, P())))
+    with mesh:
+        zs_tp = shard_zs_weight(mesh, jnp.asarray(zs))
+        assert zs_tp.sharding.spec == P(None, "model")   # 1204 % 2 == 0
+        l_tp, g_tp = vg(params, zs_tp)
+        l_rep, g_rep = vg(params, jax.device_put(
+            jnp.asarray(zs), NamedSharding(mesh, P())))
+    np.testing.assert_allclose(float(l_tp), float(l_rep), rtol=1e-6)
+    flat_tp = {jax.tree_util.keystr(k): v for k, v in
+               jax.tree_util.tree_leaves_with_path(g_tp)}
+    flat_rep = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(g_rep)}
+    assert set(flat_tp) == set(flat_rep)
+    for k in flat_tp:
+        np.testing.assert_allclose(np.asarray(flat_tp[k]),
+                                   np.asarray(flat_rep[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
