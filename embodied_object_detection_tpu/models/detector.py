@@ -255,7 +255,8 @@ class EmbodiedDetector(nn.Module):
     def frame_train(self, image: jax.Array, zs_weight: jax.Array,
                     mem_features: jax.Array, mem_obs: jax.Array,
                     proj_indices: jax.Array, gt,
-                    sample_rng: "jax.Array | None" = None) -> dict:
+                    sample_rng: "jax.Array | None" = None,
+                    defer_centernet_norm: bool = False) -> dict:
         """Per-frame training losses.
 
         ref: CustomRCNNRecurrent training branch (custom_rcnn.py:444-464 +
@@ -266,9 +267,17 @@ class EmbodiedDetector(nn.Module):
         (custom_rcnn.py:652-653) is dead compute (outputs unused) and is
         omitted; the mask loss is zero for mp3d data which has no GT masks
         (detic_roi_heads.py:248-251 -> _get_empty_mask_loss).
+
+        With `defer_centernet_norm`, the CenterNet entries are returned as
+        RAW weighted sums plus `_centernet_num_pos`/`_centernet_reg_cnt`
+        counts so the batch step can normalize by the batch-GLOBAL mean
+        counts — the reference's cross-GPU reduce_sum semantics
+        (centernet.py:258-265, 291-293). Without it, the per-frame local
+        counts are used (single-frame/world-size-1 semantics).
         """
         from .losses import (add_gt_to_proposals, centernet_targets,
-                             centernet_losses, match_proposals, stage_losses)
+                             centernet_raw_losses, centernet_normalize,
+                             match_proposals, stage_losses)
         cfg = self.cfg
         h, w = cfg.input.height, cfg.input.width
 
@@ -292,13 +301,20 @@ class EmbodiedDetector(nn.Module):
             # loss-selected center-3x3 set
             from .losses import add_more_pos
             mp = add_more_pos(reg_flat, gt, shapes, cfg.centernet)
-            num_pos = jnp.sum(mp.pos_valid.astype(jnp.float32))
-            losses = centernet_losses(agn_flat, reg_flat, targets,
-                                      cfg.centernet, num_pos, more_pos=mp)
         else:
-            num_pos = jnp.sum(targets.pos_mask.astype(jnp.float32))
-            losses = centernet_losses(agn_flat, reg_flat, targets,
-                                      cfg.centernet, num_pos)
+            mp = None
+        raw = centernet_raw_losses(agn_flat, reg_flat, targets,
+                                   cfg.centernet, more_pos=mp)
+        if defer_centernet_norm:
+            losses = {
+                "loss_centernet_agn_pos": raw.pos,
+                "loss_centernet_agn_neg": raw.neg,
+                "loss_centernet_loc": raw.loc,
+                "_centernet_num_pos": raw.num_pos,
+                "_centernet_reg_cnt": raw.reg_cnt,
+            }
+        else:
+            losses = centernet_normalize(raw, raw.num_pos, raw.reg_cnt)
 
         proposals = decode_proposals(agn_hms, regs, cfg.centernet,
                                      training=True)

@@ -274,6 +274,67 @@ def giou_loss_ltrb(pred: jax.Array, target: jax.Array) -> jax.Array:
     return 1 - gious
 
 
+class CenterNetRawLosses(NamedTuple):
+    """Unnormalized weighted loss sums + the counts the reference divides by.
+
+    ref: centernet.py:257-299 — `num_pos_avg` is the cross-GPU mean positive
+    count (reduce_sum / num_gpus, :258-265) and `reg_norm` the cross-GPU mean
+    regression-location count (:291-293, NOT_NORM_REG branch). Keeping the
+    sums raw lets the batch step normalize by the batch-GLOBAL means, which
+    is the TPU-native analog of the reference's per-frame NCCL reduce_sum."""
+    pos: jax.Array       # pos_weight * focal pos sum
+    neg: jax.Array       # neg_weight * focal neg sum
+    loc: jax.Array       # reg_weight * gIoU sum
+    num_pos: jax.Array   # local positive-location count
+    reg_cnt: jax.Array   # local regression-location count
+
+
+def centernet_raw_losses(agn_logits_flat: jax.Array, reg_pred_flat: jax.Array,
+                         targets: CenterNetTargets, cfg: CenterNetConfig,
+                         more_pos: "MorePos | None" = None
+                         ) -> CenterNetRawLosses:
+    """ref: CenterNet.losses (centernet.py:241-318), only_proposal branch —
+    everything except the division by the cross-device-averaged counts.
+
+    agn_logits_flat [M], reg_pred_flat [M, 4] (stride-normalized, relu'd).
+    With `more_pos`, the positive set comes from the MORE_POS assignment
+    (centernet.py:203-208) instead of targets.pos_mask."""
+    if more_pos is not None:
+        pos_loss, neg_loss = binary_heatmap_focal_loss_indexed(
+            agn_logits_flat, targets.agn_heatmap, more_pos.pos_inds,
+            more_pos.pos_valid, cfg)
+        num_pos = jnp.sum(more_pos.pos_valid.astype(jnp.float32))
+    else:
+        pos_loss, neg_loss = binary_heatmap_focal_loss(
+            agn_logits_flat, targets.agn_heatmap, targets.pos_mask, cfg)
+        num_pos = jnp.sum(targets.pos_mask.astype(jnp.float32))
+    reg_valid = jnp.max(targets.reg_targets, axis=1) >= 0
+    reg_cnt = jnp.sum(reg_valid.astype(jnp.float32))
+    per_loc = giou_loss_ltrb(reg_pred_flat,
+                             jnp.where(reg_valid[:, None],
+                                       targets.reg_targets, 0.0))
+    reg_loss = jnp.sum(jnp.where(reg_valid, per_loc, 0.0))
+    return CenterNetRawLosses(pos=cfg.pos_weight * pos_loss,
+                              neg=cfg.neg_weight * neg_loss,
+                              loc=cfg.reg_weight * reg_loss,
+                              num_pos=num_pos, reg_cnt=reg_cnt)
+
+
+def centernet_normalize(raw: CenterNetRawLosses, num_pos_avg: jax.Array,
+                        reg_norm: jax.Array) -> dict:
+    """Divide raw sums by the (batch/cross-device-averaged) counts.
+
+    ref: centernet.py:265 `num_pos_avg = max(total_num_pos / num_gpus, 1.0)`
+    and :293 `reg_norm = max(reduce_sum(...) / num_gpus, 1)`."""
+    num_pos_avg = jnp.maximum(num_pos_avg, 1.0)
+    reg_norm = jnp.maximum(reg_norm, 1.0)
+    return {
+        "loss_centernet_agn_pos": raw.pos / num_pos_avg,
+        "loss_centernet_agn_neg": raw.neg / num_pos_avg,
+        "loss_centernet_loc": raw.loc / reg_norm,
+    }
+
+
 def centernet_losses(agn_logits_flat: jax.Array, reg_pred_flat: jax.Array,
                      targets: CenterNetTargets, cfg: CenterNetConfig,
                      num_pos_avg: jax.Array,
@@ -282,28 +343,13 @@ def centernet_losses(agn_logits_flat: jax.Array, reg_pred_flat: jax.Array,
 
     agn_logits_flat [M], reg_pred_flat [M, 4] (stride-normalized, relu'd),
     num_pos_avg: cross-device-averaged positive count (pass the local count
-    on one device). With `more_pos`, the positive set comes from the MORE_POS
-    assignment (centernet.py:203-208) instead of targets.pos_mask."""
-    if more_pos is not None:
-        pos_loss, neg_loss = binary_heatmap_focal_loss_indexed(
-            agn_logits_flat, targets.agn_heatmap, more_pos.pos_inds,
-            more_pos.pos_valid, cfg)
-    else:
-        pos_loss, neg_loss = binary_heatmap_focal_loss(
-            agn_logits_flat, targets.agn_heatmap, targets.pos_mask, cfg)
-    num_pos_avg = jnp.maximum(num_pos_avg, 1.0)
-    losses = {
-        "loss_centernet_agn_pos": cfg.pos_weight * pos_loss / num_pos_avg,
-        "loss_centernet_agn_neg": cfg.neg_weight * neg_loss / num_pos_avg,
-    }
-    reg_valid = jnp.max(targets.reg_targets, axis=1) >= 0
-    reg_norm = jnp.maximum(jnp.sum(reg_valid.astype(jnp.float32)), 1.0)
-    per_loc = giou_loss_ltrb(reg_pred_flat,
-                             jnp.where(reg_valid[:, None],
-                                       targets.reg_targets, 0.0))
-    reg_loss = jnp.sum(jnp.where(reg_valid, per_loc, 0.0))
-    losses["loss_centernet_loc"] = cfg.reg_weight * reg_loss / reg_norm
-    return losses
+    on one device — or use centernet_raw_losses + centernet_normalize at the
+    batch level for the reference's cross-device semantics). With `more_pos`,
+    the positive set comes from the MORE_POS assignment (centernet.py:203-208)
+    instead of targets.pos_mask."""
+    raw = centernet_raw_losses(agn_logits_flat, reg_pred_flat, targets, cfg,
+                               more_pos=more_pos)
+    return centernet_normalize(raw, num_pos_avg, raw.reg_cnt)
 
 
 # =========================================================================

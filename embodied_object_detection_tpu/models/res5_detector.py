@@ -118,6 +118,10 @@ class Res5Detector(nn.Module):
         agn_flat = jnp.concatenate([x.reshape(-1) for x in agn_hms])
         reg_flat = jnp.concatenate([x.reshape(-1, 4) for x in regs])
         num_pos = jnp.sum(targets.pos_mask.astype(jnp.float32))
+        # per-frame local normalization (world-size-1 semantics); the
+        # flagship batch step defers to batch-global counts
+        # (parallel/train_step.py, ref centernet.py:258-265) — the Res5
+        # variant has no batched trainer of its own
         losses = centernet_losses(agn_flat, reg_flat, targets, ccfg, num_pos)
 
         proposals = decode_proposals(agn_hms, regs, ccfg, training=True)

@@ -52,7 +52,8 @@ def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None):
         def one_frame(image, proj, memf, memo, gb, gc, gv, key):
             gt = GroundTruth(boxes=gb, classes=gc, valid=gv)
             return model.apply(params, image, zs_weight, memf, memo, proj, gt,
-                               key, method=EmbodiedDetector.frame_train)
+                               key, method=EmbodiedDetector.frame_train,
+                               defer_centernet_norm=True)
         # per-frame proposal-sampling keys, deterministic per step
         keys = jax.random.split(
             jax.random.fold_in(jax.random.PRNGKey(17), step),
@@ -64,7 +65,19 @@ def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None):
         # weighted average over frames (ref: custom_rcnn.py:541-544);
         # padding rows carry weight 0
         wsum = jnp.maximum(jnp.sum(batch.weight), 1.0)
+        # CenterNet focal/reg losses are normalized by the batch-GLOBAL mean
+        # positive/regression counts — the reference's cross-GPU reduce_sum
+        # semantics (centernet.py:258-265, 291-293). Under jit over the
+        # data-sharded batch these means ARE cross-device: XLA inserts the
+        # all-reduce from the sharding, exactly where NCCL reduce_sum sat.
+        num_pos_avg = jnp.maximum(
+            jnp.sum(losses.pop("_centernet_num_pos") * batch.weight) / wsum, 1.0)
+        reg_norm = jnp.maximum(
+            jnp.sum(losses.pop("_centernet_reg_cnt") * batch.weight) / wsum, 1.0)
         losses = {k: jnp.sum(v * batch.weight) / wsum for k, v in losses.items()}
+        losses["loss_centernet_agn_pos"] /= num_pos_avg
+        losses["loss_centernet_agn_neg"] /= num_pos_avg
+        losses["loss_centernet_loc"] /= reg_norm
         total = sum(losses.values())
         return total, losses
 
@@ -85,6 +98,7 @@ def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None):
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), losses
 
+    step_fn.loss_fn = loss_fn       # exposed for equality/normalization tests
     return init_state, step_fn
 
 

@@ -357,3 +357,126 @@ def test_frame_train_with_proposal_sampling(rng):
     # different sampling keys give different losses (sampling is active)
     v2 = loss(params, jax.random.PRNGKey(4))
     assert float(v2) != pytest.approx(float(val), abs=1e-9)
+
+
+def test_centernet_global_norm_semantics():
+    """Batch-global CenterNet normalization matches the reference's cross-GPU
+    reduce_sum semantics (centernet.py:258-265, 291-293): per-frame raw sums
+    divided by the mean positive/regression count over the global batch —
+    NOT each frame's local count."""
+    from embodied_object_detection_tpu.config import CenterNetConfig
+    from embodied_object_detection_tpu.models.losses import (
+        centernet_raw_losses, centernet_normalize)
+
+    ccfg = CenterNetConfig()
+    rng = np.random.RandomState(0)
+    shapes = ((8, 10), (4, 5))
+    m = sum(h * w for h, w in shapes)
+
+    # two frames with very different positive counts
+    frames = []
+    for nbox in (1, 4):
+        boxes = np.zeros((8, 4), np.float32)
+        valid = np.zeros((8,), bool)
+        for i in range(nbox):
+            x, y = 8 + 20 * i, 8 + 8 * i
+            boxes[i] = [x, y, x + 30, y + 28]
+        valid[:nbox] = True
+        gt = GroundTruth(jnp.asarray(boxes),
+                         jnp.zeros((8,), jnp.int32), jnp.asarray(valid))
+        tgt = centernet_targets(gt, shapes, ccfg)
+        agn = jnp.asarray(rng.randn(m).astype(np.float32))
+        reg = jnp.asarray(np.abs(rng.randn(m, 4)).astype(np.float32))
+        frames.append(centernet_raw_losses(agn, reg, tgt, ccfg))
+
+    n0, n1 = float(frames[0].num_pos), float(frames[1].num_pos)
+    assert n0 != n1 and n0 >= 1       # the scenario the fix exists for
+
+    # what the batch step computes (train_step.py loss_fn)
+    num_pos_avg = (n0 + n1) / 2
+    reg_norm = (float(frames[0].reg_cnt) + float(frames[1].reg_cnt)) / 2
+    got_pos = (float(frames[0].pos) + float(frames[1].pos)) / 2 / max(num_pos_avg, 1)
+    got_loc = (float(frames[0].loc) + float(frames[1].loc)) / 2 / max(reg_norm, 1)
+
+    # reference: per frame loss_f = raw_f / num_pos_avg (same global
+    # normalizer for every rank), then mean over frames
+    want_pos = np.mean([float(f.pos) / max(num_pos_avg, 1) for f in frames])
+    want_loc = np.mean([float(f.loc) / max(reg_norm, 1) for f in frames])
+    np.testing.assert_allclose(got_pos, want_pos, rtol=1e-6)
+    np.testing.assert_allclose(got_loc, want_loc, rtol=1e-6)
+
+    # and it differs from per-frame local normalization (the round-2 bug)
+    local = np.mean([float(f.pos) / max(float(f.num_pos), 1) for f in frames])
+    assert abs(local - want_pos) > 1e-6
+
+    # centernet_normalize agrees with the hand math for a single frame
+    d = centernet_normalize(frames[0], frames[0].num_pos, frames[0].reg_cnt)
+    np.testing.assert_allclose(
+        float(d["loss_centernet_agn_pos"]), float(frames[0].pos) / max(n0, 1),
+        rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_sharded_step_loss_equals_single_device_big_batch(rng):
+    """DP equality: the 8-virtual-device sharded train step produces the
+    same losses as one device running the full batch (the discipline of the
+    DD-PPO equality test). This certifies the CenterNet normalizers are
+    batch-global, not per-shard (ref: centernet.py:258-265)."""
+    from embodied_object_detection_tpu.models.detector import build_detector
+    from embodied_object_detection_tpu.parallel import (
+        make_mesh, shard_batch, replicate)
+    from embodied_object_detection_tpu.parallel.train_step import (
+        make_train_step, jit_train_step, TrainBatch)
+
+    cfg = tiny_config()
+    cfg = cfg.replace(centernet=dataclasses.replace(
+        cfg.centernet, post_nms_topk_train=32, pre_nms_topk_train=128))
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    init_state, step_fn = make_train_step(model, cfg)
+    state, _ = init_state(params)
+
+    b = 8
+    h, w = cfg.input.height, cfg.input.width
+    g = cfg.input.max_gt_boxes
+    gt_boxes = np.zeros((b, g, 4), np.float32)
+    gt_valid = np.zeros((b, g), bool)
+    # unbalanced positive counts across shards — the case local
+    # normalization gets wrong
+    for i in range(b):
+        n = 1 + i % 3
+        for j in range(n):
+            gt_boxes[i, j] = [10 + 12 * j, 10 + 10 * j, 70 + 12 * j, 62 + 10 * j]
+            gt_valid[i, j] = True
+    batch = TrainBatch(
+        image=rng.randint(0, 255, (b, h, w, 3)).astype(np.float32),
+        proj_indices=rng.randint(0, cfg.memory.max_cells, (b, h, w)).astype(np.int32),
+        mem_features=np.zeros((b, cfg.memory.max_cells, cfg.memory.memory_dim),
+                              np.float32),
+        mem_obs=np.zeros((b, cfg.memory.max_cells), np.float32),
+        gt_boxes=gt_boxes,
+        gt_classes=np.zeros((b, g), np.int32),
+        gt_valid=gt_valid,
+        weight=np.ones((b,), np.float32),
+    )
+    zs = rng.randn(cfg.roi.zs_weight_dim, cfg.roi.num_classes + 1).astype(np.float32)
+
+    # single device, full batch (forward loss only — same math the step
+    # differentiates)
+    single = jax.jit(step_fn.loss_fn)(
+        state.params, jax.tree_util.tree_map(jnp.asarray, batch),
+        jnp.asarray(zs), state.step)
+
+    mesh = make_mesh()
+    with mesh:
+        batch_d = shard_batch(mesh, batch)
+        params_d = replicate(mesh, state.params)
+        zs_d = replicate(mesh, jnp.asarray(zs))
+        sharded = jax.jit(step_fn.loss_fn)(params_d, batch_d, zs_d, state.step)
+
+    t0, l0 = jax.tree_util.tree_map(float, single)
+    t1, l1 = jax.tree_util.tree_map(float, sharded)
+    assert set(l0) == set(l1)
+    for k in l0:
+        np.testing.assert_allclose(l0[k], l1[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
+    np.testing.assert_allclose(t0, t1, rtol=1e-5, atol=1e-6)
