@@ -409,15 +409,19 @@ class TorchFrameOracle(tnn.Module):
             regs.append(tF.relu(reg)[0].permute(1, 2, 0))       # [H, W, 4]
         return agn_hms, regs
 
-    def _decode(self, agn_hms, regs):
+    def _decode(self, agn_hms, regs, training=False):
         """ref: predict_single_level + nms_and_topK (centernet.py:651-745)."""
         ccfg = self.cfg.centernet
+        pre = ccfg.pre_nms_topk_train if training else ccfg.pre_nms_topk_test
+        post = (ccfg.post_nms_topk_train if training
+                else ccfg.post_nms_topk_test)
+        nms_t = (ccfg.nms_thresh_train if training else ccfg.nms_thresh_test)
         all_boxes, all_scores = [], []
         for hm, reg, stride in zip(agn_hms, regs, ccfg.strides):
             h, w = hm.shape
             heat = torch.sigmoid(hm.reshape(-1))
             r = reg.reshape(-1, 4) * stride
-            k = min(ccfg.pre_nms_topk_test, heat.numel())
+            k = min(pre, heat.numel())
             top_scores, locs = heat.topk(k)
             keep = top_scores > ccfg.score_thresh
             top_scores, locs = top_scores[keep], locs[keep]
@@ -433,13 +437,94 @@ class TorchFrameOracle(tnn.Module):
             all_scores.append(torch.sqrt(top_scores))
         boxes = torch.cat(all_boxes)
         scores = torch.cat(all_scores)
-        keep = torch_greedy_nms(boxes, scores, ccfg.nms_thresh_test)
+        keep = torch_greedy_nms(boxes, scores, nms_t)
         boxes, scores = boxes[keep], scores[keep]
-        if len(scores) > ccfg.post_nms_topk_test:
-            top = torch.argsort(scores, descending=True)[
-                :ccfg.post_nms_topk_test]
+        if len(scores) > post:
+            top = torch.argsort(scores, descending=True)[:post]
             boxes, scores = boxes[top], scores[top]
         return boxes, scores
+
+    # ----------------------------------------------------------- training
+    @torch.no_grad()
+    def train_losses(self, image_hw3, zs_weight, mem_features, mem_obs,
+                     proj_indices, gt_boxes, gt_classes):
+        """frame_train re-derivation: CenterNet targets/losses (local
+        world-size-1 normalization) + training proposal decode + GT
+        injection + per-stage cascade matching/losses.
+        ref: CustomRCNNRecurrent.forward_model (custom_rcnn.py:584-679),
+        CenterNet losses branch (centernet.py:183-318), CascadeROIHeads
+        matching (detic_roi_heads.py) — sampler inactive (proposal count
+        below batch_size_per_image, divergence #5 identity case)."""
+        cfg = self.cfg
+        h, w = cfg.input.height, cfg.input.width
+        self.zs_weight = torch.tensor(np.asarray(zs_weight, np.float32))
+        image = torch.tensor(np.asarray(image_hw3, np.float32))
+        memf = torch.tensor(np.asarray(mem_features, np.float32))
+        memo = torch.tensor(np.asarray(mem_obs, np.float32))
+        proj = torch.tensor(np.asarray(proj_indices))
+        gtb = torch.tensor(np.asarray(gt_boxes, np.float32))
+        gtc = torch.tensor(np.asarray(gt_classes)).long()
+
+        mean = torch.tensor(cfg.input.pixel_mean)
+        std = torch.tensor(cfg.input.pixel_std)
+        x = ((image - mean) / std).permute(2, 0, 1)[None]
+        c3, c4, c5 = self._backbone(x)
+        use_memory = cfg.memory.memory_type in (
+            "implicit_memory", "semantic_gt", "map_gt", "explicit_map")
+        ego = self._memory_read(memf, memo, proj) if use_memory else None
+        p3, p4, p5, p6, p7 = self._fpn(c3, c4, c5, ego)
+        agn_hms, regs = self._centernet((p3, p4, p5, p6, p7))
+
+        shapes = [tuple(hm.shape) for hm in agn_hms]
+        hm_t, reg_t, pos_inds = torch_centernet_targets(
+            gtb, shapes, cfg.centernet.strides,
+            cfg.centernet.sizes_of_interest, cfg.centernet.hm_min_overlap,
+            cfg.centernet.min_radius)
+        agn_flat = torch.cat([hm.reshape(-1) for hm in agn_hms])
+        reg_flat = torch.cat([r.reshape(-1, 4) for r in regs])
+        losses = torch_centernet_losses(agn_flat, reg_flat, hm_t, reg_t,
+                                        pos_inds, cfg)
+
+        prop_boxes, _ = self._decode(agn_hms, regs, training=True)
+        boxes = torch.cat([prop_boxes, gtb], dim=0)
+        feats_hwc = [p[0].permute(1, 2, 0) for p in (p3, p4, p5)]
+        cur = boxes
+        for k in range(len(self.box_fc1)):
+            if k > 0:
+                cur = torch.stack([cur[:, 0].clamp(0, w),
+                                   cur[:, 1].clamp(0, h),
+                                   cur[:, 2].clamp(0, w),
+                                   cur[:, 3].clamp(0, h)], dim=1)
+                nonempty = (cur[:, 2] > cur[:, 0]) & (cur[:, 3] > cur[:, 1])
+                cur = cur[nonempty]
+            # match at this stage's IoU threshold (single-threshold Matcher)
+            iou = _torch_pairwise_iou(cur, gtb)
+            best_iou, best = iou.max(dim=1)
+            fg = best_iou >= cfg.roi.cascade_ious[k]
+            stage_gt_cls = torch.where(fg, gtc[best],
+                                       torch.tensor(cfg.roi.num_classes))
+            stage_gt_box = torch.where(fg[:, None], gtb[best], cur)
+
+            pooled = torch_multilevel_roi_align(
+                feats_hwc, cur, cfg.roi.strides, cfg.roi.pooler_resolution,
+                cfg.roi.sampling_ratio, cfg.roi.canonical_box_size,
+                cfg.roi.canonical_level)
+            xx = pooled.permute(0, 3, 1, 2).flatten(1)
+            xx = tF.relu(self.box_fc1[k](xx))
+            xx = tF.relu(self.box_fc2[k](xx))
+            feat = self.cls_linear[k](xx)
+            feat_n = cfg.roi.norm_temperature * tF.normalize(feat, p=2, dim=1)
+            logits = feat_n @ self.zs_weight
+            d = tF.relu(self.bbox_fc1[k](xx))
+            deltas = self.bbox_fc2[k](d)
+            sl = torch_stage_losses(logits, deltas, cur, stage_gt_box,
+                                    stage_gt_cls,
+                                    cfg.roi.cascade_bbox_reg_weights[k],
+                                    cfg.roi.num_classes)
+            losses.update({f"{n}_stage{k}": v for n, v in sl.items()})
+            cur = torch_apply_deltas(deltas, cur,
+                                     cfg.roi.cascade_bbox_reg_weights[k])
+        return {k: float(v) for k, v in losses.items()}
 
     def _cascade(self, feats_hwc, boxes):
         """3 stages; stage-0 boxes unclipped, later stages clipped.
@@ -581,3 +666,175 @@ class _TorchBottleneck(tnn.Module):
         out = self.bn3(self.conv3(out))
         sc = self.down(x) if self.down is not None else x
         return tF.relu(out + sc)
+
+
+# ---------------------------------------------------------------------------
+# training-side oracle: CenterNet GT assignment + losses + cascade losses
+# (ref: centernet.py:342-570, heatmap_focal_loss.py:51-85, iou_loss.py,
+#  detic_fast_rcnn.py:201-300; world-size-1 local normalization)
+# ---------------------------------------------------------------------------
+
+def torch_centernet_targets(boxes, shapes, strides, sizes_of_interest,
+                            hm_min_overlap=0.8, min_radius=4):
+    """boxes [N, 4] (valid only) -> (agn_heatmap [M], reg_targets [M, 4]
+    stride-normalized, pos_inds [unique peak indices]) for one image.
+    ref: _get_ground_truth / _get_label_inds (centernet.py:342-491)."""
+    INF = 1e8
+    grids = []
+    num_loc = []
+    for (h, w), s in zip(shapes, strides):
+        ys, xs = torch.meshgrid(torch.arange(h), torch.arange(w),
+                                indexing="ij")
+        gx = xs.float() * s + s // 2
+        gy = ys.float() * s + s // 2
+        grids.append(torch.stack([gx.reshape(-1), gy.reshape(-1)], dim=1))
+        num_loc.append(h * w)
+    grid = torch.cat(grids)                                   # [M, 2]
+    m = grid.shape[0]
+    stride_m = torch.cat([torch.full((n,), float(s))
+                          for n, s in zip(num_loc, strides)])
+    ranges_m = torch.cat([torch.tensor(r, dtype=torch.float32)
+                          .view(1, 2).expand(n, 2)
+                          for n, r in zip(num_loc, sizes_of_interest)])
+
+    n = boxes.shape[0]
+    if n == 0:
+        return torch.zeros(m), torch.full((m, 4), -INF), torch.zeros(0).long()
+    area = (boxes[:, 2] - boxes[:, 0]).clamp(min=0) * \
+           (boxes[:, 3] - boxes[:, 1]).clamp(min=0)
+    l = grid[:, 0:1] - boxes[:, 0].view(1, n)
+    t = grid[:, 1:2] - boxes[:, 1].view(1, n)
+    r = boxes[:, 2].view(1, n) - grid[:, 0:1]
+    b = boxes[:, 3].view(1, n) - grid[:, 1:2]
+    reg = torch.stack([l, t, r, b], dim=2)                    # [M, N, 4]
+
+    centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+    se = stride_m.view(m, 1, 1).expand(m, n, 2)
+    cd = ((centers.view(1, n, 2).expand(m, n, 2) / se).int() * se).float() \
+        + se / 2
+    is_peak = ((grid.view(m, 1, 2) - cd) ** 2).sum(2) == 0
+    in_boxes = reg.min(dim=2)[0] > 0
+    dx = (grid.view(m, 1, 2)[:, :, 0] - cd[:, :, 0]).abs()
+    dy = (grid.view(m, 1, 2)[:, :, 1] - cd[:, :, 1]).abs()
+    center3 = (dx <= se[:, :, 0]) & (dy <= se[:, :, 0]) & in_boxes
+    crit = ((reg[:, :, :2] + reg[:, :, 2:]) ** 2).sum(2).sqrt() / 2
+    cared = (crit >= ranges_m[:, [0]]) & (crit <= ranges_m[:, [1]])
+    reg_mask = center3 & cared
+
+    dist2 = ((grid.view(m, 1, 2) - centers.view(1, n, 2)) ** 2).sum(2)
+    dist2[is_peak] = 0
+    radius2 = ((1 - hm_min_overlap) / (1 + hm_min_overlap)) ** 2 * 2 * area
+    radius2 = radius2.clamp(min=min_radius ** 2)
+    wdist2 = dist2 / radius2.view(1, n)
+
+    wd = wdist2.clone()
+    wd[reg_mask == 0] = INF
+    min_dist, min_idx = wd.min(dim=1)
+    reg_t = reg[torch.arange(m), min_idx]
+    reg_t[min_dist == INF] = -INF
+    reg_t = torch.where(reg_t <= -INF / 2, reg_t,
+                        reg_t / stride_m[:, None])
+
+    hm = torch.exp(-wdist2.min(dim=1)[0])
+    hm[hm < 1e-4] = 0
+
+    # peak positives (_get_label_inds, B=1)
+    level_bases = np.cumsum([0] + num_loc[:-1])
+    pos = []
+    diag = ((boxes[:, 2:] - boxes[:, :2]) ** 2).sum(1).sqrt() / 2
+    for li, ((h, w), s, rg) in enumerate(zip(shapes, strides,
+                                             sizes_of_interest)):
+        ci = (centers / s).long()
+        inside = (ci[:, 0] >= 0) & (ci[:, 0] < w) & \
+                 (ci[:, 1] >= 0) & (ci[:, 1] < h)
+        cared_l = (diag >= rg[0]) & (diag <= rg[1]) & inside
+        flat = level_bases[li] + ci[:, 1].clamp(0, h - 1) * w + \
+            ci[:, 0].clamp(0, w - 1)
+        pos.append(flat[cared_l])
+    pos_inds = torch.unique(torch.cat(pos)) if pos else torch.zeros(0).long()
+    return hm, reg_t, pos_inds
+
+
+def torch_centernet_losses(agn_flat, reg_flat, hm, reg_t, pos_inds, cfg):
+    """binary focal + gIoU-ltrb, LOCAL normalization (world size 1;
+    ref: centernet.py:241-318 + heatmap_focal_loss.py:51-85)."""
+    c = cfg.centernet
+    pred = torch.sigmoid(agn_flat).clamp(c.sigmoid_clamp,
+                                         1 - c.sigmoid_clamp)
+    neg_w = (1 - hm) ** c.hm_focal_beta
+    pos_pred = pred[pos_inds]
+    pos_loss = (torch.log(pos_pred) * (1 - pos_pred) ** c.loss_gamma).sum()
+    neg_loss = torch.log(1 - pred) * pred ** c.loss_gamma * neg_w
+    if c.ignore_high_fp > 0:
+        neg_loss = neg_loss * (pred < c.ignore_high_fp).float()
+    neg_loss = neg_loss.sum()
+    pos_loss, neg_loss = -pos_loss, -neg_loss
+    if c.hm_focal_alpha >= 0:
+        pos_loss = c.hm_focal_alpha * pos_loss
+        neg_loss = (1 - c.hm_focal_alpha) * neg_loss
+    num_pos = max(float(len(pos_inds)), 1.0)
+
+    reg_valid = reg_t.max(dim=1)[0] >= 0
+    pr = reg_flat[reg_valid]
+    tg = reg_t[reg_valid]
+    t_area = (tg[:, 0] + tg[:, 2]) * (tg[:, 1] + tg[:, 3])
+    p_area = (pr[:, 0] + pr[:, 2]) * (pr[:, 1] + pr[:, 3])
+    w_i = torch.minimum(pr[:, 0], tg[:, 0]) + torch.minimum(pr[:, 2], tg[:, 2])
+    h_i = torch.minimum(pr[:, 3], tg[:, 3]) + torch.minimum(pr[:, 1], tg[:, 1])
+    gw = torch.maximum(pr[:, 0], tg[:, 0]) + torch.maximum(pr[:, 2], tg[:, 2])
+    gh = torch.maximum(pr[:, 3], tg[:, 3]) + torch.maximum(pr[:, 1], tg[:, 1])
+    inter = w_i * h_i
+    union = t_area + p_area - inter
+    ious = (inter + 1.0) / (union + 1.0)
+    gious = ious - (gw * gh - union) / (gw * gh).clamp(min=1e-12)
+    reg_norm = max(float(reg_valid.sum()), 1.0)
+    return {
+        "loss_centernet_agn_pos": c.pos_weight * pos_loss / num_pos,
+        "loss_centernet_agn_neg": c.neg_weight * neg_loss / num_pos,
+        "loss_centernet_loc": c.reg_weight * (1 - gious).sum() / reg_norm,
+    }
+
+
+def torch_stage_losses(logits, deltas, boxes, gt_boxes, gt_classes,
+                       reg_weights, num_classes):
+    """sigmoid CE + gIoU box reg, detectron2 normalization
+    (detic_fast_rcnn.py:201-233, :269-300)."""
+    bsz = logits.shape[0]
+    c = num_classes
+    target = torch.zeros(bsz, c + 1)
+    target[torch.arange(bsz), gt_classes] = 1
+    bce = tF.binary_cross_entropy_with_logits(
+        logits[:, :-1], target[:, :c], reduction="none")
+    loss_cls = bce.sum() / bsz
+
+    fg = gt_classes < c
+    pred = torch_apply_deltas(deltas[fg], boxes[fg], reg_weights)
+    g = gt_boxes[fg]
+    x1 = torch.maximum(pred[:, 0], g[:, 0])
+    y1 = torch.maximum(pred[:, 1], g[:, 1])
+    x2 = torch.minimum(pred[:, 2], g[:, 2])
+    y2 = torch.minimum(pred[:, 3], g[:, 3])
+    inter = (x2 - x1).clamp(min=0) * (y2 - y1).clamp(min=0)
+    union = (pred[:, 2] - pred[:, 0]) * (pred[:, 3] - pred[:, 1]) + \
+            (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1]) - inter
+    iou = inter / union.clamp(min=1e-7)
+    cx1 = torch.minimum(pred[:, 0], g[:, 0])
+    cy1 = torch.minimum(pred[:, 1], g[:, 1])
+    cx2 = torch.maximum(pred[:, 2], g[:, 2])
+    cy2 = torch.maximum(pred[:, 3], g[:, 3])
+    ac = (cx2 - cx1) * (cy2 - cy1)
+    giou = iou - (ac - union) / ac.clamp(min=1e-7)
+    loss_box = (1 - giou).sum() / bsz
+    return {"loss_cls": loss_cls, "loss_box_reg": loss_box}
+
+
+def _torch_pairwise_iou(a, b):
+    """XYXY IoU matrix [N, M] (detectron2 pairwise_iou semantics)."""
+    lt = torch.maximum(a[:, None, :2], b[None, :, :2])
+    rb = torch.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = (rb - lt).clamp(min=0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
+    area_b = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[None, :]
+    union = area_a + area_b - inter
+    return torch.where(union > 0, inter / union, torch.zeros_like(inter))
