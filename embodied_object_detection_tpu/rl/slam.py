@@ -197,7 +197,8 @@ class DepthMapperAndPlannerAgent(Agent):
                  map_size_m: Optional[float] = None,
                  cell_m: float = 0.1, obstacle_th: float = 10.0,
                  waypoint_lookahead: int = 5,
-                 angle_th: float = float(np.deg2rad(15))):
+                 angle_th: float = float(np.deg2rad(15)),
+                 monodepth=None):
         self._sim = sim
         self.success_distance = success_distance
         self.goal_uuid = goal_sensor_uuid
@@ -208,6 +209,11 @@ class DepthMapperAndPlannerAgent(Agent):
         self.angle_th = angle_th
         self.mapper = DirectDepthMapper(map_size_m=self.map_size_m,
                                         cell_m=cell_m)
+        # RGB-only fallback (ref: ORBSLAM2MonodepthAgent,
+        # slam_agents.py:565-645 — monodepth stands in for the depth
+        # sensor): an rl.monodepth.MonoDepthEstimator (or any callable
+        # rgb_uint8 -> [H, W] metres)
+        self.monodepth = monodepth
         self.reset()
 
     def reset(self):
@@ -242,13 +248,18 @@ class DepthMapperAndPlannerAgent(Agent):
         return (int(np.clip(r, 0, s - 1)), int(np.clip(c, 0, s - 1)))
 
     def update_map(self, observations: Dict[str, np.ndarray]) -> None:
-        if "depth" not in observations:
+        if "depth" in observations:
+            depth = np.asarray(observations["depth"], np.float32)
+            if depth.ndim == 3:
+                depth = depth[..., 0]
+            if depth.max() <= 1.0 + 1e-6:   # normalized sensor -> metres
+                depth = depth * self._sim.max_depth
+        elif self.monodepth is not None and "rgb" in observations:
+            # predicted depth from the RGB frame (monodepth agent path)
+            depth = np.asarray(self.monodepth.compute_depth(
+                np.asarray(observations["rgb"], np.uint8)), np.float32)
+        else:
             return
-        depth = np.asarray(observations["depth"], np.float32)
-        if depth.ndim == 3:
-            depth = depth[..., 0]
-        if depth.max() <= 1.0 + 1e-6:    # normalized sensor -> metres
-            depth = depth * self._sim.max_depth
         counts = self.mapper(jnp.asarray(depth),
                              jnp.asarray(self._pose4x4()))
         self._obstacle_counts += np.asarray(counts)

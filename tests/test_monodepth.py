@@ -210,3 +210,35 @@ def test_monodepth_estimator_end_to_end(rng):
     depth = est.compute_depth(rgb)
     assert depth.shape == (64, 96)
     assert np.all(np.isfinite(depth))
+
+
+def test_slam_agent_monodepth_fallback(rng):
+    """DepthMapperAndPlannerAgent maps from monodepth-predicted depth when
+    the obs carry only RGB (ref: ORBSLAM2MonodepthAgent,
+    slam_agents.py:565-645)."""
+    from embodied_object_detection_tpu.rl.sim import GridSimulator
+    from embodied_object_detection_tpu.rl.slam import (
+        DepthMapperAndPlannerAgent)
+
+    class StubDepth:
+        def compute_depth(self, rgb):
+            return np.full(rgb.shape[:2], 1.5, np.float32)
+
+    sim = GridSimulator(render_rgb=False)
+    from embodied_object_detection_tpu.rl.core import Episode
+    ep = Episode(episode_id="0", scene_id="mscene0",
+                 start_position=np.asarray([6.0, 6.0], np.float32),
+                 start_rotation=0.0)
+    sim.reset(ep)
+    agent = DepthMapperAndPlannerAgent(sim, monodepth=StubDepth())
+    obs = {"rgb": rng.randint(0, 255, (32, 48, 3)).astype(np.uint8),
+           "pointgoal_with_gps_compass": np.asarray([3.0, 0.2], np.float32)}
+    before = agent._obstacle_counts.sum()
+    a = agent.act(obs)
+    assert a in (0, 1, 2, 3)
+    assert agent._obstacle_counts.sum() > before   # the map got updates
+
+    # without monodepth and without depth, the map stays untouched
+    agent2 = DepthMapperAndPlannerAgent(sim)
+    agent2.act(obs)
+    assert agent2._obstacle_counts.sum() == 0
