@@ -185,3 +185,59 @@ def test_merge_keeps_coco_anns_on_lvis_images_without_positives():
     merged = dataset_prep.merge_coco_into_lvis(coco, lvis)
     assert len(merged["annotations"]) == 1
     assert merged["annotations"][0]["image_id"] == 1
+
+
+def test_cc_tags_mines_captions():
+    """ref: Detic/tools/get_cc_tags.py:99-195 — synonyms (space-padded,
+    underscore->space, parenthetical-stripped) substring-matched against
+    captions; tag-less images dropped."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from dataset_prep import cc_tags, map_tag_name
+
+    assert map_tag_name("aerosol_can") == "aerosol can"
+    assert map_tag_name("flip-flop_(sandal)") == "flip-flop"
+
+    cc = {
+        "images": [
+            {"id": 1, "file_name": "a.jpg",
+             "captions": ["a red sports car on the road"]},
+            {"id": 2, "file_name": "b.jpg",
+             "captions": ["sunset over the ocean"]},
+            {"id": 3, "file_name": "c.jpg",
+             "captions": ["the automobile is parked", "a car again"]},
+        ],
+        "categories": [
+            {"id": 7, "name": "car",
+             "synonyms": ["car", "automobile"]},
+            {"id": 9, "name": "dog", "synonyms": ["dog"]},
+        ],
+        "annotations": [],
+    }
+    out = cc_tags(cc)
+    ids = {x["id"]: x["pos_category_ids"] for x in out["images"]}
+    assert ids == {1: [7], 3: [7]}         # image 2 dropped (no tags)
+    # keep_images retains tag-less rows; allcaps scans every caption
+    out_keep = cc_tags(cc, keep_images=True)
+    assert len(out_keep["images"]) == 3
+    # default uses caption[0] only: image 3 matches via 'automobile'
+    out_first = cc_tags(cc)
+    assert 7 in ids[3]
+
+
+def test_remove_rare_and_oriorder():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from dataset_prep import remove_rare, coco_zeroshot_oriorder
+    lvis = {
+        "categories": [{"id": 1, "frequency": "r"},
+                       {"id": 2, "frequency": "f"}],
+        "annotations": [{"id": 10, "category_id": 1},
+                        {"id": 11, "category_id": 2}],
+        "images": [],
+    }
+    out = remove_rare(lvis)
+    assert [a["id"] for a in out["annotations"]] == [11]
+
+    zs = {"categories": [{"id": 2}], "annotations": [], "images": []}
+    full = [{"id": 1}, {"id": 2}, {"id": 3}]
+    out2 = coco_zeroshot_oriorder(zs, full)
+    assert out2["categories"] == full

@@ -183,6 +183,69 @@ def imagenet_tar_json(tar_dir: str, out_path: str,
     return out
 
 
+def map_tag_name(x: str) -> str:
+    """Synonym -> caption-matchable surface form (get_cc_tags.py:92-97):
+    underscores to spaces, parentheticals stripped, lowercased."""
+    x = x.replace("_", " ")
+    if "(" in x:
+        x = x[: x.find("(")]
+    return x.lower().strip()
+
+
+def cc_tags(cc_data: dict, categories=None, allcaps: bool = False,
+            keep_images: bool = False) -> dict:
+    """Mine caption text for category tags -> the cc3m `_tags` json.
+
+    ref: Detic/tools/get_cc_tags.py:99-195 — per category, every synonym
+    (space-padded) is substring-matched against the lowercased caption
+    (plus the startswith/endswith edge forms); images gain
+    `pos_category_ids` and tag-less images are dropped unless
+    keep_images. `categories` defaults to the json's own (or the vendored
+    LVIS v1 table)."""
+    import copy
+    cc_data = copy.deepcopy(cc_data)
+    if categories is not None:
+        cc_data["categories"] = copy.deepcopy(categories)
+    cats = cc_data["categories"]
+    for c in cats:
+        c.setdefault("synonyms", [c["name"]])
+    class_data = {c["id"]: [" " + map_tag_name(s) + " "
+                            for s in c["synonyms"]] for c in cats}
+    images = []
+    for x in cc_data["images"]:
+        caption = (" ".join(x["captions"]) if allcaps
+                   else x["captions"][0]).lower()
+        x["pos_category_ids"] = []
+        for cat_id, names in class_data.items():
+            for c in names:
+                if c in caption or caption.startswith(c[1:]) \
+                        or caption.endswith(c[:-1]):
+                    x["pos_category_ids"].append(cat_id)
+                    break
+        if x["pos_category_ids"] or keep_images:
+            images.append(x)
+    return {"images": images, "categories": cats, "annotations": []}
+
+
+def remove_rare(lvis_data: dict, exclude=("r",)) -> dict:
+    """Drop annotations of rare-frequency categories (the `_norare` split;
+    ref: Detic/tools/remove_lvis_rare.py)."""
+    catid2freq = {c["id"]: c.get("frequency", "f")
+                  for c in lvis_data["categories"]}
+    out = dict(lvis_data)
+    out["annotations"] = [a for a in lvis_data["annotations"]
+                          if catid2freq[a["category_id"]] not in exclude]
+    return out
+
+
+def coco_zeroshot_oriorder(data: dict, full_categories) -> dict:
+    """Replace a zeroshot split's category list with the full original-
+    order table (ref: Detic/tools/get_coco_zeroshot_oriorder.py)."""
+    out = dict(data)
+    out["categories"] = full_categories
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -206,6 +269,17 @@ def main(argv=None):
     tj = sub.add_parser("imagenet-tar-json")
     tj.add_argument("--tar-dir", required=True)
     tj.add_argument("--out", required=True)
+    ct = sub.add_parser("cc-tags")
+    ct.add_argument("--cc-ann", required=True)
+    ct.add_argument("--out", required=True)
+    ct.add_argument("--cat-path", default="")
+    ct.add_argument("--allcaps", action="store_true")
+    ct.add_argument("--keep-images", action="store_true")
+    nr = sub.add_parser("remove-rare")
+    nr.add_argument("--ann", required=True)
+    oo = sub.add_parser("coco-zeroshot-oriorder")
+    oo.add_argument("--data-path", required=True)
+    oo.add_argument("--cat-path", required=True)
     args = p.parse_args(argv)
     if args.cmd == "cat-info":
         cats = cat_info(args.ann, args.add_freq, args.r_thresh,
@@ -220,6 +294,24 @@ def main(argv=None):
     elif args.cmd == "imagenet-tar-json":
         out = imagenet_tar_json(args.tar_dir, args.out)
         print(f"{len(out['images'])} images -> {args.out}")
+    elif args.cmd == "cc-tags":
+        cats = (json.load(open(args.cat_path))["categories"]
+                if args.cat_path else None)
+        out = cc_tags(json.load(open(args.cc_ann)), cats,
+                      allcaps=args.allcaps, keep_images=args.keep_images)
+        json.dump(out, open(args.out, "w"))
+        print(f"{len(out['images'])} tagged images -> {args.out}")
+    elif args.cmd == "remove-rare":
+        out = remove_rare(json.load(open(args.ann)))
+        out_path = args.ann[:-5] + "_norare.json"
+        json.dump(out, open(out_path, "w"))
+        print(f"{len(out['annotations'])} annotations -> {out_path}")
+    elif args.cmd == "coco-zeroshot-oriorder":
+        cat = json.load(open(args.cat_path))["categories"]
+        out = coco_zeroshot_oriorder(json.load(open(args.data_path)), cat)
+        out_path = args.data_path[:-5] + "_oriorder.json"
+        json.dump(out, open(out_path, "w"))
+        print(f"saved -> {out_path}")
     else:
         names = json.load(open(args.names))
         emb = clip_features(names, args.out, clip_weights=args.clip_params,
