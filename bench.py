@@ -146,6 +146,11 @@ def main():
             "hbm_gb_per_frame": round(bpf / 1e9, 3),
             "achieved_tflops": round(fpf / per_frame_s / 1e12, 3),
             "achieved_hbm_gbps": round(bpf / per_frame_s / 1e9, 1),
+            # XLA's cost model counts a lax.scan/while body ONCE, not x
+            # trip-count, so the scan-resident part of the frame (FPN +
+            # heads + write) is under-counted by ~T; the hoisted batched
+            # backbone is counted fully. Treat these as lower bounds.
+            "cost_model_note": "scan body counted once; lower bound",
         }
         if peak_flops:
             detail["eval_roofline"].update({

@@ -107,20 +107,30 @@ class EmbodiedDetector(nn.Module):
         return (image - mean) / std
 
     def _features(self, image: jax.Array, ego_memory: Optional[jax.Array]):
-        x = self._normalize(image)
-        c3, c4, c5 = self.backbone(x)
+        c3, c4, c5 = self.backbone_raw(image)
         return self.fpn(c3, c4, c5, ego_memory)
+
+    def backbone_raw(self, image: jax.Array):
+        """normalize + trunk -> (C3, C4, C5). Memory-independent: fusion
+        happens in the FPN (timm.py:142-192), so the trunk can run batched
+        over a chunk's frames OUTSIDE the serial episode scan
+        (make_episode_runner precompute_backbone) — the batched convs use
+        the MXU better than the scan's batch-1 trunk (measured 0.90 vs
+        1.26 ms/frame on v5e, tools/measure_backbone_batching.py)."""
+        return self.backbone(self._normalize(image))
 
     # ------------------------------------------------------------ inference
     def frame_step(self, image: jax.Array, zs_weight: jax.Array,
                    mem_features: jax.Array, mem_obs: jax.Array,
                    proj_indices: jax.Array, outlier_mask: jax.Array,
-                   obs_visibility: "jax.Array | None" = None
+                   obs_visibility: "jax.Array | None" = None,
+                   backbone_feats: "tuple | None" = None
                    ) -> FrameOutputs:
         """Full single-frame inference + memory write proposal computation.
 
         ref: CustomRCNNRecurrent.inference (custom_rcnn.py:548-582) +
-        update_implicit_memory (:681-760).
+        update_implicit_memory (:681-760). `backbone_feats` (C3, C4, C5)
+        skips the trunk when it was precomputed outside the scan.
         """
         cfg = self.cfg
         h, w = cfg.input.height, cfg.input.width
@@ -132,7 +142,10 @@ class EmbodiedDetector(nn.Module):
         use_memory = cfg.memory.memory_type in (
             "implicit_memory", "semantic_gt", "map_gt", "explicit_map")
         ego = memory_read(mem_features, mem_obs, proj_indices) if use_memory else None
-        p3, p4, p5, p6, p7 = self._features(image, ego)
+        if backbone_feats is None:
+            backbone_feats = self.backbone_raw(image)
+        c3, c4, c5 = backbone_feats
+        p3, p4, p5, p6, p7 = self.fpn(c3, c4, c5, ego)
 
         # proposals (ref: CenterNet.inference, centernet.py:603-632)
         agn_hms, regs = self.centernet((p3, p4, p5, p6, p7))
@@ -524,7 +537,8 @@ def _tree_where(pred, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
+def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig,
+                        precompute_backbone: bool = True):
     """Build a jittable episode function.
 
     ref: CustomRCNNRecurrent.forward eval branch (custom_rcnn.py:466-539):
@@ -535,6 +549,13 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
         starts (:482-486), so within an episode the model sees frozen memory
         while the live memory keeps accumulating
       * per-frame inference + memory write
+
+    precompute_backbone: run the (memory-independent) ResNet trunk batched
+    over all T frames BEFORE the serial scan — the batched convs use the
+    MXU better than the scan's batch-1 trunk (0.90 vs 1.26 ms/frame
+    measured on v5e); the scan then consumes (C3, C4, C5) as scan inputs.
+    Identical math, re-associated; costs T x ~8.6 MB of HBM for the
+    feature stash at 480x640.
     """
     test_type = cfg.memory.test_type
     # external GT-memory tables are constant: never reset, never written
@@ -545,7 +566,8 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
                 init_memory: MemoryState) -> EpisodeOutputs:
         zeros = MemoryState.zeros(cfg.memory.max_cells, cfg.memory.memory_dim)
 
-        def step(carry, frame: FrameInputs):
+        def step(carry, inp):
+            frame, feats = inp
             live, snap, first_mem, t = carry
             if external_memory:
                 snap = live = carry[0]
@@ -564,6 +586,7 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
             out = model.apply(params, frame.image, zs_weight, snap.features,
                               snap.obs_count, frame.proj_indices,
                               frame.outlier_mask, frame.obs_visibility,
+                              backbone_feats=feats,
                               method=EmbodiedDetector.frame_step)
             if not external_memory:
                 updated = MemoryState(
@@ -578,9 +601,15 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):
             return (live, snap, first_mem, t + 1), \
                 (out.detections, out.write.any_detection)
 
+        if precompute_backbone:
+            feats = jax.vmap(lambda im: model.apply(
+                params, im, method=EmbodiedDetector.backbone_raw))(
+                frames.image)
+        else:
+            feats = None
         (live, _, first_mem, _), (dets, any_det) = jax.lax.scan(
             step, (init_memory, init_memory, init_memory, jnp.int32(0)),
-            frames)
+            (frames, feats))
         return EpisodeOutputs(detections=dets, memory=live,
                               any_detection=any_det, first_memory=first_mem)
 
