@@ -113,12 +113,20 @@ def multi_source_train_batches(sampler: MultiDatasetSampler,
             assert embed_fn is not None, "caption source needs a text encoder"
             yield "caption", caption_items_to_batch(items, embed_fn, rng)
         else:
-            labels = np.stack([np.asarray(
-                it.get("labels", it.get("pos_category_ids", [])), np.int32)
-                for it in items])
-            lv = np.stack([np.asarray(
-                it.get("labels_valid", np.ones(labels.shape[1], bool)))
-                for it in items])
+            # raw catalog items carry ragged pos_category_ids; mapper
+            # items carry fixed [L] labels + labels_valid — pad both to
+            # the batch max
+            raw = [np.asarray(it.get("labels",
+                                     it.get("pos_category_ids", [])),
+                              np.int32).reshape(-1) for it in items]
+            ln = max([len(r) for r in raw] + [1])
+            labels = np.zeros((len(items), ln), np.int32)
+            lv = np.zeros((len(items), ln), bool)
+            for i, (it, r) in enumerate(zip(items, raw)):
+                labels[i, :len(r)] = r
+                v = np.asarray(it.get("labels_valid",
+                                      np.ones(len(r), bool))).reshape(-1)
+                lv[i, :len(v)] = v[:ln]
             images = np.stack([np.asarray(it["image"], np.float32)
                                for it in items])
             yield "image", (images, labels, lv)

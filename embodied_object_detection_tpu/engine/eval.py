@@ -216,7 +216,7 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
     from ..parallel.mesh import make_mesh, replicate, shard_batch
 
     if mesh is None:
-        mesh = make_mesh()
+        mesh = make_mesh(cfg.parallel)
     s = streams or mesh.shape[cfg.parallel.data_axis]
     if s % mesh.shape[cfg.parallel.data_axis] != 0:
         raise ValueError(f"streams={s} must be a multiple of the data axis "

@@ -170,3 +170,37 @@ def test_caption_train_step_from_catalog(tmp_path):
     gnorm = sum(float(jnp.sum(x ** 2))
                 for x in jax.tree_util.tree_leaves(grads))
     assert gnorm > 0
+
+
+def test_multi_source_image_batches_pad_ragged_labels(tmp_path):
+    """Raw catalog items carry ragged pos_category_ids; the 'image' batch
+    assembler pads them to the batch max with validity."""
+    from embodied_object_detection_tpu.engine.coco import (
+        multi_source_train_batches)
+
+    class _FakeSampler:
+        def sample_source(self):
+            return 0
+
+        def sample_items(self, d, n):
+            return list(range(n))
+
+    cfg = tiny_config()
+    h, w = cfg.input.height, cfg.input.width
+    items = [
+        {"image": np.zeros((h, w, 3), np.uint8), "pos_category_ids": [3]},
+        {"image": np.zeros((h, w, 3), np.uint8),
+         "pos_category_ids": [1, 4, 2]},
+    ]
+
+    class _FakeDS:
+        def __getitem__(self, i):
+            return items[i]
+
+    gen = multi_source_train_batches(_FakeSampler(), [_FakeDS()], ["image"],
+                                     cfg, batch_size=2)
+    kind, (images, labels, lv) = next(gen)
+    assert kind == "image"
+    assert labels.shape == (2, 3) and lv.shape == (2, 3)
+    assert labels[0, 0] == 3 and lv[0].tolist() == [True, False, False]
+    assert labels[1].tolist() == [1, 4, 2] and lv[1].all()
