@@ -57,8 +57,8 @@ class HabitatRenderer:
     """`Renderer`-protocol adapter over a habitat-sim scene.
 
     Parameters mirror HabitatUtils (habitat_utils.py:15-62): `scene` is the
-    .glb path, sensors default to the reference's 480x640. `min_depth`/
-    `max_depth` stay at the habitat config defaults unless overridden.
+    .glb path, sensors default to the reference's 480x640; depth range
+    stays at the habitat config defaults.
     """
 
     def __init__(self, scene: str, height: int = 480, width: int = 640,

@@ -163,10 +163,7 @@ def convert_monodepth_torch(state_dict) -> dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = v
 
-    def bn_leaf(leaf):
-        return leaf  # FrozenBN uses torch's own leaf names
-
-    def map_up(src, dst, name, value, leaf):
+    def map_up(src, dst, name, value):
         m = re.match(rf"{src}\.(conv1|conv1_2|conv2|bn1|bn1_2|bn2)\.(.*)",
                      name)
         if not m:
@@ -183,7 +180,6 @@ def convert_monodepth_torch(state_dict) -> dict:
         value = np.asarray(value)
         if "num_batches" in name:
             continue
-        leaf = name.rsplit(".", 1)[-1]
         # encoder
         if name == "E.conv1.weight":
             put("conv1/kernel", conv_t(value))
@@ -222,10 +218,10 @@ def convert_monodepth_torch(state_dict) -> dict:
             continue
         handled = False
         for i in range(1, 5):
-            if map_up(rf"D\.up{i}", f"d_up{i}", name, value, leaf):
+            if map_up(rf"D\.up{i}", f"d_up{i}", name, value):
                 handled = True
                 break
-            if map_up(rf"MFF\.up{i}", f"mff_up{i}", name, value, leaf):
+            if map_up(rf"MFF\.up{i}", f"mff_up{i}", name, value):
                 handled = True
                 break
         if handled:
