@@ -67,3 +67,110 @@ def test_detector_with_swin(rng):
                       jnp.zeros((h, w), jnp.int32), jnp.zeros((h, w), bool),
                       method=EmbodiedDetector.frame_step)
     assert out.detections.boxes.shape == (cfg.roi.detections_per_image, 4)
+
+
+# ---------------------------------------------------------------------------
+# torch oracle: full swin block (+shifted variant) through the converter
+# (ref: detic/modeling/backbone/swintransformer.py SwinTransformerBlock /
+#  WindowAttention :88-256)
+# ---------------------------------------------------------------------------
+
+def _torch_swin_block(x_hwc, sd_prefix_params, dim, heads, ws, shift,
+                      rel_index):
+    """Independent torch re-derivation of one swin block forward."""
+    import torch
+    import torch.nn.functional as tF
+
+    p = sd_prefix_params
+    x = torch.tensor(x_hwc)
+    h, w, c = x.shape
+
+    def ln(t, wgt, b):
+        return tF.layer_norm(t, (c,), torch.tensor(wgt), torch.tensor(b))
+
+    shortcut = x
+    y = ln(x, p["norm1.weight"], p["norm1.bias"])
+    if shift > 0:
+        y = torch.roll(y, (-shift, -shift), dims=(0, 1))
+    # partition
+    yw = y.reshape(h // ws, ws, w // ws, ws, c).permute(0, 2, 1, 3, 4)
+    yw = yw.reshape(-1, ws * ws, c)                       # [nW, N, C]
+    nw, n, _ = yw.shape
+    qkv = yw @ torch.tensor(p["attn.qkv.weight"]).T + \
+        torch.tensor(p["attn.qkv.bias"])
+    qkv = qkv.reshape(nw, n, 3, heads, c // heads).permute(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = (q * (c // heads) ** -0.5) @ k.transpose(-2, -1)
+    table = torch.tensor(p["attn.relative_position_bias_table"])
+    bias = table[rel_index.reshape(-1)].reshape(n, n, heads).permute(2, 0, 1)
+    attn = attn + bias[None]
+    if shift > 0:
+        import numpy as _np
+        img = _np.zeros((h, w), _np.int32)
+        cnt = 0
+        for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            for wsl in (slice(0, -ws), slice(-ws, -shift),
+                        slice(-shift, None)):
+                img[hs, wsl] = cnt
+                cnt += 1
+        imgw = torch.tensor(img).reshape(h // ws, ws, w // ws, ws) \
+            .permute(0, 2, 1, 3).reshape(-1, ws * ws)
+        mask = (imgw[:, None, :] - imgw[:, :, None]) != 0
+        attn = attn + torch.where(mask, torch.tensor(-100.0),
+                                  torch.tensor(0.0))[:, None]
+    attn = attn.softmax(dim=-1)
+    out = (attn @ v).permute(0, 2, 1, 3).reshape(nw, n, c)
+    out = out @ torch.tensor(p["attn.proj.weight"]).T + \
+        torch.tensor(p["attn.proj.bias"])
+    y = out.reshape(h // ws, w // ws, ws, ws, c).permute(0, 2, 1, 3, 4) \
+        .reshape(h, w, c)
+    if shift > 0:
+        y = torch.roll(y, (shift, shift), dims=(0, 1))
+    x = shortcut + y
+    z = ln(x, p["norm2.weight"], p["norm2.bias"])
+    z = z @ torch.tensor(p["mlp.fc1.weight"]).T + \
+        torch.tensor(p["mlp.fc1.bias"])
+    z = tF.gelu(z)
+    z = z @ torch.tensor(p["mlp.fc2.weight"]).T + \
+        torch.tensor(p["mlp.fc2.bias"])
+    return (x + z).numpy()
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_swin_block_vs_torch_oracle(rng, shift):
+    torch = pytest.importorskip("torch")
+    from embodied_object_detection_tpu.convert.torch_weights import (
+        convert_state_dict)
+    from embodied_object_detection_tpu.models.swin import (
+        SwinBlock, relative_position_index)
+
+    dim, heads, ws = 32, 4, 4
+    h, w = 8, 12
+    raw = {
+        "norm1.weight": rng.rand(dim).astype(np.float32) + 0.5,
+        "norm1.bias": rng.randn(dim).astype(np.float32) * 0.1,
+        "attn.qkv.weight": rng.randn(3 * dim, dim).astype(np.float32) * 0.1,
+        "attn.qkv.bias": rng.randn(3 * dim).astype(np.float32) * 0.1,
+        "attn.proj.weight": rng.randn(dim, dim).astype(np.float32) * 0.1,
+        "attn.proj.bias": rng.randn(dim).astype(np.float32) * 0.1,
+        "attn.relative_position_bias_table":
+            rng.randn((2 * ws - 1) ** 2, heads).astype(np.float32) * 0.1,
+        "norm2.weight": rng.rand(dim).astype(np.float32) + 0.5,
+        "norm2.bias": rng.randn(dim).astype(np.float32) * 0.1,
+        "mlp.fc1.weight": rng.randn(4 * dim, dim).astype(np.float32) * 0.1,
+        "mlp.fc1.bias": rng.randn(4 * dim).astype(np.float32) * 0.1,
+        "mlp.fc2.weight": rng.randn(dim, 4 * dim).astype(np.float32) * 0.1,
+        "mlp.fc2.bias": rng.randn(dim).astype(np.float32) * 0.1,
+    }
+    x = rng.randn(h, w, dim).astype(np.float32)
+    want = _torch_swin_block(x, raw, dim, heads, ws, shift,
+                             relative_position_index(ws))
+
+    sd = {f"backbone.bottom_up.layers.0.blocks.0.{k}": v
+          for k, v in raw.items()}
+    tree, _ = convert_state_dict(sd)
+    params = {"params": tree["params"]["backbone"]["stage0_block0"]}
+    blk = SwinBlock(dim=dim, num_heads=heads, window_size=ws, shift=shift,
+                    dtype=jnp.float32)
+    got = np.asarray(blk.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
