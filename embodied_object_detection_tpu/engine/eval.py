@@ -292,6 +292,26 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
             float(jnp.sum(out.detections.scores[:, -1, :1]))
             t_compute += time.perf_counter() - t0
 
+            if cfg.memory.save_semmap:
+                # per-sequence memory snapshot, as in the serial path
+                # (ref: custom_rcnn.py:518-530 — saved at frame 0 of each
+                # chunk); first_memory carries per-stream post-frame-0 state
+                from ..ops.memory_ops import semmap_classes
+                from .checkpoint import save_memory_h5
+                for lane_i, chunk in enumerate(metas):
+                    if chunk is None:
+                        continue
+                    feats = np.asarray(
+                        out.first_memory.features[lane_i])[: chunk.num_cells]
+                    obs = np.asarray(
+                        out.first_memory.obs_count[lane_i])[: chunk.num_cells]
+                    semmap = np.asarray(semmap_classes(
+                        jnp.asarray(feats), jnp.asarray(obs), zs,
+                        cfg.memory.obs_score_thresh,
+                        cfg.roi.norm_temperature))
+                    save_memory_h5(cfg.output_dir, chunk.sequence_name,
+                                   semmap, feats, obs)
+
             t0 = time.perf_counter()
             det_boxes = np.asarray(out.detections.boxes)
             det_scores = np.asarray(out.detections.scores)

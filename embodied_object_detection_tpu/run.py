@@ -204,6 +204,10 @@ def main(argv=None):
         if args.eval_streams > 1:
             # episode-parallel eval: scenes partitioned over mesh data
             # shards (the AsyncPredictor analog, parallel/eval_step.py)
+            if args.max_chunks:
+                print("warning: --max-chunks is ignored with "
+                      "--eval-streams (scene partitioning needs the "
+                      "full chunk list)")
             results = evaluate_dataset_sharded(model, params, cfg, dataset,
                                                zs_weight,
                                                streams=args.eval_streams)

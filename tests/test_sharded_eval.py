@@ -8,6 +8,7 @@ running each stream alone.
 """
 
 import dataclasses
+import os
 
 import numpy as np
 import jax
@@ -154,13 +155,17 @@ def test_engine_sharded_eval_matches_serial(tmp_path):
 
     ds = EpisodeDataset(root, max_sequence_length=4,
                         max_gt=cfg.input.max_gt_boxes)
+    cfg = cfg.replace(
+        output_dir=str(tmp_path / "out_serial"),
+        memory=dataclasses.replace(cfg.memory, save_semmap=True))
     serial = evaluate_dataset(model, params, cfg, ds, zs, verbose=False,
                               num_workers=0)
     from embodied_object_detection_tpu.config import ParallelConfig
     from embodied_object_detection_tpu.parallel.mesh import make_mesh
     mesh2 = make_mesh(ParallelConfig(data_parallel=2, model_parallel=1),
                       devices=jax.devices()[:2])
-    sharded = evaluate_dataset_sharded(model, params, cfg, ds, zs,
+    cfg2 = cfg.replace(output_dir=str(tmp_path / "out_sharded"))
+    sharded = evaluate_dataset_sharded(model, params, cfg2, ds, zs,
                                        mesh=mesh2, streams=2, verbose=False,
                                        num_workers=0)
     assert sharded.num_images == serial.num_images
@@ -170,3 +175,21 @@ def test_engine_sharded_eval_matches_serial(tmp_path):
         assert set(qs) == set(qq)
         for k in qs:
             assert qq[k] == pytest.approx(qs[k], abs=1e-6), k
+
+    # TEST_SAVE_SEMMAP parity: same per-sequence snapshot files, equal
+    # contents (ref: custom_rcnn.py:518-530)
+    import h5py
+    d_ser = sorted(os.listdir(os.path.join(str(tmp_path / "out_serial"),
+                                           "memory")))
+    d_sha = sorted(os.listdir(os.path.join(str(tmp_path / "out_sharded"),
+                                           "memory")))
+    assert d_ser == d_sha and d_ser
+    for fn in d_ser:
+        with h5py.File(os.path.join(str(tmp_path / "out_serial"), "memory",
+                                    fn)) as a, \
+                h5py.File(os.path.join(str(tmp_path / "out_sharded"),
+                                       "memory", fn)) as b:
+            for key in ("semmap", "impicit_memory", "observations"):
+                np.testing.assert_allclose(a[key][()], b[key][()],
+                                           rtol=1e-5, atol=1e-5,
+                                           err_msg=f"{fn}:{key}")
