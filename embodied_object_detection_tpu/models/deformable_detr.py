@@ -291,7 +291,14 @@ class DeformableDETR(nn.Module):
             enc_unact = apply_bbox(k_enc, out_mem) + prop_unact  # [S, 4]
             enc_boxes = jax.nn.sigmoid(enc_unact)
 
-            _, topk_idx = jax.lax.top_k(enc_logits[:, 0], self.num_queries)
+            # shape-robust to num_queries > token count on miniature inputs:
+            # clamp k and repeat the tail index (duplicate queries decode to
+            # duplicate detections, removed downstream)
+            kq = min(self.num_queries, enc_logits.shape[0])
+            _, topk_idx = jax.lax.top_k(enc_logits[:, 0], kq)
+            if kq < self.num_queries:
+                topk_idx = jnp.pad(topk_idx, (0, self.num_queries - kq),
+                                   mode="edge")
             topk_unact = jax.lax.stop_gradient(enc_unact[topk_idx])  # [Q, 4]
             ref = jax.nn.sigmoid(topk_unact)
             pos_trans = nn.Dense(2 * c, name="pos_trans")(

@@ -28,6 +28,26 @@ from ..structures import Detections, pairwise_iou
 NEG_INF = -1e10
 
 
+def _topk_padded(kept_scores: jax.Array, topk: int, *rows: jax.Array
+                 ) -> Tuple[jax.Array, jax.Array, Tuple[jax.Array, ...]]:
+    """top_k that tolerates topk > N: pads candidates with NEG_INF rows so
+    the output is always exactly [topk] with valid=False padding.
+
+    A config (e.g. post_nms_topk_test=256 on a 64x96 miniature with only 129
+    FPN locations) must never be able to crash a core op on shape grounds.
+    Returns (top_scores, out_valid, per-row-array gathered outputs).
+    """
+    n = kept_scores.shape[0]
+    pad = max(0, topk - n)
+    if pad:
+        kept_scores = jnp.pad(kept_scores, (0, pad), constant_values=NEG_INF)
+        rows = tuple(
+            jnp.pad(r, [(0, pad)] + [(0, 0)] * (r.ndim - 1)) for r in rows)
+    top_scores, top_idx = jax.lax.top_k(kept_scores, topk)
+    out_valid = top_scores > NEG_INF / 2
+    return top_scores, out_valid, tuple(r[top_idx] for r in rows)
+
+
 def _greedy_keep(iou_mask: jax.Array, valid: jax.Array, max_iters: int) -> jax.Array:
     """Fixpoint of greedy suppression. iou_mask[i, j] True iff i (higher score,
     i < j in sorted order) suppresses j. Returns keep mask [N]."""
@@ -87,12 +107,12 @@ def nms_padded(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
         boxes, scores, valid, classes, iou_threshold, max_iters)
 
     kept_scores = jnp.where(keep, scores_s, NEG_INF)
-    top_scores, top_idx = jax.lax.top_k(kept_scores, topk)
-    out_valid = top_scores > NEG_INF / 2
+    top_scores, out_valid, (top_boxes, top_classes) = _topk_padded(
+        kept_scores, topk, boxes_s, classes_s)
     return Detections(
-        boxes=jnp.where(out_valid[:, None], boxes_s[top_idx], 0.0),
+        boxes=jnp.where(out_valid[:, None], top_boxes, 0.0),
         scores=jnp.where(out_valid, top_scores, 0.0),
-        classes=jnp.where(out_valid, classes_s[top_idx], 0).astype(jnp.int32),
+        classes=jnp.where(out_valid, top_classes, 0).astype(jnp.int32),
         valid=out_valid,
     )
 
@@ -154,13 +174,13 @@ def multiclass_nms(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     rows_s = flat_rows[order]
 
     kept_scores = jnp.where(keep, scores_s, NEG_INF)
-    top_scores, top_idx = jax.lax.top_k(kept_scores, topk)
-    out_valid = top_scores > NEG_INF / 2
+    top_scores, out_valid, (top_boxes, top_classes, top_rows) = _topk_padded(
+        kept_scores, topk, boxes_s, classes_s, rows_s)
     det = Detections(
-        boxes=jnp.where(out_valid[:, None], boxes_s[top_idx], 0.0),
+        boxes=jnp.where(out_valid[:, None], top_boxes, 0.0),
         scores=jnp.where(out_valid, top_scores, 0.0),
-        classes=jnp.where(out_valid, classes_s[top_idx], 0).astype(jnp.int32),
+        classes=jnp.where(out_valid, top_classes, 0).astype(jnp.int32),
         valid=out_valid,
     )
-    kept_rows = jnp.where(out_valid, rows_s[top_idx], -1)
+    kept_rows = jnp.where(out_valid, top_rows, -1)
     return det, kept_rows

@@ -133,3 +133,84 @@ def test_decode_proposals_train_post_topk_exceeds_cap():
     out = decode_proposals(hms, regs, cfg, training=True)
     assert out.boxes.shape[0] == 2000
     assert bool(out.valid.any())
+
+
+def test_nms_topk_exceeds_candidates(rng):
+    """topk > N must clamp + pad with valid=False rows, never crash
+    (regression: the r3 8-device dryrun died at ops/nms.py top_k with
+    post_nms_topk_test=256 against 129 miniature candidates)."""
+    n = 9
+    boxes = random_boxes(rng, n)
+    scores = rng.rand(n).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[-2:] = False
+    det = nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                     jnp.asarray(valid), 0.99, topk=32)
+    assert det.boxes.shape == (32, 4)
+    assert det.scores.shape == (32,)
+    assert int(det.num_valid()) == 7
+    out_valid = np.asarray(det.valid)
+    assert np.all(np.asarray(det.scores)[~out_valid] == 0)
+    assert np.all(np.asarray(det.boxes)[~out_valid] == 0)
+    # kept rows match the small-topk result
+    small = nms_padded(jnp.asarray(boxes), jnp.asarray(scores),
+                       jnp.asarray(valid), 0.99, topk=7)
+    np.testing.assert_allclose(np.asarray(det.scores)[:7],
+                               np.asarray(small.scores), rtol=1e-6)
+
+
+def test_multiclass_nms_topk_exceeds_candidates(rng):
+    r, c = 4, 3
+    boxes = random_boxes(rng, r)
+    scores = rng.rand(r, c + 1).astype(np.float32) * 0.5 + 0.25
+    det, rows = multiclass_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                               jnp.ones(r, bool), score_thresh=0.05,
+                               iou_threshold=0.99, topk=64)
+    assert det.boxes.shape == (64, 4) and rows.shape == (64,)
+    det_v = np.asarray(det.valid)
+    assert det_v.sum() <= r * c
+    assert np.all(np.asarray(rows)[~det_v] == -1)
+    assert np.all(np.asarray(rows)[det_v] >= 0)
+
+
+def test_decode_proposals_not_nms_topk_exceeds_locations():
+    """not_nms branch with post_nms_topk > total FPN locations pads with
+    valid=False instead of crashing (models/centernet.py not_nms top_k)."""
+    import jax.numpy as jnp
+    from embodied_object_detection_tpu.config import CenterNetConfig
+    from embodied_object_detection_tpu.models.centernet import (
+        decode_proposals)
+    cfg = CenterNetConfig(pre_nms_topk_test=1000, post_nms_topk_test=256,
+                          strides=(8, 16, 32), not_nms=True)
+    rng = np.random.RandomState(0)
+    shapes = [(8, 12), (4, 6), (2, 3)]  # 96+24+6 = 126 < 256
+    hms = [jnp.asarray(rng.randn(h, w, 1).astype(np.float32))
+           for h, w in shapes]
+    regs = [jnp.asarray(np.abs(rng.randn(h, w, 4)).astype(np.float32))
+            for h, w in shapes]
+    out = decode_proposals(hms, regs, cfg, training=False)
+    assert out.boxes.shape[0] == 256
+    ov = np.asarray(out.valid)
+    assert ov.sum() <= 126 and ov.sum() > 0
+    assert np.all(np.asarray(out.scores)[~ov] == 0)
+
+
+def test_decode_proposals_nms_topk_exceeds_locations():
+    """Same miniature shape-crash scenario through the default (NMS) branch
+    — the exact red-dryrun config class (post_nms_topk_test=256, 126
+    candidate locations)."""
+    import jax.numpy as jnp
+    from embodied_object_detection_tpu.config import CenterNetConfig
+    from embodied_object_detection_tpu.models.centernet import (
+        decode_proposals)
+    cfg = CenterNetConfig(pre_nms_topk_test=1000, post_nms_topk_test=256,
+                          strides=(8, 16, 32))
+    rng = np.random.RandomState(1)
+    shapes = [(8, 12), (4, 6), (2, 3)]
+    hms = [jnp.asarray(rng.randn(h, w, 1).astype(np.float32))
+           for h, w in shapes]
+    regs = [jnp.asarray(np.abs(rng.randn(h, w, 4)).astype(np.float32))
+            for h, w in shapes]
+    out = decode_proposals(hms, regs, cfg, training=False)
+    assert out.boxes.shape[0] == 256
+    assert 0 < int(np.asarray(out.valid).sum()) <= 126
