@@ -98,37 +98,53 @@ def multi_source_train_batches(sampler: MultiDatasetSampler,
     ref: the reference trains with one ann_type per global batch
     (custom_rcnn.py:203-206 assert) drawn by MultiDatasetSampler ratios
     (custom_dataset_dataloader.py:195-266). Yields (ann_type, batch):
-      'box'     -> TrainBatch
-      'caption' -> (images, caption_features, weight)
-      'image'   -> (images, labels [B,L], labels_valid [B,L])
+      'box'        -> TrainBatch
+      'caption'    -> (images, caption_features, weight)
+      'image'      -> (images, labels [B,L], labels_valid [B,L])
+      'captiontag' -> (images, caption_features, weight, labels,
+                       labels_valid) — BOTH losses apply: only
+                       ann_type=='caption' skips the tag loop in the
+                       reference (detic_fast_rcnn.py:370-375), so
+                       captiontag sources get the caption loss AND the
+                       image-label tag loss
     """
     rng = np.random.RandomState(seed)
+
+    def pad_image_labels(items):
+        # raw catalog items carry ragged pos_category_ids; mapper
+        # items carry fixed [L] labels + labels_valid — pad both to
+        # the batch max
+        raw = [np.asarray(it.get("labels",
+                                 it.get("pos_category_ids", [])),
+                          np.int32).reshape(-1) for it in items]
+        ln = max([len(r) for r in raw] + [1])
+        labels = np.zeros((len(items), ln), np.int32)
+        lv = np.zeros((len(items), ln), bool)
+        for i, (it, r) in enumerate(zip(items, raw)):
+            labels[i, :len(r)] = r
+            v = np.asarray(it.get("labels_valid",
+                                  np.ones(len(r), bool))).reshape(-1)
+            lv[i, :len(v)] = v[:ln]
+        return labels, lv
+
     while True:
         d = sampler.sample_source()
         items = [datasets[d][i] for i in sampler.sample_items(d, batch_size)]
         at = ann_types[d]
         if at == "box":
             yield "box", items_to_train_batch(items, cfg)
+        elif at == "captiontag":
+            assert embed_fn is not None, "caption source needs a text encoder"
+            images, feats, wt = caption_items_to_batch(items, embed_fn, rng)
+            labels, lv = pad_image_labels(items)
+            yield "captiontag", (images, feats, wt, labels, lv)
         elif "caption" in at:
             assert embed_fn is not None, "caption source needs a text encoder"
             yield "caption", caption_items_to_batch(items, embed_fn, rng)
         else:
-            # raw catalog items carry ragged pos_category_ids; mapper
-            # items carry fixed [L] labels + labels_valid — pad both to
-            # the batch max
-            raw = [np.asarray(it.get("labels",
-                                     it.get("pos_category_ids", [])),
-                              np.int32).reshape(-1) for it in items]
-            ln = max([len(r) for r in raw] + [1])
-            labels = np.zeros((len(items), ln), np.int32)
-            lv = np.zeros((len(items), ln), bool)
-            for i, (it, r) in enumerate(zip(items, raw)):
-                labels[i, :len(r)] = r
-                v = np.asarray(it.get("labels_valid",
-                                      np.ones(len(r), bool))).reshape(-1)
-                lv[i, :len(v)] = v[:ln]
             images = np.stack([np.asarray(it["image"], np.float32)
                                for it in items])
+            labels, lv = pad_image_labels(items)
             yield "image", (images, labels, lv)
 
 

@@ -48,8 +48,9 @@ def make_sharded_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig,
         d = mesh.shape[data_axis]
         if b % d != 0:
             raise ValueError(
-                f"stream count {b} must divide the '{data_axis}' axis size "
-                f"{d}; pad with repeated streams and drop host-side")
+                f"stream count {b} must be a multiple of the '{data_axis}' "
+                f"axis size {d}; pad with repeated streams and drop "
+                f"host-side")
         with mesh:
             params_d = replicate(mesh, params)
             zs_d = replicate(mesh, zs_weight)

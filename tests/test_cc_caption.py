@@ -204,3 +204,75 @@ def test_multi_source_image_batches_pad_ragged_labels(tmp_path):
     assert labels.shape == (2, 3) and lv.shape == (2, 3)
     assert labels[0, 0] == 3 and lv[0].tolist() == [True, False, False]
     assert labels[1].tolist() == [1, 4, 2] and lv[1].all()
+
+
+def test_captiontag_batches_carry_both(tmp_path):
+    """'captiontag' sources must yield BOTH caption features and padded
+    image labels — only ann_type=='caption' skips the tag loss in the
+    reference (detic_fast_rcnn.py:370-375). ADVICE r3 medium."""
+    from embodied_object_detection_tpu.engine.coco import (
+        multi_source_train_batches)
+
+    class _FakeSampler:
+        def sample_source(self):
+            return 0
+
+        def sample_items(self, d, n):
+            return list(range(n))
+
+    cfg = tiny_config()
+    h, w = cfg.input.height, cfg.input.width
+    items = [
+        {"image": np.zeros((h, w, 3), np.uint8),
+         "captions": ["a cat on a mat"], "pos_category_ids": [3]},
+        {"image": np.zeros((h, w, 3), np.uint8),
+         "captions": ["two dogs"], "pos_category_ids": [1, 4]},
+    ]
+
+    class _FakeDS:
+        def __getitem__(self, i):
+            return items[i]
+
+    gen = multi_source_train_batches(_FakeSampler(), [_FakeDS()],
+                                     ["captiontag"], cfg, batch_size=2,
+                                     embed_fn=_stub_embed)
+    kind, (images, feats, wt, labels, lv) = next(gen)
+    assert kind == "captiontag"
+    assert images.shape == (2, h, w, 3) and feats.shape == (2, 512)
+    assert np.all(wt == 1.0)
+    assert labels.shape == (2, 2) and lv.shape == (2, 2)
+    assert labels[0, 0] == 3 and lv[0].tolist() == [True, False]
+    assert labels[1].tolist() == [1, 4] and lv[1].all()
+
+
+@pytest.mark.slow
+def test_captiontag_train_step_applies_both_losses(tmp_path):
+    """make_captiontag_train_step = caption contrastive + image-label tag
+    loss; both terms nonzero and the total differs from caption-only."""
+    from embodied_object_detection_tpu.models.detector import build_detector
+    from embodied_object_detection_tpu.parallel.train_step import (
+        make_caption_train_step, make_captiontag_train_step)
+
+    cfg = tiny_config()
+    h, w = cfg.input.height, cfg.input.width
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 255, (2, h, w, 3)).astype(np.float32)
+    feats = _stub_embed(["a cat", "a dog"])
+    wt = np.ones(2, np.float32)
+    labels = np.asarray([[3, 0], [1, 4]], np.int32)
+    lv = np.asarray([[True, False], [True, True]])
+    zs = rng.randn(cfg.roi.zs_weight_dim,
+                   cfg.roi.num_classes + 1).astype(np.float32)
+
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    tag_fn = make_captiontag_train_step(model, cfg)
+    total, aux = tag_fn(params, jnp.asarray(images), jnp.asarray(feats),
+                        jnp.asarray(wt), jnp.asarray(labels),
+                        jnp.asarray(lv), jnp.asarray(zs))
+    cap_fn = make_caption_train_step(model, cfg)
+    cap_only, _ = cap_fn(params, jnp.asarray(images), jnp.asarray(feats),
+                         jnp.asarray(wt))
+    assert np.isfinite(float(total))
+    assert float(aux["tag_loss"]) > 0
+    assert float(total) == pytest.approx(
+        float(cap_only) + float(aux["tag_loss"]), rel=1e-5)
