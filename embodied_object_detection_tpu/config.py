@@ -44,6 +44,14 @@ class BackboneConfig:
     in_channels: Tuple[int, ...] = (512, 1024, 2048)
     in_strides: Tuple[int, ...] = (8, 16, 32)
     fpn_channels: int = 256                     # ref: MODEL.FPN.OUT_CHANNELS default 256
+    # swin-only: stochastic depth (ref: swintransformer.py:486 swin_base
+    # drop_path_rate=0.2); train-mode only, inference unaffected
+    drop_path_rate: float = 0.2
+    # rematerialize the trunk+FPN in frame_train (jax.checkpoint): trades
+    # recompute FLOPs for activation bytes — a lever for the memory-bound
+    # train step (~95% of peak HBM BW; ARCHITECTURE.md roofline). Measured
+    # knob, default off; see tools/bench_train.py --remat-backbone.
+    train_remat: bool = False
     # p6/p7 computed from p5 via stride-2 3x3 convs.
     # ref: timm.py:347-364 (LastLevelP6P7_P5)
     freeze_at: int = 0                          # ref: MODEL.TIMM.FREEZE_AT
@@ -134,6 +142,15 @@ class ROIHeadsConfig:
     use_sigmoid_ce: bool = True                 # ref: yaml USE_SIGMOID_CE
     use_fed_loss: bool = False                  # mp3d yaml: USE_FED_LOSS False
     fed_loss_num_cat: int = 50
+    # ref: ROI_BOX_HEAD.CAT_FREQ_PATH — per-class image counts for federated
+    # sampling; "" = the vendored lvis_v1_train_cat_info.json. The table
+    # length must equal num_classes (get_fed_loss_inds broadcasts it onto
+    # prob[:C], detic/modeling/utils.py:22).
+    cat_freq_path: str = ""
+    # rematerialize each cascade stage (pool->2FC->predictor) in
+    # frame_train — the ROIAlign chain is ~34 ms of the 94 ms step
+    # (tools/trace_train.py); measured knob, default off
+    train_stage_remat: bool = False
     mult_proposal_score: bool = True            # ref: yaml MULT_PROPOSAL_SCORE
     # WITH_SOFTMAX_PROP (detic_fast_rcnn.py:118-125): extra per-proposal
     # score head required by the wsddn/wsod image-label loss

@@ -119,7 +119,20 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
     max_iter = max_iter if max_iter is not None else solver.max_iter
     mesh = make_mesh(cfg.parallel)
 
-    init_state, step_fn = make_train_step(model, cfg)
+    # federated loss needs the class-frequency table (ref:
+    # detic_fast_rcnn.py:214 `self.use_fed_loss and self.freq_weight is
+    # not None`; loaded from CAT_FREQ_PATH at model build time)
+    fed_w = None
+    if cfg.roi.use_fed_loss:
+        from ..data.catalog import load_class_freq
+        fed_w = load_class_freq(cfg.roi.cat_freq_path)
+        if fed_w.shape[0] != cfg.roi.num_classes:
+            raise ValueError(
+                f"cat_freq_path table has {fed_w.shape[0]} classes, model "
+                f"has {cfg.roi.num_classes} (ref: get_fed_loss_inds "
+                f"requires them equal)")
+
+    init_state, step_fn = make_train_step(model, cfg, fed_freq_weight=fed_w)
     state, _ = init_state(params)
     start_iter = 0
     if resume:

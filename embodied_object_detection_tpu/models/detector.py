@@ -75,7 +75,10 @@ class EmbodiedDetector(nn.Module):
         dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
         if self.cfg.backbone.name == "swin_b":
             from .swin import SwinTransformer
-            self.backbone = SwinTransformer(dtype=dtype, name="backbone")
+            self.backbone = SwinTransformer(
+                dtype=dtype,
+                drop_path_rate=self.cfg.backbone.drop_path_rate,
+                name="backbone")
         else:
             self.backbone = ResNet50(depths=self.cfg.backbone.depths,
                                      dtype=dtype, name="backbone")
@@ -232,8 +235,15 @@ class EmbodiedDetector(nn.Module):
         row_kept = jnp.zeros((r,), bool).at[
             jnp.where(rows >= 0, rows, r)].set(True, mode="drop")
         key = row_kept.astype(jnp.float32) * (2.0 - jnp.arange(r) / r)
+        # shape-robust to write_topk > num proposals: pad candidates with
+        # valid=False rows instead of letting top_k crash on k > N
+        pad = max(0, k - r)
+        if pad:
+            key = jnp.pad(key, (0, pad))
+            row_kept = jnp.pad(row_kept, (0, pad))
         _, sel = jax.lax.top_k(key, k)
         wvalid = row_kept[sel]
+        sel = jnp.minimum(sel, r - 1)
         wboxes = boxes[sel]
         wfeats = feats[sel]
 
@@ -269,7 +279,8 @@ class EmbodiedDetector(nn.Module):
                     mem_features: jax.Array, mem_obs: jax.Array,
                     proj_indices: jax.Array, gt,
                     sample_rng: "jax.Array | None" = None,
-                    defer_centernet_norm: bool = False) -> dict:
+                    defer_centernet_norm: bool = False,
+                    fed_freq_weight: "jax.Array | None" = None) -> dict:
         """Per-frame training losses.
 
         ref: CustomRCNNRecurrent training branch (custom_rcnn.py:444-464 +
@@ -301,7 +312,12 @@ class EmbodiedDetector(nn.Module):
         use_memory = cfg.memory.memory_type in (
             "implicit_memory", "semantic_gt", "map_gt", "explicit_map")
         ego = memory_read(mem_features, mem_obs, proj_indices) if use_memory else None
-        p3, p4, p5, p6, p7 = self._features(image, ego)
+        if cfg.backbone.train_remat:
+            # trade recompute for activation bytes on the memory-bound step
+            feats_fn = nn.remat(type(self)._features)
+            p3, p4, p5, p6, p7 = feats_fn(self, image, ego)
+        else:
+            p3, p4, p5, p6, p7 = self._features(image, ego)
         feats = (p3, p4, p5, p6, p7)
 
         agn_hms, regs = self.centernet(feats)
@@ -362,6 +378,25 @@ class EmbodiedDetector(nn.Module):
         num_stages = len(cfg.roi.cascade_ious)
         matched = match_proposals(boxes, valid, gt, cfg.roi.cascade_ious[0],
                                   cfg.roi.num_classes)
+        # federated loss (USE_FED_LOSS + CAT_FREQ_PATH weights): each stage
+        # draws its own class sample, as each reference losses() call invokes
+        # get_fed_loss_inds anew (detic_fast_rcnn.py:214-218). No freq table
+        # -> no masking, matching `self.freq_weight is not None` (:214).
+        use_fed = cfg.roi.use_fed_loss and fed_freq_weight is not None
+        if use_fed:
+            from .losses import fed_loss_class_weight
+            fed_rng = sample_rng if sample_rng is not None \
+                else jax.random.PRNGKey(0)
+        def _stage_fwd(mdl, feats3, stage_boxes, zsw, k):
+            pooled = mdl.roi_heads._pool(feats3, stage_boxes,
+                                         cfg.roi.pooler_resolution)
+            pooled = grad_scale(pooled, 1.0 / num_stages)
+            x = mdl.roi_heads.box_heads[k](pooled)
+            return mdl.roi_heads.predictors[k](x, zsw)
+
+        stage_fwd = nn.remat(_stage_fwd, static_argnums=(4,)) \
+            if cfg.roi.train_stage_remat else _stage_fwd
+
         for k in range(num_stages):
             if k > 0:
                 boxes = _clip(jax.lax.stop_gradient(prev_boxes), h, w)
@@ -369,14 +404,17 @@ class EmbodiedDetector(nn.Module):
                 matched = match_proposals(boxes, valid, gt,
                                           cfg.roi.cascade_ious[k],
                                           cfg.roi.num_classes)
-            pooled = self.roi_heads._pool((p3, p4, p5), boxes,
-                                          cfg.roi.pooler_resolution)
-            pooled = grad_scale(pooled, 1.0 / num_stages)
-            x = self.roi_heads.box_heads[k](pooled)
-            logits, deltas, _ = self.roi_heads.predictors[k](x, zs_weight)
+            logits, deltas, _ = stage_fwd(self, (p3, p4, p5), boxes,
+                                          zs_weight, k)
+            class_weight = fed_loss_class_weight(
+                matched.gt_classes, matched.valid, fed_freq_weight,
+                cfg.roi.fed_loss_num_cat, cfg.roi.num_classes,
+                jax.random.fold_in(fed_rng, 101 + k)) if use_fed else None
             sl = stage_losses(logits, deltas, matched,
                               cfg.roi.cascade_bbox_reg_weights[k],
-                              cfg.roi.num_classes)
+                              cfg.roi.num_classes,
+                              class_weight=class_weight,
+                              use_sigmoid_ce=cfg.roi.use_sigmoid_ce)
             losses.update({f"{n}_stage{k}": v for n, v in sl.items()})
             prev_boxes = apply_deltas(deltas, boxes,
                                       cfg.roi.cascade_bbox_reg_weights[k])
@@ -555,7 +593,10 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig,
     MXU better than the scan's batch-1 trunk (0.90 vs 1.26 ms/frame
     measured on v5e); the scan then consumes (C3, C4, C5) as scan inputs.
     Identical math, re-associated; costs T x ~8.6 MB of HBM for the
-    feature stash at 480x640.
+    feature stash at 480x640. Pass "external" to get an episode function
+    taking the trunk features as a FIFTH argument — see
+    make_pipelined_episode_runner, which uses the split to enqueue
+    chunk k+1's trunk against chunk k's scan.
     """
     test_type = cfg.memory.test_type
     # external GT-memory tables are constant: never reset, never written
@@ -563,7 +604,8 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig,
                                                  "explicit_map")
 
     def episode(params, frames: FrameInputs, zs_weight: jax.Array,
-                init_memory: MemoryState) -> EpisodeOutputs:
+                init_memory: MemoryState,
+                ext_feats=None) -> EpisodeOutputs:
         zeros = MemoryState.zeros(cfg.memory.max_cells, cfg.memory.memory_dim)
 
         def step(carry, inp):
@@ -601,7 +643,9 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig,
             return (live, snap, first_mem, t + 1), \
                 (out.detections, out.write.any_detection)
 
-        if precompute_backbone:
+        if precompute_backbone == "external":
+            feats = ext_feats
+        elif precompute_backbone:
             feats = jax.vmap(lambda im: model.apply(
                 params, im, method=EmbodiedDetector.backbone_raw))(
                 frames.image)
@@ -613,7 +657,34 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig,
         return EpisodeOutputs(detections=dets, memory=live,
                               any_detection=any_det, first_memory=first_mem)
 
+    if precompute_backbone != "external":
+        def episode4(params, frames, zs_weight, init_memory):
+            return episode(params, frames, zs_weight, init_memory)
+        return episode4
     return episode
+
+
+def make_pipelined_episode_runner(model: EmbodiedDetector,
+                                  cfg: DetectorConfig):
+    """Split the episode into two jitted programs so the host can enqueue
+    chunk k+1's batched trunk before chunk k's scan retires.
+
+    The batched backbone precompute has no dependency on the memory carry
+    (the only serial dependency is the carry itself, ref:
+    custom_rcnn.py:470-501), so with two programs the async dispatch queue
+    overlaps trunk(k+1) with scan(k) device-side. Returns
+    (trunk_fn(params, images [T,H,W,3]) -> feats,
+     scan_fn(params, frames, zs, memory, feats) -> EpisodeOutputs); both
+    are plain jittable functions. Numerically identical to
+    make_episode_runner — only the dispatch is re-ordered.
+    """
+    scan_fn = make_episode_runner(model, cfg, precompute_backbone="external")
+
+    def trunk_fn(params, images):
+        return jax.vmap(lambda im: model.apply(
+            params, im, method=EmbodiedDetector.backbone_raw))(images)
+
+    return trunk_fn, scan_fn
 
 
 def make_batched_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig):

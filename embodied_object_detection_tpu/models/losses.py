@@ -429,22 +429,35 @@ def fed_loss_class_weight(gt_classes: jax.Array, valid: jax.Array,
     """Federated-loss class mask: appeared GT classes + frequency-weighted
     random extras, fixed shape.
 
-    ref: get_fed_loss_inds (detic/modeling/utils.py:16-29) — torch.multinomial
-    without replacement becomes a Gumbel top-k over masked log-frequencies;
-    appeared classes are forced in with an +inf key (the reference's rare
-    '#appeared > num_sample_cats keeps all' edge differs: here exactly
-    `num_sample_cats` classes are selected). Returns a [C] 0/1 weight.
+    ref: get_fed_loss_inds (detic/modeling/utils.py:16-29). `gt_classes` are
+    the matched-proposal classes in [0, C] (C = background), so — exactly as
+    in the reference's torch.unique over them — an appearing background class
+    consumes one of the `num_sample_cats` slots but is excluded from the
+    returned foreground mask. torch.multinomial without replacement over the
+    frequency weights (appeared classes zeroed) is realized as a Gumbel
+    top-k over log-frequencies — the Gumbel-max trick makes the two sampling
+    distributions identical. If #appeared >= num_sample_cats no extras are
+    drawn (the reference's `if len(appeared) < num_sample_cats` branch).
+    Returns a [C] 0/1 weight.
     """
     c = num_classes
-    appeared = jnp.zeros((c + 1,), bool).at[
-        jnp.where(valid, gt_classes, c)].set(valid)[:c]
+    # scatter True at every valid row's class (bg rows land on index c;
+    # invalid rows are routed out of range and dropped)
+    appeared_full = jnp.zeros((c + 1,), bool).at[
+        jnp.where(valid, gt_classes, 2 * (c + 1))].set(True, mode="drop")
+    appeared = appeared_full[:c]
+    n_app = jnp.sum(appeared_full.astype(jnp.int32))
+    k_extra = jnp.clip(num_sample_cats - n_app, 0, c)
+
     logw = jnp.log(jnp.maximum(freq_weight[:c], 1e-20))
     gumbel = -jnp.log(-jnp.log(
         jax.random.uniform(rng, (c,), minval=1e-10, maxval=1.0)))
-    key = jnp.where(appeared, jnp.inf, logw + gumbel)
-    k = min(num_sample_cats, c)
-    thresh = jnp.sort(key)[-k]
-    return (key >= thresh).astype(jnp.float32)
+    # extras drawn only among non-appeared classes
+    key = jnp.where(appeared, -jnp.inf, logw + gumbel)
+    sorted_desc = -jnp.sort(-key)
+    cut = sorted_desc[jnp.clip(k_extra - 1, 0, c - 1)]
+    extras = (key >= cut) & (k_extra > 0) & jnp.isfinite(key)
+    return (appeared | extras).astype(jnp.float32)
 
 
 def image_label_loss(logits: jax.Array, boxes: jax.Array, valid: jax.Array,
@@ -580,24 +593,46 @@ def softmax_cross_entropy_loss(logits: jax.Array, gt_classes: jax.Array,
 def stage_losses(logits: jax.Array, deltas: jax.Array,
                  matched: MatchedProposals, reg_weights: Tuple[float, ...],
                  num_classes: int,
-                 class_weight: "jax.Array | None" = None) -> dict:
-    """ref: DeticFastRCNNOutputLayers.losses (detic_fast_rcnn.py:157-300)
-    with USE_SIGMOID_CE, cls-agnostic gIoU box regression.
+                 class_weight: "jax.Array | None" = None,
+                 use_sigmoid_ce: bool = True) -> dict:
+    """ref: DeticFastRCNNOutputLayers.losses (detic_fast_rcnn.py:157-300),
+    cls-agnostic gIoU box regression.
 
-    loss_cls     = sum(BCE(logits[:, :C], onehot)) / B
+    use_sigmoid_ce=True (USE_SIGMOID_CE, the Detic default):
+      loss_cls = sum(BCE(logits[:, :C], onehot) * class_weight) / B
+      with `class_weight` a [C] 0/1 federated-loss mask
+      (detic_fast_rcnn.py:201-233).
+    use_sigmoid_ce=False (plain softmax branch, :236-266):
+      torch F.cross_entropy over C+1 incl. background with optional per-class
+      weights [C] (background weight fixed to 1, :258-262) and torch's
+      weighted-mean reduction sum(w[y_i]*ce_i)/sum(w[y_i]).
+
     loss_box_reg = sum(giou(apply_deltas(fg), gt_fg)) / B
-    (B = number of proposals)."""
+    (B = number of valid proposals)."""
     c = num_classes
     b = jnp.maximum(jnp.sum(matched.valid.astype(jnp.float32)), 1.0)
-    onehot = jax.nn.one_hot(matched.gt_classes, c + 1)[:, :c]
-    logit_fg = logits[:, :c]
-    bce = jnp.maximum(logit_fg, 0) - logit_fg * onehot + \
-        jnp.log1p(jnp.exp(-jnp.abs(logit_fg)))
-    if class_weight is not None:
-        # federated loss: only sampled classes contribute
-        # (ref: detic_fast_rcnn.py:214-224)
-        bce = bce * class_weight[None, :]
-    loss_cls = jnp.sum(jnp.where(matched.valid[:, None], bce, 0.0)) / b
+    if use_sigmoid_ce:
+        onehot = jax.nn.one_hot(matched.gt_classes, c + 1)[:, :c]
+        logit_fg = logits[:, :c]
+        bce = jnp.maximum(logit_fg, 0) - logit_fg * onehot + \
+            jnp.log1p(jnp.exp(-jnp.abs(logit_fg)))
+        if class_weight is not None:
+            # federated loss: only sampled classes contribute
+            # (ref: detic_fast_rcnn.py:214-224)
+            bce = bce * class_weight[None, :]
+        loss_cls = jnp.sum(jnp.where(matched.valid[:, None], bce, 0.0)) / b
+    else:
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        picked = jnp.take_along_axis(
+            logp, matched.gt_classes[:, None], axis=1)[:, 0]
+        if class_weight is not None:
+            cw = jnp.concatenate([class_weight,
+                                  jnp.ones((1,), class_weight.dtype)])
+            row_w = cw[matched.gt_classes]
+        else:
+            row_w = jnp.ones_like(picked)
+        row_w = row_w * matched.valid.astype(row_w.dtype)
+        loss_cls = -jnp.sum(picked * row_w) / jnp.maximum(jnp.sum(row_w), 1.0)
 
     fg = (matched.gt_classes < c) & matched.valid
     pred_boxes = apply_deltas(deltas, matched.boxes, reg_weights)

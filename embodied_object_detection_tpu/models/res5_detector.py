@@ -101,8 +101,14 @@ class Res5Detector(nn.Module):
         return Res5Outputs(detections=detections, proposals=proposals,
                            logits=logits, clip_feats=clip_feats)
 
-    def frame_train(self, image: jax.Array, zs_weight: jax.Array, gt) -> dict:
-        """Single-stage training losses (CenterNet + box head at IoU 0.5)."""
+    def frame_train(self, image: jax.Array, zs_weight: jax.Array, gt,
+                    sample_rng: "jax.Array | None" = None,
+                    fed_freq_weight: "jax.Array | None" = None) -> dict:
+        """Single-stage training losses (CenterNet + box head at IoU 0.5).
+
+        Honors cfg.roi.use_sigmoid_ce / use_fed_loss exactly like the
+        cascade path (detic_fast_rcnn.py:201-266 applies to the Res5 heads'
+        shared DeticFastRCNNOutputLayers too)."""
         from .losses import (add_gt_to_proposals, centernet_targets,
                              centernet_losses, match_proposals, stage_losses)
         cfg = self.cfg
@@ -131,9 +137,20 @@ class Res5Detector(nn.Module):
                                   cfg.roi.num_classes)
         x = self._roi_features(c4, boxes)
         logits, deltas, _ = self.predictor(x, zs_weight)
+        class_weight = None
+        if cfg.roi.use_fed_loss and fed_freq_weight is not None:
+            from .losses import fed_loss_class_weight
+            class_weight = fed_loss_class_weight(
+                matched.gt_classes, matched.valid, fed_freq_weight,
+                cfg.roi.fed_loss_num_cat, cfg.roi.num_classes,
+                jax.random.fold_in(
+                    sample_rng if sample_rng is not None
+                    else jax.random.PRNGKey(0), 101))
         sl = stage_losses(logits, deltas, matched,
                           cfg.roi.cascade_bbox_reg_weights[0],
-                          cfg.roi.num_classes)
+                          cfg.roi.num_classes,
+                          class_weight=class_weight,
+                          use_sigmoid_ce=cfg.roi.use_sigmoid_ce)
         losses.update(sl)
         return losses
 

@@ -44,16 +44,25 @@ class TrainBatch(NamedTuple):
     weight: jax.Array         # [B]
 
 
-def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None):
+def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None,
+                    fed_freq_weight=None):
     """Returns (init_state_fn, step_fn). step_fn is jit-compiled with batch
-    sharded over the mesh data axis."""
+    sharded over the mesh data axis.
+
+    `fed_freq_weight` ([C] image-count**0.5 from data.catalog.load_class_freq)
+    enables the federated loss when cfg.roi.use_fed_loss is set — the
+    LVIS-style vanilla training capability (ref: detic_fast_rcnn.py:214-224
+    via train_net.py with lvis_v1_train_cat_info.json)."""
+    fed_w = None if fed_freq_weight is None else \
+        jnp.asarray(fed_freq_weight, jnp.float32)
 
     def loss_fn(params, batch: TrainBatch, zs_weight, step):
         def one_frame(image, proj, memf, memo, gb, gc, gv, key):
             gt = GroundTruth(boxes=gb, classes=gc, valid=gv)
             return model.apply(params, image, zs_weight, memf, memo, proj, gt,
                                key, method=EmbodiedDetector.frame_train,
-                               defer_centernet_norm=True)
+                               defer_centernet_norm=True,
+                               fed_freq_weight=fed_w)
         # per-frame proposal-sampling keys, deterministic per step
         keys = jax.random.split(
             jax.random.fold_in(jax.random.PRNGKey(17), step),
@@ -131,6 +140,44 @@ def make_caption_train_step(model: EmbodiedDetector, cfg: DetectorConfig,
         wsum = jnp.maximum(jnp.sum(weight), 1.0)
         total = caption_weight * jnp.sum(losses * weight) / wsum
         return total, {"caption_loss": total}
+
+    return loss_fn
+
+
+def make_captiontag_train_step(model: EmbodiedDetector, cfg: DetectorConfig,
+                               caption_weight: float = 1.0,
+                               neg_cap_weight: float = 0.125,
+                               variant: str = "max_size",
+                               image_loss_weight: float = 0.1):
+    """'captiontag' sources apply BOTH the caption contrastive loss and the
+    image-label tag loss.
+
+    ref: detic_fast_rcnn.py:370-375 — only ann_type=='caption' skips the tag
+    loop, so captiontag batches (e.g. cc3m_v1_train_tags) get the caption
+    loss AND the per-stage image-label BCE. Returns
+    loss_fn(params, images [B,H,W,3], caption_features [B,D], weight [B],
+    labels [B,L], labels_valid [B,L], zs_weight) -> (total, aux)."""
+    cap_fn = make_caption_train_step(model, cfg, caption_weight,
+                                     neg_cap_weight)
+
+    def loss_fn(params, images, caption_features, weight, labels,
+                labels_valid, zs_weight):
+        cap_total, aux = cap_fn(params, images, caption_features, weight)
+
+        def one_frame(img, lab, lv):
+            l = model.apply(params, img, zs_weight, lab, lv,
+                            method=EmbodiedDetector.frame_train_weak,
+                            variant=variant,
+                            image_loss_weight=image_loss_weight)
+            return sum(l.values())
+
+        tags = jax.vmap(one_frame)(images, labels, labels_valid)
+        wsum = jnp.maximum(jnp.sum(weight), 1.0)
+        tag_total = jnp.sum(tags * weight) / wsum
+        total = cap_total + tag_total
+        aux = dict(aux)
+        aux["tag_loss"] = tag_total
+        return total, aux
 
     return loss_fn
 

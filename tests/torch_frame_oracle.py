@@ -838,3 +838,47 @@ def _torch_pairwise_iou(a, b):
     area_b = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[None, :]
     union = area_a + area_b - inter
     return torch.where(union > 0, inter / union, torch.zeros_like(inter))
+
+
+def torch_get_fed_loss_inds(gt_classes, num_sample_cats, C, weight,
+                            generator=None):
+    """Faithful re-derivation of get_fed_loss_inds
+    (detic/modeling/utils.py:16-29): unique matched classes (incl. the
+    background index C) + multinomial-without-replacement extras drawn from
+    the class-frequency weights with appeared classes and background zeroed.
+    """
+    appeared = torch.unique(gt_classes)
+    prob = appeared.new_ones(C + 1).float()
+    prob[-1] = 0
+    if len(appeared) < num_sample_cats:
+        if weight is not None:
+            prob[:C] = weight.float().clone()
+        prob[appeared] = 0
+        more = torch.multinomial(prob, num_sample_cats - len(appeared),
+                                 replacement=False, generator=generator)
+        appeared = torch.cat([appeared, more])
+    return appeared
+
+
+def torch_cls_loss(logits, gt_classes, num_classes, class_mask=None,
+                   use_sigmoid_ce=True):
+    """The classification branches of DeticFastRCNNOutputLayers.losses:
+    sigmoid CE with federated class masking (detic_fast_rcnn.py:201-233) or
+    the plain/weighted softmax CE (:236-266). `class_mask` is the [C] 0/1
+    foreground mask built from torch_get_fed_loss_inds."""
+    bsz = logits.shape[0]
+    c = num_classes
+    if use_sigmoid_ce:
+        target = torch.zeros(bsz, c + 1)
+        target[torch.arange(bsz), gt_classes] = 1
+        bce = tF.binary_cross_entropy_with_logits(
+            logits[:, :-1], target[:, :c], reduction="none")
+        if class_mask is not None:
+            bce = bce * class_mask.float().view(1, c).expand(bsz, c)
+        return bce.sum() / bsz
+    if class_mask is not None:
+        # ref :258-262 — appeared_mask over C+1 with background forced 1
+        w = torch.cat([class_mask.float(), torch.ones(1)])
+        return tF.cross_entropy(logits, gt_classes, weight=w,
+                                reduction="mean")
+    return tF.cross_entropy(logits, gt_classes, reduction="mean")
