@@ -87,10 +87,23 @@ class SwinBlock(nn.Module):
     window_size: int = 7
     shift: int = 0
     mlp_ratio: float = 4.0
+    drop_path: float = 0.0
     dtype: Any = jnp.bfloat16
 
+    def _drop_path(self, y: jax.Array, train: bool) -> jax.Array:
+        """Stochastic depth on a residual branch (ref: swintransformer.py
+        DropPath, applied to both branches at :254-255). Train-mode only;
+        the whole (unbatched) frame is one stochastic-depth sample, scaled
+        by 1/keep as in timm's drop_path."""
+        if not train or self.drop_path <= 0.0:
+            return y
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("drop_path")
+        coin = jax.random.bernoulli(rng, keep)
+        return jnp.where(coin, y / keep, jnp.zeros_like(y))
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         # x: [H, W, C] (already padded to a multiple of window_size)
         h, w, c = x.shape
         ws = self.window_size
@@ -108,14 +121,14 @@ class SwinBlock(nn.Module):
         y = window_reverse(attn, ws, h, w)
         if self.shift > 0:
             y = jnp.roll(y, (self.shift, self.shift), axis=(0, 1))
-        x = shortcut + y
+        x = shortcut + self._drop_path(y, train)
         z = nn.LayerNorm(dtype=jnp.float32, name="norm2")(
             x.astype(jnp.float32)).astype(self.dtype)
         z = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(z)
         z = nn.gelu(z, approximate=False)
         z = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(z)
-        return x + z
+        return x + self._drop_path(z, train)
 
 
 def _shift_mask(h: int, w: int, ws: int, shift: int) -> jnp.ndarray:
@@ -139,11 +152,20 @@ class SwinTransformer(nn.Module):
     depths: Sequence[int] = (2, 2, 18, 2)
     num_heads: Sequence[int] = (4, 8, 16, 32)
     window_size: int = 7
+    # stochastic-depth rate, linearly decayed over all blocks (ref:
+    # swintransformer.py:486,520 — SwinB default 0.2); train-mode only,
+    # needs an rngs={"drop_path": key} at apply time
+    drop_path_rate: float = 0.2
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    def __call__(self, x,
+                 train: bool = False) -> Tuple[jax.Array, jax.Array,
+                                               jax.Array]:
         # x: [H, W, 3]; H, W divisible by 32
+        total_blocks = sum(self.depths)
+        dpr = [self.drop_path_rate * i / max(total_blocks - 1, 1)
+               for i in range(total_blocks)]
         x = x.astype(self.dtype)
         x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4),
                     dtype=self.dtype, name="patch_embed")(x)
@@ -161,8 +183,9 @@ class SwinTransformer(nn.Module):
             for blk in range(depth):
                 shift = 0 if blk % 2 == 0 else ws // 2
                 xp = SwinBlock(dim, self.num_heads[stage], ws, shift,
+                               drop_path=dpr[sum(self.depths[:stage]) + blk],
                                dtype=self.dtype,
-                               name=f"stage{stage}_block{blk}")(xp)
+                               name=f"stage{stage}_block{blk}")(xp, train)
             x = xp[:h, :w]
             out = nn.LayerNorm(dtype=jnp.float32, name=f"out_norm{stage}")(
                 x.astype(jnp.float32)).astype(self.dtype)

@@ -174,3 +174,49 @@ def test_swin_block_vs_torch_oracle(rng, shift):
                     dtype=jnp.float32)
     got = np.asarray(blk.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_swin_drop_path_train_only(rng):
+    """Stochastic depth (ref: swintransformer.py:254-255, SwinB rate 0.2):
+    train=False is bit-identical to a drop_path_rate=0 model (no inference
+    regression), train=True perturbs outputs stochastically, and the keep
+    branch preserves the expectation via the 1/keep scale."""
+    x = jnp.asarray(rng.randn(64, 96, 3).astype(np.float32))
+    kw = dict(embed_dim=32, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
+              dtype=jnp.float32)
+    m0 = SwinTransformer(drop_path_rate=0.0, **kw)
+    m5 = SwinTransformer(drop_path_rate=0.5, **kw)
+    params = m0.init(jax.random.PRNGKey(0), x)
+
+    # eval: identical regardless of the rate (shared converter weights)
+    a = m0.apply(params, x)
+    b = m5.apply(params, x)
+    for ai, bi in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(ai), np.asarray(bi))
+
+    # train with rate 0.5: differs from eval for some rng, and two rngs
+    # differ from each other (blocks actually drop)
+    t1 = m5.apply(params, x, train=True,
+                  rngs={"drop_path": jax.random.PRNGKey(1)})
+    t2 = m5.apply(params, x, train=True,
+                  rngs={"drop_path": jax.random.PRNGKey(2)})
+    d_eval = max(float(jnp.max(jnp.abs(u - v))) for u, v in zip(t1, a))
+    d_rng = max(float(jnp.max(jnp.abs(u - v))) for u, v in zip(t1, t2))
+    assert d_eval > 0 and d_rng > 0
+
+    # rate 0 in train mode == eval exactly (no rng even consumed)
+    t0 = m0.apply(params, x, train=True)
+    for ai, ti in zip(a, t0):
+        np.testing.assert_array_equal(np.asarray(ai), np.asarray(ti))
+
+
+def test_swin_drop_path_linear_decay():
+    """Per-block rates follow the torch linspace decay rule
+    (swintransformer.py:520): 0 at the first block, rate at the last."""
+    m = SwinTransformer(embed_dim=32, depths=(2, 2, 2, 2),
+                        num_heads=(1, 2, 4, 8), drop_path_rate=0.35,
+                        dtype=jnp.float32)
+    total = sum(m.depths)
+    want = np.linspace(0, 0.35, total)
+    got = [0.35 * i / (total - 1) for i in range(total)]
+    np.testing.assert_allclose(got, want, atol=1e-9)
