@@ -72,3 +72,18 @@ def test_predict_api(tmp_path):
     out2 = p.predict(img_path, vocabulary="mp3d",
                      output_path=str(tmp_path / "vis2.png"))
     assert os.path.exists(out2)
+
+
+def test_run_parity_dry_run(capsys):
+    """--dry-run proves config build + model init + zs lookup + synthetic
+    eval wiring for a golden parity config and prints the real commands
+    (VERDICT r3 #9)."""
+    from embodied_object_detection_tpu.run import main
+    out = main(["--dry-run", "--parity-config", "pretrained",
+                "--data-path", "embodied_data/mp3d_example"])
+    assert "pretrained" in out
+    assert "AP" in out["pretrained"]
+    text = capsys.readouterr().out
+    assert "synthetic eval OK" in text
+    assert "--parity-config implicit_object_memory" in text
+    assert "models/detic_pretrained.pth" in text
