@@ -149,3 +149,43 @@ def test_longterm_reads_frozen_snapshot(model_and_params, rng):
     assert not np.allclose(np.asarray(out_default.detections.scores[1]),
                            np.asarray(out_longterm.detections.scores[1]),
                            atol=1e-7)
+
+
+def test_pipelined_runner_equals_serial(model_and_params, rng):
+    """make_pipelined_episode_runner (trunk/scan split for host-side chunk
+    pipelining) is numerically identical to make_episode_runner — only the
+    dispatch order changes (VERDICT r3 next #4)."""
+    from embodied_object_detection_tpu.models.detector import (
+        make_pipelined_episode_runner)
+    cfg, model, params = model_and_params
+    t = 3
+    frames = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[_dummy_frame(cfg, rng, reset=(i == 0), start=(i == 0))
+          for i in range(t)])
+    zs = jnp.asarray(rng.randn(cfg.roi.zs_weight_dim,
+                               cfg.roi.num_classes + 1).astype(np.float32))
+    init = MemoryState.zeros(cfg.memory.max_cells, cfg.memory.memory_dim)
+
+    serial = jax.jit(make_episode_runner(model, cfg))
+    want = serial(params, frames, zs, init)
+
+    trunk_fn, scan_fn = make_pipelined_episode_runner(model, cfg)
+    feats = jax.jit(trunk_fn)(params, frames.image)
+    got = jax.jit(scan_fn)(params, frames, zs, init, feats)
+
+    np.testing.assert_allclose(np.asarray(got.detections.scores),
+                               np.asarray(want.detections.scores),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got.detections.boxes),
+                               np.asarray(want.detections.boxes),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.memory.features),
+                               np.asarray(want.memory.features),
+                               rtol=1e-6, atol=1e-6)
+    # chained: chunk 2 consumes chunk 1's memory through the split path
+    got2 = jax.jit(scan_fn)(params, frames, zs, got.memory, feats)
+    want2 = serial(params, frames, zs, want.memory)
+    np.testing.assert_allclose(np.asarray(got2.memory.features),
+                               np.asarray(want2.memory.features),
+                               rtol=1e-6, atol=1e-6)
