@@ -147,6 +147,12 @@ class ROIHeadsConfig:
     # length must equal num_classes (get_fed_loss_inds broadcasts it onto
     # prob[:C], detic/modeling/utils.py:22).
     cat_freq_path: str = ""
+    # ref: ROI_BOX_HEAD.IGNORE_ZERO_CATS — zero the loss on classes with
+    # (near-)zero image counts in the frequency table. In the sigmoid
+    # branch it multiplies into the fed-loss mask (detic_fast_rcnn.py:
+    # 225-228); in the softmax branch it takes precedence over fed loss
+    # (:244-251 if/elif).
+    ignore_zero_cats: bool = False
     # rematerialize each cascade stage (pool->2FC->predictor) in
     # frame_train — the ROIAlign chain is ~34 ms of the 94 ms step
     # (tools/trace_train.py); measured knob, default off

@@ -109,18 +109,24 @@ class EmbodiedDetector(nn.Module):
         std = jnp.asarray(self.cfg.input.pixel_std, jnp.float32)
         return (image - mean) / std
 
-    def _features(self, image: jax.Array, ego_memory: Optional[jax.Array]):
-        c3, c4, c5 = self.backbone_raw(image)
+    def _features(self, image: jax.Array, ego_memory: Optional[jax.Array],
+                  train: bool = False):
+        c3, c4, c5 = self.backbone_raw(image, train)
         return self.fpn(c3, c4, c5, ego_memory)
 
-    def backbone_raw(self, image: jax.Array):
+    def backbone_raw(self, image: jax.Array, train: bool = False):
         """normalize + trunk -> (C3, C4, C5). Memory-independent: fusion
         happens in the FPN (timm.py:142-192), so the trunk can run batched
         over a chunk's frames OUTSIDE the serial episode scan
         (make_episode_runner precompute_backbone) — the batched convs use
         the MXU better than the scan's batch-1 trunk (measured 0.90 vs
-        1.26 ms/frame on v5e, tools/measure_backbone_batching.py)."""
-        return self.backbone(self._normalize(image))
+        1.26 ms/frame on v5e, tools/measure_backbone_batching.py).
+        `train` activates swin stochastic depth (needs a 'drop_path' rng);
+        the R50 trunk has no train-mode behavior (FrozenBN)."""
+        x = self._normalize(image)
+        if self.cfg.backbone.name == "swin_b":
+            return self.backbone(x, train)
+        return self.backbone(x)
 
     # ------------------------------------------------------------ inference
     def frame_step(self, image: jax.Array, zs_weight: jax.Array,
@@ -314,10 +320,10 @@ class EmbodiedDetector(nn.Module):
         ego = memory_read(mem_features, mem_obs, proj_indices) if use_memory else None
         if cfg.backbone.train_remat:
             # trade recompute for activation bytes on the memory-bound step
-            feats_fn = nn.remat(type(self)._features)
-            p3, p4, p5, p6, p7 = feats_fn(self, image, ego)
+            feats_fn = nn.remat(type(self)._features, static_argnums=(3,))
+            p3, p4, p5, p6, p7 = feats_fn(self, image, ego, True)
         else:
-            p3, p4, p5, p6, p7 = self._features(image, ego)
+            p3, p4, p5, p6, p7 = self._features(image, ego, train=True)
         feats = (p3, p4, p5, p6, p7)
 
         agn_hms, regs = self.centernet(feats)
@@ -383,6 +389,13 @@ class EmbodiedDetector(nn.Module):
         # get_fed_loss_inds anew (detic_fast_rcnn.py:214-218). No freq table
         # -> no masking, matching `self.freq_weight is not None` (:214).
         use_fed = cfg.roi.use_fed_loss and fed_freq_weight is not None
+        use_izc = cfg.roi.ignore_zero_cats and fed_freq_weight is not None
+        zero_cat_w = None
+        if use_izc:
+            # ref: detic_fast_rcnn.py:225-228 (sigmoid: multiplies into the
+            # fed mask) / :244-251 (softmax: takes precedence over fed)
+            zero_cat_w = (fed_freq_weight[:cfg.roi.num_classes] > 1e-4) \
+                .astype(jnp.float32)
         if use_fed:
             from .losses import fed_loss_class_weight
             fed_rng = sample_rng if sample_rng is not None \
@@ -410,6 +423,13 @@ class EmbodiedDetector(nn.Module):
                 matched.gt_classes, matched.valid, fed_freq_weight,
                 cfg.roi.fed_loss_num_cat, cfg.roi.num_classes,
                 jax.random.fold_in(fed_rng, 101 + k)) if use_fed else None
+            if use_izc:
+                if not cfg.roi.use_sigmoid_ce:
+                    class_weight = zero_cat_w      # if/elif: izc wins
+                elif class_weight is None:
+                    class_weight = zero_cat_w
+                else:
+                    class_weight = class_weight * zero_cat_w
             sl = stage_losses(logits, deltas, matched,
                               cfg.roi.cascade_bbox_reg_weights[k],
                               cfg.roi.num_classes,

@@ -146,6 +146,14 @@ class Res5Detector(nn.Module):
                 jax.random.fold_in(
                     sample_rng if sample_rng is not None
                     else jax.random.PRNGKey(0), 101))
+        if cfg.roi.ignore_zero_cats and fed_freq_weight is not None:
+            # ref: detic_fast_rcnn.py:225-228 / :244-251 (softmax if/elif)
+            zw = (fed_freq_weight[:cfg.roi.num_classes] > 1e-4) \
+                .astype(jnp.float32)
+            if not cfg.roi.use_sigmoid_ce or class_weight is None:
+                class_weight = zw
+            else:
+                class_weight = class_weight * zw
         sl = stage_losses(logits, deltas, matched,
                           cfg.roi.cascade_bbox_reg_weights[0],
                           cfg.roi.num_classes,

@@ -59,10 +59,13 @@ def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None,
     def loss_fn(params, batch: TrainBatch, zs_weight, step):
         def one_frame(image, proj, memf, memo, gb, gc, gv, key):
             gt = GroundTruth(boxes=gb, classes=gc, valid=gv)
+            # 'drop_path' feeds swin stochastic depth (unused by the R50
+            # trunk — flax ignores unused rng collections)
             return model.apply(params, image, zs_weight, memf, memo, proj, gt,
                                key, method=EmbodiedDetector.frame_train,
                                defer_centernet_norm=True,
-                               fed_freq_weight=fed_w)
+                               fed_freq_weight=fed_w,
+                               rngs={"drop_path": jax.random.fold_in(key, 7)})
         # per-frame proposal-sampling keys, deterministic per step
         keys = jax.random.split(
             jax.random.fold_in(jax.random.PRNGKey(17), step),

@@ -208,3 +208,77 @@ def test_knobs_change_frame_train_loss(rng):
     fed_none = run(fed_cfg)
     for k in ("loss_cls_stage0",):
         assert float(fed_none[k]) == pytest.approx(float(base[k]), rel=1e-6)
+
+
+def test_ignore_zero_cats_matches_torch(rng):
+    """IGNORE_ZERO_CATS zeroes classes with ~zero image counts: multiplies
+    into the fed mask in the sigmoid branch (detic_fast_rcnn.py:225-228),
+    takes precedence in the softmax branch (:244-251)."""
+    n, c = 40, 8
+    m, gt_classes = _matched(rng, n, c)
+    logits = rng.randn(n, c + 1).astype(np.float32)
+    freq = np.asarray([0.0, 5, 3, 0.0, 9, 1, 0.0, 2], np.float32)
+    zw = (freq > 1e-4).astype(np.float32)
+    # sigmoid: weight = zw alone (no fed mask)
+    out = stage_losses(jnp.asarray(logits), jnp.zeros((n, 4), jnp.float32),
+                       m, (10.0, 10.0, 5.0, 5.0), c,
+                       class_weight=jnp.asarray(zw), use_sigmoid_ce=True)
+    want = torch_cls_loss(torch.from_numpy(logits),
+                          torch.from_numpy(gt_classes).long(), c,
+                          class_mask=torch.from_numpy(zw),
+                          use_sigmoid_ce=True)
+    np.testing.assert_allclose(float(out["loss_cls"]), float(want),
+                               rtol=1e-5)
+    # softmax: torch weighted CE with zw + bg=1
+    out_s = stage_losses(jnp.asarray(logits), jnp.zeros((n, 4), jnp.float32),
+                         m, (10.0, 10.0, 5.0, 5.0), c,
+                         class_weight=jnp.asarray(zw), use_sigmoid_ce=False)
+    want_s = torch_cls_loss(torch.from_numpy(logits),
+                            torch.from_numpy(gt_classes).long(), c,
+                            class_mask=torch.from_numpy(zw),
+                            use_sigmoid_ce=False)
+    np.testing.assert_allclose(float(out_s["loss_cls"]), float(want_s),
+                               rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_ignore_zero_cats_knob_changes_loss(rng):
+    """Flipping roi.ignore_zero_cats changes loss_cls end-to-end through
+    frame_train when the freq table has zero-count classes."""
+    from embodied_object_detection_tpu.models.detector import (
+        EmbodiedDetector, build_detector)
+    from embodied_object_detection_tpu.structures import GroundTruth
+
+    cfg = tiny_config()
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    h, w = cfg.input.height, cfg.input.width
+    c = cfg.roi.num_classes
+    img = jnp.asarray(rng.randint(0, 255, (h, w, 3)).astype(np.float32))
+    zs = jnp.asarray(rng.randn(cfg.roi.zs_weight_dim, c + 1)
+                     .astype(np.float32))
+    cells = cfg.memory.max_cells
+    memf = jnp.zeros((cells, cfg.memory.memory_dim), jnp.float32)
+    memo = jnp.zeros((cells,), jnp.float32)
+    proj = jnp.asarray(rng.randint(0, cells, (h, w)).astype(np.int32))
+    gt = GroundTruth(boxes=jnp.asarray([[8.0, 8.0, 40.0, 40.0]]),
+                     classes=jnp.asarray([1], jnp.int32),
+                     valid=jnp.ones(1, bool))
+    freq = np.ones(c, np.float32)
+    freq[0] = freq[2] = 0.0                     # zero-count classes
+
+    def run(model_cfg, **kw):
+        mm = EmbodiedDetector(model_cfg)
+        return mm.apply(params, img, zs, memf, memo, proj, gt,
+                        jax.random.PRNGKey(1),
+                        method=EmbodiedDetector.frame_train, **kw)
+
+    base = run(cfg, fed_freq_weight=jnp.asarray(freq))
+    izc_cfg = cfg.replace(
+        roi=dataclasses.replace(cfg.roi, ignore_zero_cats=True))
+    izc = run(izc_cfg, fed_freq_weight=jnp.asarray(freq))
+    assert float(izc["loss_cls_stage0"]) != \
+        pytest.approx(float(base["loss_cls_stage0"]))
+    # without a freq table the knob is inert (freq_weight is None guard)
+    izc_none = run(izc_cfg)
+    assert float(izc_none["loss_cls_stage0"]) == \
+        pytest.approx(float(base["loss_cls_stage0"]), rel=1e-6)

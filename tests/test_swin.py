@@ -220,3 +220,68 @@ def test_swin_drop_path_linear_decay():
     want = np.linspace(0, 0.35, total)
     got = [0.35 * i / (total - 1) for i in range(total)]
     np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_swin_frame_train_applies_drop_path(rng):
+    """The standard train path reaches swin stochastic depth: frame_train
+    with a swin backbone consumes the 'drop_path' rng, two rngs give
+    different losses, and rate 0 is deterministic."""
+    from embodied_object_detection_tpu.config import DetectorConfig
+    from embodied_object_detection_tpu.models.detector import EmbodiedDetector
+    from embodied_object_detection_tpu.structures import GroundTruth
+
+    cfg = DetectorConfig()
+    cfg = cfg.replace(
+        compute_dtype="float32",
+        backbone=dataclasses.replace(cfg.backbone, name="swin_b",
+                                     drop_path_rate=0.8),
+        input=dataclasses.replace(cfg.input, height=64, width=96,
+                                  max_gt_boxes=4),
+        centernet=dataclasses.replace(cfg.centernet, pre_nms_topk_train=32,
+                                      post_nms_topk_train=8),
+        roi=dataclasses.replace(cfg.roi, detections_per_image=8,
+                                num_classes=5),
+        memory=dataclasses.replace(cfg.memory, max_cells=32, write_topk=4,
+                                   memory_type="image_only"),
+    )
+    h, w = 64, 96
+    model = EmbodiedDetector(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((h, w, 3), np.float32),
+        np.zeros((cfg.roi.zs_weight_dim, cfg.roi.num_classes + 1),
+                 np.float32),
+        np.zeros((cfg.memory.max_cells, cfg.memory.memory_dim), np.float32),
+        np.zeros((cfg.memory.max_cells,), np.float32),
+        np.zeros((h, w), np.int32),
+        np.zeros((h, w), bool),
+        method=EmbodiedDetector.frame_step)
+    img = jnp.asarray(rng.randint(0, 255, (h, w, 3)).astype(np.float32))
+    zs = jnp.asarray(rng.randn(cfg.roi.zs_weight_dim,
+                               cfg.roi.num_classes + 1).astype(np.float32))
+    memf = jnp.zeros((cfg.memory.max_cells, cfg.memory.memory_dim),
+                     jnp.float32)
+    memo = jnp.zeros((cfg.memory.max_cells,), jnp.float32)
+    proj = jnp.asarray(rng.randint(0, cfg.memory.max_cells, (h, w))
+                       .astype(np.int32))
+    gt = GroundTruth(boxes=jnp.asarray([[8.0, 8.0, 40.0, 40.0]]),
+                     classes=jnp.asarray([1], jnp.int32),
+                     valid=jnp.ones(1, bool))
+
+    def loss(rng_key, model_cfg):
+        m = EmbodiedDetector(model_cfg)
+        out = m.apply(params, img, zs, memf, memo, proj, gt,
+                      jax.random.PRNGKey(1),
+                      method=EmbodiedDetector.frame_train,
+                      rngs={"drop_path": rng_key})
+        return float(sum(v for v in out.values()))
+
+    l1 = loss(jax.random.PRNGKey(10), cfg)
+    l2 = loss(jax.random.PRNGKey(20), cfg)
+    assert l1 != l2, "drop_path rng had no effect"
+    cfg0 = cfg.replace(backbone=dataclasses.replace(cfg.backbone,
+                                                    drop_path_rate=0.0))
+    l0a = loss(jax.random.PRNGKey(10), cfg0)
+    l0b = loss(jax.random.PRNGKey(20), cfg0)
+    assert l0a == l0b

@@ -23,7 +23,13 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--remat-backbone", action="store_true",
+                    help="rematerialize trunk+FPN (byte diet experiment)")
+    ap.add_argument("--remat-stages", action="store_true",
+                    help="rematerialize each cascade stage")
     args = ap.parse_args()
+
+    import dataclasses
 
     import jax
     import jax.numpy as jnp
@@ -33,6 +39,12 @@ def main():
         TrainBatch, make_train_step)
 
     cfg = DetectorConfig()
+    if args.remat_backbone:
+        cfg = cfg.replace(backbone=dataclasses.replace(
+            cfg.backbone, train_remat=True))
+    if args.remat_stages:
+        cfg = cfg.replace(roi=dataclasses.replace(
+            cfg.roi, train_stage_remat=True))
     model, params = build_detector(cfg, jax.random.PRNGKey(0))
     init_state, step_fn = make_train_step(model, cfg)
     state, _ = init_state(params)
@@ -67,6 +79,8 @@ def main():
     print({"train_ms_per_step": round(dt * 1e3, 2),
            "train_frames_per_s": round(b / dt, 2),
            "batch": b, "resolution": f"{h}x{w}",
+           "remat_backbone": args.remat_backbone,
+           "remat_stages": args.remat_stages,
            "total_loss": round(total, 3)})
 
 
