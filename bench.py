@@ -116,6 +116,7 @@ def main():
 
     # timed: chained episode chunks (memory carried, serial dependency), like
     # the eval protocol; one host sync at the end amortizes tunnel latency.
+    # Throughput comes from this chained run (the protocol's steady state).
     iters = 5
     mem = init
     t0 = time.perf_counter()
@@ -127,17 +128,60 @@ def main():
     fps = t / per_chunk
     per_frame_s = per_chunk / t
 
+    # latency distribution: per-chunk wall times, each closed by a scalar
+    # sync, so the reported p50 is a true median (VERDICT r3 weak #4 — the
+    # old "p50" was a mean over one chained run). The per-chunk sync adds
+    # one tunnel round-trip vs the chained throughput number above.
+    chunk_times = []
+    mem = init
+    for _ in range(9):
+        tc = time.perf_counter()
+        out = runner(params, frames, zs, mem)
+        mem = out.memory
+        sync(out)
+        chunk_times.append(time.perf_counter() - tc)
+    p50_frame_ms = 1000 * float(np.median(chunk_times)) / t
+
     # ---- roofline / MFU detail (VERDICT r3 #3): XLA's own cost model
     device = str(jax.devices()[0])
     peak_flops, peak_bw = device_peaks(device)
     detail = {
         "resolution": f"{h}x{w}",
         "chunk_frames": t,
-        "p50_latency_ms_per_frame": round(1000 * per_frame_s, 3),
+        "mean_latency_ms_per_frame": round(1000 * per_frame_s, 3),
+        "p50_latency_ms_per_frame": round(p50_frame_ms, 3),
+        "latency_note": "p50 = true median over 9 per-chunk synced runs; "
+                        "mean = chained-5-chunk throughput protocol",
         "memory_cells": cfg.memory.max_cells,
         "device": device,
         "baseline_note": "reference publishes no numbers; 10 fps documented estimate (see bench.py docstring)",
     }
+
+    # parity-exact write path (exact_write_subsample=True, the preset the
+    # four golden parity configs pin — config.py parity_config) so the
+    # fast-path headline cannot be read as the parity number
+    # (VERDICT r3 weak #5). Best-effort: compile failures must not lose
+    # the headline.
+    try:
+        import dataclasses as _dc
+        cfg_par = cfg.replace(memory=_dc.replace(
+            cfg.memory, exact_write_subsample=True))
+        model_par = type(model)(cfg_par)
+        run_par = jax.jit(make_episode_runner(model_par, cfg_par)).lower(
+            params, frames, zs, init).compile()
+        out = run_par(params, frames, zs, init)
+        sync(out)
+        mem = init
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = run_par(params, frames, zs, mem)
+            mem = out.memory
+        sync(out)
+        par_s = (time.perf_counter() - t0) / 3
+        detail["parity_exact_fps"] = round(t / par_s, 3)
+        detail["parity_exact_ms_per_frame"] = round(1000 * par_s / t, 3)
+    except Exception as e:                                   # pragma: no cover
+        detail["parity_exact_fps"] = {"error": repr(e)[:200]}
     if eval_flops > 0:
         fpf = eval_flops / t                     # flops per frame
         bpf = eval_bytes / t                     # HBM bytes per frame
