@@ -181,7 +181,9 @@ def main():
         detail["parity_exact_fps"] = round(t / par_s, 3)
         detail["parity_exact_ms_per_frame"] = round(1000 * par_s / t, 3)
     except Exception as e:                                   # pragma: no cover
-        detail["parity_exact_fps"] = {"error": repr(e)[:200]}
+        # keep the numeric field type-stable for downstream comparisons
+        detail["parity_exact_fps"] = None
+        detail["parity_exact_error"] = repr(e)[:200]
     if eval_flops > 0:
         fpf = eval_flops / t                     # flops per frame
         bpf = eval_bytes / t                     # HBM bytes per frame

@@ -108,6 +108,38 @@ class MetricsWriter:
                 iteration)
 
 
+def load_fed_freq_weight(cfg: DetectorConfig) -> Optional[np.ndarray]:
+    """Class-frequency table for the federated loss / zero-cat masking.
+
+    ref: detic_fast_rcnn.py:85-89 — freq_weight is loaded when use_fed_loss
+    OR ignore_zero_cats (consumed at :214 and :225/:243); a short table is
+    zero-padded to num_classes (:91-97). Returns None when neither knob is
+    set."""
+    if not (cfg.roi.use_fed_loss or cfg.roi.ignore_zero_cats):
+        return None
+    from ..data.catalog import load_class_freq
+    fed_w = load_class_freq(cfg.roi.cat_freq_path)
+    if fed_w.shape[0] < cfg.roi.num_classes:
+        fed_w = np.concatenate(
+            [fed_w, np.zeros(cfg.roi.num_classes - fed_w.shape[0],
+                             fed_w.dtype)])
+    elif fed_w.shape[0] > cfg.roi.num_classes:
+        raise ValueError(
+            f"cat_freq_path table has {fed_w.shape[0]} classes, model "
+            f"has only {cfg.roi.num_classes}")
+    n_pos = int((fed_w > 0).sum())
+    if cfg.roi.use_fed_loss and cfg.roi.fed_loss_num_cat > n_pos:
+        # torch.multinomial(replacement=False) would raise at runtime the
+        # first time it is asked for more samples than positive-weight
+        # classes; fail at build time instead
+        raise ValueError(
+            f"roi.fed_loss_num_cat={cfg.roi.fed_loss_num_cat} exceeds "
+            f"the {n_pos} positive-frequency classes in "
+            f"{cfg.roi.cat_freq_path}; the federated mask would "
+            f"degenerate to all-ones (torch errors here)")
+    return fed_w
+
+
 def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
           dataset: EpisodeDataset, zs_weight: np.ndarray,
           max_iter: Optional[int] = None, resume: bool = False,
@@ -119,19 +151,7 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
     max_iter = max_iter if max_iter is not None else solver.max_iter
     mesh = make_mesh(cfg.parallel)
 
-    # federated loss needs the class-frequency table (ref:
-    # detic_fast_rcnn.py:214 `self.use_fed_loss and self.freq_weight is
-    # not None`; loaded from CAT_FREQ_PATH at model build time)
-    fed_w = None
-    if cfg.roi.use_fed_loss:
-        from ..data.catalog import load_class_freq
-        fed_w = load_class_freq(cfg.roi.cat_freq_path)
-        if fed_w.shape[0] != cfg.roi.num_classes:
-            raise ValueError(
-                f"cat_freq_path table has {fed_w.shape[0]} classes, model "
-                f"has {cfg.roi.num_classes} (ref: get_fed_loss_inds "
-                f"requires them equal)")
-
+    fed_w = load_fed_freq_weight(cfg)
     init_state, step_fn = make_train_step(model, cfg, fed_freq_weight=fed_w)
     state, _ = init_state(params)
     start_iter = 0

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import CenterNetConfig
-from ..ops.nms import _topk_padded, nms_padded
+from ..ops.nms import nms_padded, topk_padded
 from ..structures import Detections
 from .layers import GroupNorm
 
@@ -145,10 +145,10 @@ def decode_proposals(agn_hms: Sequence[jax.Array], regs: Sequence[jax.Array],
         boxes, scores, valid = boxes[keep], scores[keep], valid[keep]
     if cfg.not_nms:
         # ref: CENTERNET.NOT_NMS — skip suppression, keep raw top-k
-        # (_topk_padded tolerates post_topk > candidate count, padding
+        # (topk_padded tolerates post_topk > candidate count, padding
         # with valid=False rows)
         key = jnp.where(valid, scores, -1e10)
-        top_scores, out_valid, (top_boxes,) = _topk_padded(
+        top_scores, out_valid, (top_boxes,) = topk_padded(
             key, post_topk, boxes)
         return Detections(boxes=jnp.where(out_valid[:, None], top_boxes, 0.0),
                           scores=jnp.where(out_valid, top_scores, 0.0),

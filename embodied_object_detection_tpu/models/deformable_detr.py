@@ -279,6 +279,7 @@ class DeformableDETR(nn.Module):
             return bbox_heads[k][2](d)
 
         enc_logits = enc_boxes = None
+        query_valid = None
         if self.two_stage:
             # encoder tokens -> proposals; top-k seed the decoder
             # (ref: deformable_transformer.py:157-172)
@@ -292,13 +293,16 @@ class DeformableDETR(nn.Module):
             enc_boxes = jax.nn.sigmoid(enc_unact)
 
             # shape-robust to num_queries > token count on miniature inputs:
-            # clamp k and repeat the tail index (duplicate queries decode to
-            # duplicate detections, removed downstream)
+            # clamp k, repeat the tail index, and remember which query slots
+            # are padding so their logits can be suppressed below —
+            # otherwise the duplicates survive detr_inference's plain top-k
+            # as extra valid detections
             kq = min(self.num_queries, enc_logits.shape[0])
             _, topk_idx = jax.lax.top_k(enc_logits[:, 0], kq)
             if kq < self.num_queries:
                 topk_idx = jnp.pad(topk_idx, (0, self.num_queries - kq),
                                    mode="edge")
+                query_valid = jnp.arange(self.num_queries) < kq
             topk_unact = jax.lax.stop_gradient(enc_unact[topk_idx])  # [Q, 4]
             ref = jax.nn.sigmoid(topk_unact)
             pos_trans = nn.Dense(2 * c, name="pos_trans")(
@@ -327,6 +331,10 @@ class DeformableDETR(nn.Module):
             if ref.shape[-1] == 2:
                 inv_ref = jnp.pad(inv_ref, ((0, 0), (0, 2)))
             boxes = jax.nn.sigmoid(delta + inv_ref)
+            if query_valid is not None:
+                # padded duplicate queries: drive sigmoid scores to ~0 so
+                # they can't match GT in training or rank in inference
+                logits = jnp.where(query_valid[:, None], logits, -1e4)
             all_logits.append(logits)
             all_boxes.append(boxes)
             if self.with_box_refine:

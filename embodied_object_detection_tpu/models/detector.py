@@ -490,7 +490,8 @@ class EmbodiedDetector(nn.Module):
                          variant: str = "max_size",
                          image_loss_weight: float = 0.1,
                          ws_num_props: int = 128,
-                         image_box_size: float = 1.0) -> dict:
+                         image_box_size: float = 1.0,
+                         train: bool = False) -> dict:
         """Image-label weak supervision (the Detic co-training path).
 
         ref: CustomRCNN.forward with ann_type='image' (custom_rcnn.py:188-278)
@@ -504,7 +505,10 @@ class EmbodiedDetector(nn.Module):
         from ..structures import clip_boxes as _clip
         cfg = self.cfg
         h, w = cfg.input.height, cfg.input.width
-        p3, p4, p5, p6, p7 = self._features(image, None)
+        # train=True activates swin drop-path — the reference trains with
+        # model.train() global on every co-training forward, not just the
+        # box-supervised one (needs a 'drop_path' rng for swin trunks)
+        p3, p4, p5, p6, p7 = self._features(image, None, train=train)
         agn_hms, regs = self.centernet((p3, p4, p5, p6, p7))
         proposals = decode_proposals(agn_hms, regs, cfg.centernet,
                                      training=True)
@@ -542,15 +546,17 @@ class EmbodiedDetector(nn.Module):
         return losses
 
     def image_box_embedding(self, image: jax.Array,
-                            image_box_size: float = 1.0) -> jax.Array:
+                            image_box_size: float = 1.0,
+                            train: bool = False) -> jax.Array:
         """CLIP-space embedding of the whole-image box — the caption region.
 
         ref: the caption path scores `score[-1:]` (the appended image box,
         detic_fast_rcnn.py:477 / _add_image_box detic_roi_heads.py:271-295)
-        through the stage-0 zero-shot head's 512-d projection."""
+        through the stage-0 zero-shot head's 512-d projection. train=True
+        activates swin drop-path (see frame_train_weak)."""
         cfg = self.cfg
         h, w = cfg.input.height, cfg.input.width
-        p3, p4, p5, p6, p7 = self._features(image, None)
+        p3, p4, p5, p6, p7 = self._features(image, None, train=train)
         f = image_box_size
         box = jnp.asarray([[w * (1 - f) / 2, h * (1 - f) / 2,
                             w * (1 - (1 - f) / 2), h * (1 - (1 - f) / 2)]],

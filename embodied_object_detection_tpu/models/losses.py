@@ -449,10 +449,15 @@ def fed_loss_class_weight(gt_classes: jax.Array, valid: jax.Array,
     n_app = jnp.sum(appeared_full.astype(jnp.int32))
     k_extra = jnp.clip(num_sample_cats - n_app, 0, c)
 
-    logw = jnp.log(jnp.maximum(freq_weight[:c], 1e-20))
+    # zero-frequency classes get -inf keys: torch.multinomial assigns them
+    # probability exactly 0 (and errors if asked for more samples than
+    # positive-weight entries — we degrade to "all eligible" instead, with
+    # a loud static check at train-build time in engine/train.py)
+    logw = jnp.where(freq_weight[:c] > 0,
+                     jnp.log(jnp.maximum(freq_weight[:c], 1e-20)), -jnp.inf)
     gumbel = -jnp.log(-jnp.log(
         jax.random.uniform(rng, (c,), minval=1e-10, maxval=1.0)))
-    # extras drawn only among non-appeared classes
+    # extras drawn only among non-appeared, positive-frequency classes
     key = jnp.where(appeared, -jnp.inf, logw + gumbel)
     sorted_desc = -jnp.sort(-key)
     cut = sorted_desc[jnp.clip(k_extra - 1, 0, c - 1)]

@@ -28,7 +28,7 @@ from ..structures import Detections, pairwise_iou
 NEG_INF = -1e10
 
 
-def _topk_padded(kept_scores: jax.Array, topk: int, *rows: jax.Array
+def topk_padded(kept_scores: jax.Array, topk: int, *rows: jax.Array
                  ) -> Tuple[jax.Array, jax.Array, Tuple[jax.Array, ...]]:
     """top_k that tolerates topk > N: pads candidates with NEG_INF rows so
     the output is always exactly [topk] with valid=False padding.
@@ -107,7 +107,7 @@ def nms_padded(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
         boxes, scores, valid, classes, iou_threshold, max_iters)
 
     kept_scores = jnp.where(keep, scores_s, NEG_INF)
-    top_scores, out_valid, (top_boxes, top_classes) = _topk_padded(
+    top_scores, out_valid, (top_boxes, top_classes) = topk_padded(
         kept_scores, topk, boxes_s, classes_s)
     return Detections(
         boxes=jnp.where(out_valid[:, None], top_boxes, 0.0),
@@ -174,7 +174,7 @@ def multiclass_nms(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
     rows_s = flat_rows[order]
 
     kept_scores = jnp.where(keep, scores_s, NEG_INF)
-    top_scores, out_valid, (top_boxes, top_classes, top_rows) = _topk_padded(
+    top_scores, out_valid, (top_boxes, top_classes, top_rows) = topk_padded(
         kept_scores, topk, boxes_s, classes_s, rows_s)
     det = Detections(
         boxes=jnp.where(out_valid[:, None], top_boxes, 0.0),

@@ -130,9 +130,17 @@ def make_caption_train_step(model: EmbodiedDetector, cfg: DetectorConfig,
     weight [B]) -> (total, aux)."""
     from ..models.losses import caption_loss
 
-    def loss_fn(params, images, caption_features, weight):
-        embs = jax.vmap(lambda im: model.apply(
-            params, im, method=EmbodiedDetector.image_box_embedding))(images)
+    def loss_fn(params, images, caption_features, weight, step=0):
+        # train=True + per-frame drop_path rngs: the reference runs every
+        # co-training forward under model.train(), so swin stochastic depth
+        # is active on caption batches too (no-op for the R50 trunk)
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(23), step),
+            images.shape[0])
+        embs = jax.vmap(lambda im, k: model.apply(
+            params, im, train=True,
+            method=EmbodiedDetector.image_box_embedding,
+            rngs={"drop_path": k}))(images, keys)
         b = images.shape[0]
 
         def per_frame(i):
@@ -164,19 +172,28 @@ def make_captiontag_train_step(model: EmbodiedDetector, cfg: DetectorConfig,
                                      neg_cap_weight)
 
     def loss_fn(params, images, caption_features, weight, labels,
-                labels_valid, zs_weight):
-        cap_total, aux = cap_fn(params, images, caption_features, weight)
+                labels_valid, zs_weight, step=0):
+        cap_total, aux = cap_fn(params, images, caption_features, weight,
+                                step)
 
-        def one_frame(img, lab, lv):
+        def one_frame(img, lab, lv, key):
             l = model.apply(params, img, zs_weight, lab, lv,
                             method=EmbodiedDetector.frame_train_weak,
                             variant=variant,
-                            image_loss_weight=image_loss_weight)
+                            image_loss_weight=image_loss_weight,
+                            train=True, rngs={"drop_path": key})
             return sum(l.values())
 
-        tags = jax.vmap(one_frame)(images, labels, labels_valid)
-        wsum = jnp.maximum(jnp.sum(weight), 1.0)
-        tag_total = jnp.sum(tags * weight) / wsum
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(29), step),
+            images.shape[0])
+        tags = jax.vmap(one_frame)(images, labels, labels_valid, keys)
+        # tag supervision applies to every captiontag image with labels,
+        # even ones whose caption list was empty (weight==0): the reference
+        # skips the tag loop only for ann_type=='caption'
+        # (detic_fast_rcnn.py:370-375), not for caption-less images
+        tag_w = jnp.any(labels_valid, axis=1).astype(tags.dtype)
+        tag_total = jnp.sum(tags * tag_w) / jnp.maximum(jnp.sum(tag_w), 1.0)
         total = cap_total + tag_total
         aux = dict(aux)
         aux["tag_loss"] = tag_total

@@ -172,8 +172,11 @@ def parity_dry_run(args) -> dict:
         cfg = parity_config(name)
         # the vendored 20-class table must resolve for the real run
         zs_full = find_zs_weight(args, cfg.roi.num_classes)
-        assert zs_full.shape == (cfg.roi.zs_weight_dim,
-                                 cfg.roi.num_classes + 1)
+        if zs_full.shape != (cfg.roi.zs_weight_dim,
+                             cfg.roi.num_classes + 1):
+            raise RuntimeError(
+                f"{name}: zs_weight shape {zs_full.shape} != expected "
+                f"({cfg.roi.zs_weight_dim}, {cfg.roi.num_classes + 1})")
         # miniature shapes for CPU-speed wiring validation; parameter
         # shapes are resolution-independent, so the converter check below
         # validates the real checkpoint against the real param tree
@@ -197,9 +200,10 @@ def parity_dry_run(args) -> dict:
             converted, _ = load_torch_checkpoint(args.weights)
             missing, extra, mismatch = verify_against_model(converted,
                                                             params)
-            assert not missing and not mismatch, (
-                f"{name}: converter mismatch — missing={missing[:5]} "
-                f"mismatch={mismatch[:5]}")
+            if missing or mismatch:
+                raise RuntimeError(
+                    f"{name}: converter mismatch — missing={missing[:5]} "
+                    f"mismatch={mismatch[:5]}")
             print(f"[dry-run] {name}: {args.weights} converts cleanly "
                   f"({len(extra)} extra torch keys ignored)")
         with tempfile.TemporaryDirectory() as td:
@@ -216,8 +220,11 @@ def parity_dry_run(args) -> dict:
                            mini.roi.num_classes + 1).astype(np.float32)
             res = evaluate_dataset(model, params, mini, ds, zs,
                                    verbose=False, num_workers=0)
-            assert res.num_images > 0
-            assert all(np.isfinite(v) for v in res.overall.values())
+            if res.num_images <= 0:
+                raise RuntimeError(f"{name}: eval consumed no images")
+            if not all(np.isfinite(v) for v in res.overall.values()):
+                raise RuntimeError(
+                    f"{name}: non-finite AP in {res.overall}")
         out[name] = res.overall
         print(f"[dry-run] {name}: synthetic eval OK "
               f"({res.num_images} images, AP={res.overall.get('AP', 0):.3f}"

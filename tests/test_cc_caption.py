@@ -276,3 +276,38 @@ def test_captiontag_train_step_applies_both_losses(tmp_path):
     assert float(aux["tag_loss"]) > 0
     assert float(total) == pytest.approx(
         float(cap_only) + float(aux["tag_loss"]), rel=1e-5)
+
+
+@pytest.mark.slow
+def test_captiontag_tag_loss_survives_missing_captions():
+    """A captiontag item with labels but an empty caption list (weight 0)
+    must still contribute tag supervision: the reference skips the tag
+    loop only for ann_type=='caption' (detic_fast_rcnn.py:370-375), not
+    for caption-less images."""
+    from embodied_object_detection_tpu.models.detector import build_detector
+    from embodied_object_detection_tpu.parallel.train_step import (
+        make_captiontag_train_step)
+
+    cfg = tiny_config()
+    h, w = cfg.input.height, cfg.input.width
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 255, (2, h, w, 3))
+                         .astype(np.float32))
+    feats = jnp.asarray(_stub_embed(["a cat", ""]))
+    labels = jnp.asarray([[3, 0], [1, 4]], jnp.int32)
+    lv = jnp.asarray([[True, False], [True, True]])
+    zs = jnp.asarray(rng.randn(cfg.roi.zs_weight_dim,
+                               cfg.roi.num_classes + 1).astype(np.float32))
+
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    tag_fn = make_captiontag_train_step(model, cfg)
+    # item 1 has captions -> weight [1, 1]; vs item 1 caption-less [1, 0]
+    _, aux_full = tag_fn(params, images, feats, jnp.asarray([1.0, 1.0]),
+                         labels, lv, zs)
+    _, aux_nocap = tag_fn(params, images, feats, jnp.asarray([1.0, 0.0]),
+                          labels, lv, zs)
+    # the tag loss is caption-independent: identical either way, and
+    # covers both images (not just the captioned one)
+    assert float(aux_full["tag_loss"]) == pytest.approx(
+        float(aux_nocap["tag_loss"]), rel=1e-6)
+    assert float(aux_nocap["tag_loss"]) > 0

@@ -196,3 +196,31 @@ def test_two_stage_end_to_end_train_step(rng):
     enc_g = float(jnp.sum(jnp.abs(
         grads["params"]["detr"]["enc_output"]["kernel"])))
     assert enc_g > 0
+
+
+def test_two_stage_padded_queries_suppressed(rng):
+    """num_queries > encoder token count (miniature inputs): the tail
+    queries are edge-padded duplicates and must be score-suppressed so
+    detr_inference's plain (query, class) top-k can't return them as
+    extra valid detections."""
+    feats = [jnp.asarray(rng.randn(*s, 32).astype(np.float32))
+             for s in [(4, 5), (2, 3), (1, 2), (1, 1)]]   # 29 tokens
+    q = 32
+    model = DeformableDETR(num_classes=5, hidden_dim=32, heads=4,
+                           enc_layers=1, dec_layers=2, ffn=64,
+                           num_queries=q, levels=4, points=2,
+                           with_box_refine=True, two_stage=True)
+    params = model.init(jax.random.PRNGKey(0), feats)
+    out = model.apply(params, feats)
+    s = sum(f.shape[0] * f.shape[1] for f in feats)
+    assert s < q
+    logits = np.asarray(out.logits)                        # [L, Q, C]
+    # every decoder layer: the padded slots' scores are driven to ~0
+    assert (logits[:, s:, :] <= -1e3).all()
+    assert np.isfinite(logits[:, :s, :]).all()
+    # and inference never surfaces a padded query above a real one
+    det = detr_inference(out.logits[-1], out.boxes_cxcywh[-1], (64, 96),
+                        topk=s)
+    scores = jax.nn.sigmoid(out.logits[-1])
+    assert float(np.asarray(det.scores).min()) >= \
+        float(np.asarray(scores[s:]).max())

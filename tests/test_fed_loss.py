@@ -282,3 +282,48 @@ def test_ignore_zero_cats_knob_changes_loss(rng):
     izc_none = run(izc_cfg)
     assert float(izc_none["loss_cls_stage0"]) == \
         pytest.approx(float(base["loss_cls_stage0"]), rel=1e-6)
+
+
+def test_zero_freq_classes_never_sampled(rng):
+    """torch.multinomial gives zero-weight classes probability exactly 0;
+    the Gumbel keys must be -inf for them, not log(1e-20)."""
+    c = 10
+    freq = np.zeros(c, np.float32)
+    freq[:4] = [3.0, 1.0, 2.0, 5.0]            # classes 4..9 have freq 0
+    gt = jnp.asarray([0], jnp.int32)
+    valid = jnp.asarray([True])
+    for seed in range(20):
+        w = np.asarray(fed_loss_class_weight(
+            gt, valid, jnp.asarray(freq), num_sample_cats=4,
+            num_classes=c, rng=jax.random.PRNGKey(seed)))
+        assert w[0] == 1.0                      # appeared
+        assert (w[4:] == 0.0).all(), f"zero-freq class sampled (seed {seed})"
+
+
+def test_fed_table_loading_rules(tmp_path):
+    """load_fed_freq_weight: loads under ignore_zero_cats even when
+    use_fed_loss is off (ref detic_fast_rcnn.py:85-89), zero-pads short
+    tables (:91-97), and fails loudly when num_cat exceeds the
+    positive-frequency class count."""
+    import json
+    from embodied_object_detection_tpu.engine.train import (
+        load_fed_freq_weight)
+
+    cfg = tiny_config()                         # num_classes=5
+    cat_info = [dict(id=i + 1, image_count=int(cnt))
+                for i, cnt in enumerate([4, 9, 0])]   # 3-entry short table
+    p = tmp_path / "cat_info.json"
+    p.write_text(json.dumps(cat_info))
+
+    roi = dataclasses.replace(cfg.roi, ignore_zero_cats=True,
+                              use_fed_loss=False, cat_freq_path=str(p))
+    w = load_fed_freq_weight(cfg.replace(roi=roi))
+    assert w is not None and w.shape == (5,)    # loaded + zero-padded
+    assert w[0] > 0 and (w[2:] == 0).all()
+
+    assert load_fed_freq_weight(cfg) is None    # both knobs off
+
+    roi = dataclasses.replace(cfg.roi, use_fed_loss=True,
+                              fed_loss_num_cat=4, cat_freq_path=str(p))
+    with pytest.raises(ValueError, match="positive-frequency"):
+        load_fed_freq_weight(cfg.replace(roi=roi))

@@ -6,6 +6,7 @@ analog of the reference's logged s/iter instrumentation
 (train_mp3d.py:582-604), which commits no reference value (SURVEY §6).
 
 Usage: python tools/bench_train.py [--batch 2] [--iters 10]
+       python tools/bench_train.py --variants   # remat A/B in one process
 """
 import argparse
 import os
@@ -17,39 +18,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=2)
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--height", type=int, default=480)
-    ap.add_argument("--width", type=int, default=640)
-    ap.add_argument("--remat-backbone", action="store_true",
-                    help="rematerialize trunk+FPN (byte diet experiment)")
-    ap.add_argument("--remat-stages", action="store_true",
-                    help="rematerialize each cascade stage")
-    args = ap.parse_args()
-
-    import dataclasses
-
+def _run_one(cfg, batch_args, iters):
+    """Build + time one train-step config; returns the result dict."""
     import jax
     import jax.numpy as jnp
-    from embodied_object_detection_tpu.config import DetectorConfig
     from embodied_object_detection_tpu.models.detector import build_detector
     from embodied_object_detection_tpu.parallel.train_step import (
         TrainBatch, make_train_step)
 
-    cfg = DetectorConfig()
-    if args.remat_backbone:
-        cfg = cfg.replace(backbone=dataclasses.replace(
-            cfg.backbone, train_remat=True))
-    if args.remat_stages:
-        cfg = cfg.replace(roi=dataclasses.replace(
-            cfg.roi, train_stage_remat=True))
+    b, h, w = batch_args
     model, params = build_detector(cfg, jax.random.PRNGKey(0))
     init_state, step_fn = make_train_step(model, cfg)
     state, _ = init_state(params)
 
-    b, h, w = args.batch, args.height, args.width
     cells, g = cfg.memory.max_cells, 64
     d = cfg.memory.memory_dim
     zs_dim = cfg.roi.zs_weight_dim
@@ -72,16 +53,51 @@ def main():
     float(losses["total_loss"])  # sync (block_until_ready no-ops on axon)
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
+    for _ in range(iters):
         state, losses = jit_step(state, batch, zs)
     total = float(losses["total_loss"])
-    dt = (time.perf_counter() - t0) / args.iters
-    print({"train_ms_per_step": round(dt * 1e3, 2),
-           "train_frames_per_s": round(b / dt, 2),
-           "batch": b, "resolution": f"{h}x{w}",
-           "remat_backbone": args.remat_backbone,
-           "remat_stages": args.remat_stages,
-           "total_loss": round(total, 3)})
+    dt = (time.perf_counter() - t0) / iters
+    return {"train_ms_per_step": round(dt * 1e3, 2),
+            "train_frames_per_s": round(b / dt, 2),
+            "batch": b, "resolution": f"{h}x{w}",
+            "remat_backbone": cfg.backbone.train_remat,
+            "remat_stages": cfg.roi.train_stage_remat,
+            "total_loss": round(total, 3)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--remat-backbone", action="store_true",
+                    help="rematerialize trunk+FPN (byte diet experiment)")
+    ap.add_argument("--remat-stages", action="store_true",
+                    help="rematerialize each cascade stage")
+    ap.add_argument("--variants", action="store_true",
+                    help="time all four remat combinations in one process "
+                         "(amortizes the per-process axon first-dispatch)")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from embodied_object_detection_tpu.config import DetectorConfig
+
+    def with_knobs(remat_backbone, remat_stages):
+        cfg = DetectorConfig()
+        cfg = cfg.replace(backbone=dataclasses.replace(
+            cfg.backbone, train_remat=remat_backbone))
+        return cfg.replace(roi=dataclasses.replace(
+            cfg.roi, train_stage_remat=remat_stages))
+
+    combos = ([(False, False), (True, False), (False, True), (True, True)]
+              if args.variants
+              else [(args.remat_backbone, args.remat_stages)])
+    batch_args = (args.batch, args.height, args.width)
+    for rb, rs in combos:
+        res = _run_one(with_knobs(rb, rs), batch_args, args.iters)
+        print(res, flush=True)
 
 
 if __name__ == "__main__":
