@@ -47,15 +47,28 @@ def detection_record_str(file_name: str, boxes_xyxy: Sequence[Sequence[float]],
                 "gt_boxes": xywh, "gt_classes": [int(c) for c in classes]})
 
 
+def _default_jpeg_dir(out_h5: str) -> str:
+    """JPEGImages dir for a sensor h5: sibling of sensor_data/ when the h5
+    lives there (the EpisodeDataset / mp3d_example layout), else next to
+    the h5."""
+    d = os.path.dirname(os.path.abspath(out_h5))
+    root = os.path.dirname(d) if os.path.basename(d) == "sensor_data" else d
+    return os.path.join(root, "JPEGImages")
+
+
 def build_sample_h5(renderer: Renderer, positions: np.ndarray,
                     rotations_euler: np.ndarray, out_h5: str,
                     vfov_deg: float = 67.5, z_clip: float = 0.5,
-                    min_box_edge: int = 15) -> dict:
-    """Render one multi-frame sample and write the sensor h5.
+                    min_box_edge: int = 15,
+                    jpeg_dir: "Optional[str]" = None) -> dict:
+    """Render one multi-frame sample and write the sensor h5 + the
+    per-frame JPEGs its detection records reference (the reference keeps
+    the JPEGs; CocoDetectionDataset opens them unconditionally).
 
     positions [T, 3], rotations_euler [T, 3] (agent states along the path);
     GT boxes below `min_box_edge` px are dropped (habitat_utils.py:12, 273).
-    Returns summary stats."""
+    jpeg_dir defaults to the dataset's JPEGImages/ (see _default_jpeg_dir);
+    pass jpeg_dir="" to skip writing images. Returns summary stats."""
     import math
 
     import h5py
@@ -100,6 +113,15 @@ def build_sample_h5(renderer: Renderer, positions: np.ndarray,
         seg_all.append(renderer.render_semantic())
 
     os.makedirs(os.path.dirname(out_h5) or ".", exist_ok=True)
+    if jpeg_dir is None:
+        jpeg_dir = _default_jpeg_dir(out_h5)
+    if jpeg_dir:
+        from PIL import Image
+        os.makedirs(jpeg_dir, exist_ok=True)
+        base = os.path.splitext(os.path.basename(out_h5))[0]
+        for i, rgb in enumerate(rgb_all):
+            Image.fromarray(np.asarray(rgb, np.uint8)).save(
+                os.path.join(jpeg_dir, f"{base}_{i}.jpg"), quality=90)
     with h5py.File(out_h5, "w") as f:
         f.create_dataset("rgb", data=np.stack(rgb_all).astype(np.uint8))
         f.create_dataset("depth", data=np.stack(depth_all).astype(np.float32))

@@ -7,9 +7,12 @@ map_world_shift, clips to the map, flattens indices y*W + x (:136-144), and
 writes memory_features (zeros, :147) / proj_indices / semmap_gt (:150-153).
 
 This version recomputes world xyz on device from depth + pose via
-geometry/projector.py when raw projections are absent, so it also serves the
-robot pipeline. habitat-sim rendering itself (build_data.py) stays an
-external host tool — see data/synthetic.py for a sim-free fixture generator.
+geometry/projector.py when raw projections are absent
+(_world_xyz_from_sensor), so it also serves the robot pipeline; without a
+map-info json it derives one grid per SCENE from the union of its chunks'
+extents, never one per chunk. habitat-sim rendering itself (build_data.py)
+stays an external host tool — see data/synthetic.py for a sim-free fixture
+generator.
 """
 
 from __future__ import annotations
@@ -33,20 +36,57 @@ def world_to_proj_indices(world_xyz: np.ndarray, map_world_shift: np.ndarray,
     return z * map_w + x
 
 
+def _world_xyz_from_sensor(f, vfov_deg: float = 67.5) -> np.ndarray:
+    """[T, H, W, 3] per-pixel world coordinates from one sensor h5.
+
+    Prefers the precomputed `projection_indices` (build_data.py output);
+    falls back to recomputing on device from depth + pose via
+    geometry/projector.py (the robot pipeline's input shape,
+    robot_demo.py:500-534)."""
+    import math
+
+    if "projection_indices" in f:
+        return np.array(f["projection_indices"])
+    if not all(k in f for k in ("depth", "positions", "orientations")):
+        raise KeyError(
+            "sensor h5 lacks projection_indices AND the depth/positions/"
+            "orientations needed to recompute them")
+    import jax.numpy as jnp
+    from ..geometry.projector import (camera_to_world, depth_to_point_cloud,
+                                      transform3d)
+    depth = np.array(f["depth"])                    # [T, H, W] meters
+    pos = np.array(f["positions"])                  # [T, 3]
+    rot = np.array(f["orientations"])               # [T, 3] euler
+    vfov = math.radians(vfov_deg)
+    out = []
+    for i in range(depth.shape[0]):
+        xyzhe = np.asarray([[pos[i][0], pos[i][1], pos[i][2],
+                             rot[i][1], rot[i][0]]], np.float32)
+        cam2world = transform3d(jnp.asarray(xyzhe))[0]
+        xyz1 = depth_to_point_cloud(jnp.asarray(depth[i]), vfov)
+        out.append(np.asarray(camera_to_world(xyz1, cam2world)[..., :3]))
+    return np.stack(out)
+
+
 def build_memory_file(sensor_h5: str, out_h5: str,
                       map_world_shift: Optional[np.ndarray] = None,
                       resolution: float = 0.2,
                       map_dims: Optional[Tuple[int, int]] = None,
                       memory_dim: int = 512) -> Tuple[int, int]:
-    """Convert one sensor h5 (with `projection_indices` world coords or
-    depth+pose) into the memory h5 schema. Returns (map_w, map_h)."""
+    """Convert one sensor h5 (with `projection_indices` world coords, or
+    depth+pose to recompute them) into the memory h5 schema. Returns
+    (map_w, map_h).
+
+    Preserved reference quirk: `masks_outliers` (invalid-depth pixels,
+    which project to the camera position) is deliberately NOT consumed —
+    build_memory_data.py:124 loads it and never uses it, and the runtime
+    write path (custom_rcnn.py:903-936) uses the raw clipped indices, so
+    outlier pixels write into the camera's map cell there too. The model
+    accepts a real per-pixel mask (FrameInputs.outlier_mask) for
+    non-parity deployments."""
     import h5py
     with h5py.File(sensor_h5, "r") as f:
-        if "projection_indices" in f:
-            world = np.array(f["projection_indices"])      # [T, H, W, 3]
-        else:
-            raise KeyError("sensor h5 lacks projection_indices; generate "
-                           "world xyz first (geometry.pixel_to_world)")
+        world = _world_xyz_from_sensor(f)              # [T, H, W, 3]
         semmap_gt = np.array(f["segmentation_data"]) if "segmentation_data" in f \
             else None
 
@@ -146,6 +186,14 @@ def _scene_of(filename: str, info: dict) -> Optional[str]:
     return best
 
 
+def _scene_stem(filename: str) -> str:
+    """{scene}_{chunk}.h5 -> scene (trailing _<int> stripped; scene ids
+    themselves contain underscores: apartment_0, frl_apartment_1, ...)."""
+    stem = filename[:-3] if filename.endswith(".h5") else filename
+    head, _, tail = stem.rpartition("_")
+    return head if head and tail.isdigit() else stem
+
+
 def build_dataset_memories(sensor_dir: str, out_dir: str,
                            map_info_json: Optional[str] = None,
                            dataset: str = "mp3d",
@@ -153,19 +201,51 @@ def build_dataset_memories(sensor_dir: str, out_dir: str,
     """Convert every sensor h5 under sensor_dir, resolving each scene's
     map shift AND dims from the dataset map-info json when given (the
     build_memory_data / build_replica_memory_data drivers), so all chunks
-    of a scene share one grid. Returns {file: (map_w, map_h)}."""
+    of a scene share one grid. Without the json the same guarantee holds
+    from the data itself: chunks are grouped by scene (trailing _<chunk>
+    stripped) and a first pass unions their world extents — eval carries
+    memory across a scene's chunks (episode_dataset resets only at chunk
+    0), so per-chunk grids would silently mean different world positions.
+    Returns {file: (map_w, map_h)}."""
     import json
+
+    import h5py
     info = json.load(open(map_info_json)) if map_info_json else None
+    files = [f for f in sorted(os.listdir(sensor_dir)) if f.endswith(".h5")]
+
+    scene_shift, scene_dims = {}, {}
+    if info is None:
+        # first pass: per-scene union extents -> one grid per scene
+        lo: dict = {}
+        hi: dict = {}
+        for f in files:
+            with h5py.File(os.path.join(sensor_dir, f), "r") as h:
+                world = _world_xyz_from_sensor(h).reshape(-1, 3)
+            s = _scene_stem(f)
+            lo[s] = np.minimum(lo[s], world.min(axis=0)) if s in lo \
+                else world.min(axis=0)
+            hi[s] = np.maximum(hi[s], world.max(axis=0)) if s in hi \
+                else world.max(axis=0)
+        for s in lo:
+            scene_shift[s] = lo[s]
+            extent = hi[s] - lo[s]
+            scene_dims[s] = (int(np.ceil(extent[0] / resolution)) + 1,
+                             int(np.ceil(extent[2] / resolution)) + 1)
+
     dims = {}
-    for f in sorted(os.listdir(sensor_dir)):
-        if not f.endswith(".h5"):
-            continue
-        shift, mdims = None, None
+    for f in files:
         if info is not None:
             env = _scene_of(f, info)
-            if env is not None:
-                shift = map_shift_from_info(env, info, dataset)
-                mdims = map_dims_from_info(env, info, dataset, resolution)
+            if env is None:
+                raise ValueError(
+                    f"{f}: no scene entry in {map_info_json} — a chunk "
+                    f"built against a private grid would desync from its "
+                    f"scene's carried memory")
+            shift = map_shift_from_info(env, info, dataset)
+            mdims = map_dims_from_info(env, info, dataset, resolution)
+        else:
+            s = _scene_stem(f)
+            shift, mdims = scene_shift[s], scene_dims[s]
         dims[f] = build_memory_file(os.path.join(sensor_dir, f),
                                     os.path.join(out_dir, f),
                                     map_world_shift=shift,

@@ -299,7 +299,9 @@ class CocoDetectionDataset:
         nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
         if (nh, nw) != (h0, w0):
             from PIL import Image as I
-            img = np.asarray(I.fromarray(img).resize((nw, nh)))
+            # bilinear like detectron2 ResizeTransform (and augment.py:57);
+            # PIL's default is bicubic
+            img = np.asarray(I.fromarray(img).resize((nw, nh), I.BILINEAR))
         canvas = np.zeros((self.height, self.width, 3), np.uint8)
         canvas[:nh, :nw] = img
 

@@ -19,9 +19,11 @@ from .episode_dataset import (CLASS_IDS, OBJECT_LVIS, parse_detection_record,
 
 
 def create_coco_annotations(data_path: str, out_json: Optional[str] = None,
-                            every: int = 5, height: int = 480,
-                            width: int = 640) -> dict:
-    """Build the COCO dict (and optionally write it)."""
+                            every: int = 5, height: Optional[int] = None,
+                            width: Optional[int] = None) -> dict:
+    """Build the COCO dict (and optionally write it). Image dims come from
+    each file's rgb dataset unless overridden — hardcoding 480x640 would
+    stamp wrong sizes into non-mp3d (e.g. miniature fixture) jsons."""
     import h5py
     sensor_dir = os.path.join(data_path, "sensor_data")
     files = sort_episode_files(os.listdir(sensor_dir))
@@ -34,11 +36,16 @@ def create_coco_annotations(data_path: str, out_json: Optional[str] = None,
         with h5py.File(os.path.join(sensor_dir, f), "r") as h5:
             n = len(h5["detection_data"])
             records = [h5["detection_data"][i] for i in range(n)]
+            if "rgb" in h5:
+                h, w = h5["rgb"].shape[1:3]
+            else:
+                h, w = height or 480, width or 640
+            h, w = height or h, width or w
         # every-5th-frame selection (ref: create_coco_mp3d.py:187-197)
         for i in range(0, len(records), every):
             file_name, boxes, classes = parse_detection_record(records[i])
             images.append({"id": img_id, "file_name": file_name,
-                           "height": height, "width": width})
+                           "height": int(h), "width": int(w)})
             for b, c in zip(boxes, classes):
                 annotations.append({
                     "id": ann_id, "image_id": img_id, "category_id": int(c),

@@ -145,12 +145,16 @@ class EpisodeDataset:
     def __len__(self) -> int:
         return len(self.files)
 
-    def _load_image(self, file_name: str, fallback: np.ndarray) -> np.ndarray:
+    def _load_image(self, file_name: str, fallback) -> np.ndarray:
+        """fallback is a ZERO-ARG CALLABLE returning the h5 rgb row — only
+        invoked when the JPEG is missing (or load_jpeg is off), so a
+        dataset with complete JPEGImages/ never pays the [T,H,W,3] h5
+        read+decompress in the eval hot loop."""
         if not self.load_jpeg:
-            return fallback
+            return np.asarray(fallback())
         path = os.path.join(self.image_root, file_name)
         if not os.path.exists(path):
-            return fallback
+            return np.asarray(fallback())
         from PIL import Image
         with open(path, "rb") as f:
             img = Image.open(f)
@@ -182,63 +186,64 @@ class EpisodeDataset:
                 num_cells = int(mem_features.shape[0])
 
         with h5py.File(os.path.join(self.sensor_path, file), "r") as h5:
-            rgb = np.array(h5["rgb"])
+            rgb = h5["rgb"]  # lazy handle; rows read only as JPEG fallback
             det_records = [h5["detection_data"][i]
                            for i in range(min(t_max, len(h5["detection_data"])))]
             segmentation = np.array(h5["segmentation_data"]) \
                 if (self.memory_type == "semantic_gt" and
                     "segmentation_data" in h5) else None
 
-        # GT-memory remapping (ref: loader.py:233-246, 269-273)
-        if self.clip_embeddings is not None:
-            mem_features = self.clip_embeddings
-            observations = np.ones((mem_features.shape[0],), np.float32)
-            num_cells = mem_features.shape[0]
-            if self.memory_type == "semantic_gt":
-                if segmentation is None:
-                    raise ValueError(
-                        f"memory_type=semantic_gt needs segmentation_data "
-                        f"in the sensor h5 for {file} — projecting raw "
-                        "map-cell indices into the tiny CLIP table would "
-                        "silently clamp to garbage")
-                # per-pixel class id becomes the "projection" into the table
-                proj = segmentation.astype(np.int64)
-            elif self.memory_type == "map_gt":
-                if semmap_gt is None:
-                    raise ValueError(
-                        f"memory_type=map_gt needs semmap_gt in the memory "
-                        f"h5 for {file}")
-                proj = semmap_gt[proj]
+            # GT-memory remapping (ref: loader.py:233-246, 269-273)
+            if self.clip_embeddings is not None:
+                mem_features = self.clip_embeddings
+                observations = np.ones((mem_features.shape[0],), np.float32)
+                num_cells = mem_features.shape[0]
+                if self.memory_type == "semantic_gt":
+                    if segmentation is None:
+                        raise ValueError(
+                            f"memory_type=semantic_gt needs segmentation_data "
+                            f"in the sensor h5 for {file} — projecting raw "
+                            "map-cell indices into the tiny CLIP table would "
+                            "silently clamp to garbage")
+                    # per-pixel class id becomes the "projection" into the
+                    # table
+                    proj = segmentation.astype(np.int64)
+                elif self.memory_type == "map_gt":
+                    if semmap_gt is None:
+                        raise ValueError(
+                            f"memory_type=map_gt needs semmap_gt in the "
+                            f"memory h5 for {file}")
+                    proj = semmap_gt[proj]
 
-        t = len(det_records)
-        h, w = rgb.shape[1], rgb.shape[2]
-        images = np.zeros((t_max, h, w, 3), np.uint8)
-        proj_out = np.zeros((t_max, h, w), np.int32)
-        boxes = np.zeros((t_max, self.max_gt, 4), np.float32)
-        classes = np.zeros((t_max, self.max_gt), np.int32)
-        gt_valid = np.zeros((t_max, self.max_gt), bool)
-        resets = np.zeros(t_max, bool)
-        starts = np.zeros(t_max, bool)
-        frame_valid = np.zeros(t_max, bool)
-        file_names = []
+            t = len(det_records)
+            h, w = rgb.shape[1], rgb.shape[2]
+            images = np.zeros((t_max, h, w, 3), np.uint8)
+            proj_out = np.zeros((t_max, h, w), np.int32)
+            boxes = np.zeros((t_max, self.max_gt, 4), np.float32)
+            classes = np.zeros((t_max, self.max_gt), np.int32)
+            gt_valid = np.zeros((t_max, self.max_gt), bool)
+            resets = np.zeros(t_max, bool)
+            starts = np.zeros(t_max, bool)
+            frame_valid = np.zeros(t_max, bool)
+            file_names = []
 
-        seq_id = int(file.split("_")[-1].split(".")[0])
-        for i in range(t):
-            file_name, b, c = parse_detection_record(det_records[i])
-            file_names.append(file_name)
-            images[i] = self._load_image(file_name, rgb[i])
-            proj_out[i] = proj[i]
-            g = min(len(b), self.max_gt)
-            boxes[i, :g] = b[:g]
-            classes[i, :g] = c[:g]
-            gt_valid[i, :g] = True
-            # ref: loader.py:288-293
-            if self.test_type in ("default", "longterm"):
-                resets[i] = (seq_id == 0 and i == 0)
-            else:  # episodic
-                resets[i] = (i == 0)
-            starts[i] = (i == 0)
-            frame_valid[i] = True
+            seq_id = int(file.split("_")[-1].split(".")[0])
+            for i in range(t):
+                file_name, b, c = parse_detection_record(det_records[i])
+                file_names.append(file_name)
+                images[i] = self._load_image(file_name, lambda i=i: rgb[i])
+                proj_out[i] = proj[i]
+                g = min(len(b), self.max_gt)
+                boxes[i, :g] = b[:g]
+                classes[i, :g] = c[:g]
+                gt_valid[i, :g] = True
+                # ref: loader.py:288-293
+                if self.test_type in ("default", "longterm"):
+                    resets[i] = (seq_id == 0 and i == 0)
+                else:  # episodic
+                    resets[i] = (i == 0)
+                starts[i] = (i == 0)
+                frame_valid[i] = True
 
         return EpisodeChunk(sequence_name=file, file_names=file_names,
                             images=images, proj_indices=proj_out,

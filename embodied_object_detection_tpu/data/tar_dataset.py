@@ -8,7 +8,11 @@ placeholder with label -1.
 
 Additions over the reference: `build_tar_index` generates the offset index
 from a raw tar (the reference assumes it was built elsewhere), which also
-powers the synthetic test fixture.
+powers the synthetic test fixture; member payloads are located by walking
+the real tar header sequence (PAX extended headers — Python tarfile's
+default write format — and GNU long-name records) with the exact size from
+the header, where the reference only special-cases `././@LongLink` and
+returns block-padded payloads.
 """
 
 from __future__ import annotations
@@ -22,6 +26,43 @@ from typing import List, Tuple
 import numpy as np
 
 BLOCK = 512
+
+# tar header meta typeflags that precede the real file header:
+# 'x' pax per-file / 'g' pax global extended header, 'L'/'K' GNU long
+# name/link records. Each is one header block + size payload blocks.
+_META_TYPEFLAGS = (b"x", b"g", b"L", b"K")
+
+
+def _header_size(header: bytes) -> int:
+    """Member size from a tar header: octal, or GNU base-256 when the
+    leading bit of the size field is set."""
+    field = header[124:136]
+    if field[0] & 0x80:
+        return int.from_bytes(bytes([field[0] & 0x7F]) + field[1:], "big")
+    text = field.split(b"\0")[0].strip()
+    return int(text, 8) if text else 0
+
+
+def tar_member_payload(data) -> bytes:
+    """Exact file payload of one tar member whose header sequence starts at
+    data[0] (a uint8 array/bytes spanning at least through the payload).
+
+    Skips pax/GNU meta records, then slices the true size from the real
+    header — no trailing block padding, no garbage from treating a pax
+    extended header as the payload."""
+    pos = 0
+    while True:
+        header = bytes(data[pos:pos + BLOCK])
+        if len(header) < BLOCK or header[0] == 0:
+            raise ValueError("truncated or empty tar member header")
+        size = _header_size(header)
+        if header[156:157] in _META_TYPEFLAGS:
+            pos += BLOCK * (1 + (size + BLOCK - 1) // BLOCK)
+            continue
+        start = pos + BLOCK
+        if start + size > len(data):
+            raise ValueError("tar member payload extends past index slice")
+        return bytes(data[start:start + size])
 
 
 def build_tar_index(tar_path: str, out_dir: str) -> Tuple[str, str]:
@@ -76,17 +117,11 @@ class _TarDataset:
             self.data = np.memmap(self.filename, mode="r", dtype="uint8")
         ofs = int(self.offsets[idx]) * BLOCK
         fsize = BLOCK * int(self.offsets[idx + 1] - self.offsets[idx])
-        data = self.data[ofs: ofs + fsize]
-        # GNU LongLink: a 3-block name record precedes the real header
-        if bytes(data[:13]) == b"././@LongLink":
-            data = data[3 * BLOCK:]
-        else:
-            data = data[BLOCK:]
+        data = tar_member_payload(self.data[ofs: ofs + fsize])
         # a few ImageNet JPEGs are gzip-compressed
-        if len(data) >= 2 and tuple(data[:2]) == (0x1F, 0x8B):
-            return io.BytesIO(gzip.GzipFile(
-                None, "r", 0, io.BytesIO(bytes(data))).read())
-        return io.BytesIO(bytes(data))
+        if data[:2] == b"\x1f\x8b":
+            return io.BytesIO(gzip.decompress(data))
+        return io.BytesIO(data)
 
 
 class DiskTarDataset:

@@ -124,6 +124,17 @@ class VectorEnv:
         self._paused = []
 
     def close(self):
+        # Drain an in-flight async_step first (ref: vector_env.py:334-339):
+        # a worker blocked in conn.send() on a result larger than the pipe
+        # buffer never reads _CLOSE, so join() would time out and abandon
+        # the process with env.close() unrun.
+        if self._awaiting:
+            for c in self._conns:
+                try:
+                    c.recv()
+                except (EOFError, OSError):
+                    pass
+            self._awaiting = False
         for c in self._conns + [c for _, c, _ in self._paused]:
             try:
                 c.send((_CLOSE, None))
@@ -215,3 +226,4 @@ class ThreadedVectorEnv(VectorEnv):
         for q in self._queues + [q for _, q, _ in self._paused]:
             q.put((_CLOSE, None))
         self._queues, self._results, self._paused = [], [], []
+        self._awaiting = False

@@ -143,3 +143,34 @@ def test_mapper_feeds_weak_trainer(tar_fixture, rng):
                          variant="max_size",
                          method=EmbodiedDetector.frame_train_weak)
     assert all(np.isfinite(float(jnp.sum(v))) for v in losses.values())
+
+
+@pytest.mark.parametrize("fmt", [tarfile.PAX_FORMAT, tarfile.GNU_FORMAT])
+def test_long_name_members_decode(tmp_path, fmt):
+    """>100-char member names force a pax 'x' extended header (Python
+    tarfile's DEFAULT format) or a GNU LongLink record; the payload walker
+    must skip the meta records — treating them as the payload makes PIL
+    fail and silently substitutes the gray -1 placeholder."""
+    long_dir = "n" * 120
+    vals = (77, 200)
+    p = str(tmp_path / "longname.tar")
+    with tarfile.open(p, "w", format=fmt) as tf:
+        for i, v in enumerate(vals):
+            buf = io.BytesIO()
+            Image.fromarray(np.full((16, 24, 3), v, np.uint8)).save(
+                buf, format="JPEG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(name=f"{long_dir}/img_{i}.JPEG")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    idx_dir = str(tmp_path / "idx")
+    build_tar_index(p, idx_dir)
+    tf_path = str(tmp_path / "tars.npy")
+    np.save(tf_path, np.asarray([p]))
+
+    ds = DiskTarDataset(tf_path, idx_dir)
+    assert len(ds) == 2
+    for i, expect in enumerate(vals):
+        img, label, _ = ds[i]
+        assert label == 0, "decode failure placeholder (-1) returned"
+        np.testing.assert_allclose(np.asarray(img).mean(), expect, atol=3)

@@ -122,3 +122,46 @@ def test_rl_env_in_subprocess_pool():
         results = envs.step([1, 2])
     assert all(len(r) == 4 for r in results)
     envs.close()
+
+
+class BigObsEnvFactory:
+    """step returns ~2 MB (bigger than the OS pipe buffer); close() is
+    recorded via a sentinel file written in the worker process."""
+
+    def __init__(self, sentinel):
+        self.sentinel = sentinel
+
+    def __call__(self):
+        return self
+
+    def reset(self):
+        return 0
+
+    def step(self, action):
+        return np.zeros(2 * 1024 * 1024, np.uint8)
+
+    def close(self):
+        with open(self.sentinel, "w") as f:
+            f.write("closed")
+
+
+def test_close_drains_inflight_async_step(tmp_path):
+    """close() without wait_step(): the worker sits blocked in conn.send()
+    on a result bigger than the pipe buffer and never reads _CLOSE unless
+    close() drains the pending results first (habitat vector_env.py
+    close() recvs in-flight reads) — otherwise join() times out 5 s/env
+    and env.close() never runs in the worker."""
+    import os
+    import time
+    sentinels = [str(tmp_path / f"closed_{i}") for i in range(2)]
+    envs = VectorEnv([BigObsEnvFactory(s) for s in sentinels])
+    envs.reset()
+    envs.async_step([0, 0])
+    t0 = time.monotonic()
+    envs.close()
+    assert time.monotonic() - t0 < 4.0  # no join-timeout stall
+    for s in sentinels:
+        deadline = time.monotonic() + 2.0
+        while not os.path.exists(s) and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert os.path.exists(s), "worker never executed env.close()"
