@@ -73,7 +73,11 @@ def caption_items_to_batch(items: List[dict], embed_fn, rng=None):
     tests — the real weights are an external asset, as in the reference).
     Returns (images [B,H,W,3] f32, caption_features [B,D] f32, weight [B])
     for parallel.train_step.make_caption_train_step."""
-    rng = rng or np.random.RandomState(0)
+    if rng is None:
+        # a FRESH draw per call, like the reference's torch.randint — a
+        # per-call RandomState(0) would pick the identical caption index
+        # sequence every batch, so an image's other captions never train
+        rng = np.random
     caps = []
     for it in items:
         if "caption" in it:              # pre-sampled by MultiSourceMapper

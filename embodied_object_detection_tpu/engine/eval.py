@@ -66,6 +66,58 @@ def chunk_to_frame_inputs(chunk: EpisodeChunk, max_cells: int) -> FrameInputs:
     )
 
 
+def _save_memory_snapshot(cfg: DetectorConfig, zs, features, obs_count,
+                          chunk: EpisodeChunk):
+    """Per-sequence memory snapshot (ref: custom_rcnn.py:518-530 — semmap
+    classes + raw accumulated features + obs counts at frame 0 of each
+    chunk). `features`/`obs_count` are DEVICE arrays for one stream;
+    sliced to num_cells before the host pull — on the tunneled backend a
+    full [max_cells, D] copy per chunk would dominate --save-semmap eval.
+    Shared by the serial and sharded paths."""
+    from ..ops.memory_ops import semmap_classes
+    from .checkpoint import save_memory_h5
+    feats = np.asarray(features[: chunk.num_cells])
+    obs = np.asarray(obs_count[: chunk.num_cells])
+    semmap = np.asarray(semmap_classes(
+        jnp.asarray(feats), jnp.asarray(obs), zs,
+        cfg.memory.obs_score_thresh, cfg.roi.norm_temperature))
+    save_memory_h5(cfg.output_dir, chunk.sequence_name, semmap, feats, obs)
+
+
+def _score_chunk_frames(evaluator, quartile_ids: List[List[int]],
+                        chunk: EpisodeChunk, serial_idx: int,
+                        det_boxes, det_scores, det_classes, det_valid,
+                        im_id: int, score_every: int) -> int:
+    """Feed one chunk's every-`score_every`th valid frame to the evaluator
+    (ref: train_mp3d.py:187-239): quartile bucket by the chunk's SERIAL
+    index (:210-217); GT written integer-truncated in xywh space with
+    area=0 (:237 — truncation in xywh, NOT per xyxy corner). det_* are
+    this chunk's [T, ...] host arrays. Returns the next im_id. Shared by
+    the serial and sharded paths — the sharded path's bit-exactness claim
+    depends on this logic staying identical between them."""
+    t_len = chunk.images.shape[0]
+    for i in range(0, t_len, score_every):
+        if not chunk.frame_valid[i]:
+            continue
+        q = min(3, (serial_idx % 100) // 25)
+        quartile_ids[q].append(im_id)
+        evaluator.add_image(im_id)
+        gv = chunk.gt_valid[i]
+        b = chunk.gt_boxes[i][gv].astype(np.float64)
+        gx = np.trunc(b[:, 0])
+        gy = np.trunc(b[:, 1])
+        gw = np.trunc(b[:, 2] - b[:, 0])
+        gh = np.trunc(b[:, 3] - b[:, 1])
+        gb = np.stack([gx, gy, gx + gw, gy + gh], axis=1) if len(b) else b
+        evaluator.add_ground_truth(im_id, gb, chunk.gt_classes[i][gv],
+                                   areas=np.zeros(int(gv.sum())))
+        v = det_valid[i]
+        evaluator.add_detections(im_id, det_boxes[i][v], det_scores[i][v],
+                                 det_classes[i][v])
+        im_id += 1
+    return im_id
+
+
 def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
                      dataset: EpisodeDataset, zs_weight: np.ndarray,
                      max_chunks: Optional[int] = None,
@@ -116,50 +168,20 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
         t_compute += time.perf_counter() - t0
 
         if cfg.memory.save_semmap:
-            # ref: custom_rcnn.py:518-530 — per-sequence memory snapshot
-            # (semmap classes + raw accumulated features + obs counts)
-            from ..ops.memory_ops import semmap_classes
-            from .checkpoint import save_memory_h5
-            feats = np.asarray(out.first_memory.features)[: chunk.num_cells]
-            obs = np.asarray(out.first_memory.obs_count)[: chunk.num_cells]
-            semmap = np.asarray(semmap_classes(
-                jnp.asarray(feats), jnp.asarray(obs), zs,
-                cfg.memory.obs_score_thresh, cfg.roi.norm_temperature))
-            save_memory_h5(cfg.output_dir, chunk.sequence_name, semmap,
-                           feats, obs)
+            _save_memory_snapshot(cfg, zs, out.first_memory.features,
+                                  out.first_memory.obs_count, chunk)
 
         t0 = time.perf_counter()
         # every-5th-frame scoring (ref: train_mp3d.py:187-188)
-        t_len = chunk.images.shape[0]
-        det_boxes = np.asarray(out.detections.boxes)
-        det_scores = np.asarray(out.detections.scores)
-        det_classes = np.asarray(out.detections.classes)
-        det_valid = np.asarray(out.detections.valid)
-        for i in range(0, t_len, score_every):
-            if not chunk.frame_valid[i]:
-                continue
-            # quartile bucket by chunk index (ref: train_mp3d.py:210-217)
-            q = min(3, (idx % 100) // 25)
-            quartile_ids[q].append(im_id)
-            evaluator.add_image(im_id)
-            gv = chunk.gt_valid[i]
-            # the reference writes integer-truncated xywh with area=0
-            # (train_mp3d.py:237: int(x1), int(y1), int(x2-x1), int(y2-y1)) —
-            # truncation happens in xywh space, NOT per xyxy corner
-            b = chunk.gt_boxes[i][gv].astype(np.float64)
-            gx = np.trunc(b[:, 0])
-            gy = np.trunc(b[:, 1])
-            gw = np.trunc(b[:, 2] - b[:, 0])
-            gh = np.trunc(b[:, 3] - b[:, 1])
-            gb = np.stack([gx, gy, gx + gw, gy + gh], axis=1) \
-                if len(b) else b
-            evaluator.add_ground_truth(im_id, gb, chunk.gt_classes[i][gv],
-                                       areas=np.zeros(int(gv.sum())))
-            v = det_valid[i]
-            evaluator.add_detections(im_id, det_boxes[i][v], det_scores[i][v],
-                                     det_classes[i][v])
-            im_id += 1
-            frames_scored += 1
+        new_im_id = _score_chunk_frames(
+            evaluator, quartile_ids, chunk, idx,
+            np.asarray(out.detections.boxes),
+            np.asarray(out.detections.scores),
+            np.asarray(out.detections.classes),
+            np.asarray(out.detections.valid),
+            im_id, score_every)
+        frames_scored += new_im_id - im_id
+        im_id = new_im_id
         total_frames += int(chunk.frame_valid.sum())
         t_eval += time.perf_counter() - t0
         if verbose and (idx + 1) % 10 == 0:
@@ -302,24 +324,14 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
             t_compute += time.perf_counter() - t0
 
             if cfg.memory.save_semmap:
-                # per-sequence memory snapshot, as in the serial path
-                # (ref: custom_rcnn.py:518-530 — saved at frame 0 of each
-                # chunk); first_memory carries per-stream post-frame-0 state
-                from ..ops.memory_ops import semmap_classes
-                from .checkpoint import save_memory_h5
+                # per-sequence memory snapshot, as in the serial path;
+                # first_memory carries per-stream post-frame-0 state
                 for lane_i, chunk in enumerate(metas):
                     if chunk is None:
                         continue
-                    feats = np.asarray(
-                        out.first_memory.features[lane_i])[: chunk.num_cells]
-                    obs = np.asarray(
-                        out.first_memory.obs_count[lane_i])[: chunk.num_cells]
-                    semmap = np.asarray(semmap_classes(
-                        jnp.asarray(feats), jnp.asarray(obs), zs,
-                        cfg.memory.obs_score_thresh,
-                        cfg.roi.norm_temperature))
-                    save_memory_h5(cfg.output_dir, chunk.sequence_name,
-                                   semmap, feats, obs)
+                    _save_memory_snapshot(
+                        cfg, zs, out.first_memory.features[lane_i],
+                        out.first_memory.obs_count[lane_i], chunk)
 
             t0 = time.perf_counter()
             det_boxes = np.asarray(out.detections.boxes)
@@ -329,31 +341,11 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
             for lane_i, chunk in enumerate(metas):
                 if chunk is None:
                     continue
-                serial_idx = lanes[lane_i][j]
-                t_len = chunk.images.shape[0]
-                for i in range(0, t_len, score_every):
-                    if not chunk.frame_valid[i]:
-                        continue
-                    q = min(3, (serial_idx % 100) // 25)
-                    quartile_ids[q].append(im_id)
-                    evaluator.add_image(im_id)
-                    gv = chunk.gt_valid[i]
-                    b = chunk.gt_boxes[i][gv].astype(np.float64)
-                    gx = np.trunc(b[:, 0])
-                    gy = np.trunc(b[:, 1])
-                    gw = np.trunc(b[:, 2] - b[:, 0])
-                    gh = np.trunc(b[:, 3] - b[:, 1])
-                    gb = np.stack([gx, gy, gx + gw, gy + gh], axis=1) \
-                        if len(b) else b
-                    evaluator.add_ground_truth(
-                        im_id, gb, chunk.gt_classes[i][gv],
-                        areas=np.zeros(int(gv.sum())))
-                    v = det_valid[lane_i, i]
-                    evaluator.add_detections(im_id,
-                                             det_boxes[lane_i, i][v],
-                                             det_scores[lane_i, i][v],
-                                             det_classes[lane_i, i][v])
-                    im_id += 1
+                im_id = _score_chunk_frames(
+                    evaluator, quartile_ids, chunk, lanes[lane_i][j],
+                    det_boxes[lane_i], det_scores[lane_i],
+                    det_classes[lane_i], det_valid[lane_i],
+                    im_id, score_every)
                 total_frames += int(chunk.frame_valid.sum())
             t_eval += time.perf_counter() - t0
 

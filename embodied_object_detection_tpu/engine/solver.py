@@ -32,11 +32,17 @@ def _path_str(path) -> str:
 
 
 def param_labels(params, cfg: SolverConfig) -> Any:
-    """Label tree: 'frozen' | 'backbone' | 'custom' | 'default'.
+    """Label tree: 'frozen' | 'backbone' | 'custom' | 'backbone_custom' |
+    'default'.
 
-    Mirrors custom_solver.py:24-44: name-substring routing. Our param paths
-    use 'backbone' for the ResNet trunk and 'map_merge' for the memory
-    projections (same substrings as the reference state_dict)."""
+    Mirrors custom_solver.py:24-44: name-substring routing with
+    MULTIPLICATIVE multipliers (`lr *= BACKBONE_MULTIPLIER` then
+    `lr *= CUSTOM_MULTIPLIER` — both can apply to one param, hence the
+    combined 'backbone_custom' group). The reference's `backbone.*`
+    namespace is the FPN-wrapped trunk (CustomRecurrentFPN, timm.py:54 —
+    fpn_lateral/fpn_output/map_merge_projection all live under
+    `backbone.`), so our sibling 'fpn' module belongs to the backbone
+    group too."""
     def label(path, leaf):
         name = _path_str(path)
         if any(k in name for k in FROZEN_BN_KEYS):
@@ -54,9 +60,14 @@ def param_labels(params, cfg: SolverConfig) -> Any:
                          "map_merge": "map_merge"}
                 if not any(alias.get(l, l) in name for l in cfg.unfrozen_layers):
                     return "frozen"
-        if any(n in name for n in cfg.custom_multiplier_name):
+        parts = name.split("/")
+        is_backbone = "backbone" in parts or "fpn" in parts
+        is_custom = any(n in name for n in cfg.custom_multiplier_name)
+        if is_backbone and is_custom:
+            return "backbone_custom"
+        if is_custom:
             return "custom"
-        if "backbone" in name:
+        if is_backbone:
             return "backbone"
         return "default"
 
@@ -93,9 +104,20 @@ def build_optimizer(params, cfg: SolverConfig) -> optax.GradientTransformation:
             "default": adamw(1.0),
             "backbone": adamw(cfg.backbone_multiplier),
             "custom": adamw(cfg.custom_multiplier),
+            "backbone_custom": adamw(cfg.backbone_multiplier *
+                                     cfg.custom_multiplier),
             "frozen": optax.set_to_zero(),
         },
         labels)
     if cfg.clip_gradients:
-        tx = optax.chain(optax.clip_by_global_norm(cfg.clip_value), tx)
+        # Clip over TRAINABLE grads only: the reference's
+        # FullModelGradientClippingOptimizer chains param_groups that hold
+        # requires_grad params exclusively (custom_solver.py:27-31, 56-58);
+        # FrozenBN stats are torch buffers with no grad at all. Our
+        # value_and_grad produces real grads for frozen leaves — zero them
+        # BEFORE the norm so they can't inflate it and shrink every
+        # trainable update.
+        frozen = jax.tree_util.tree_map(lambda l: l == "frozen", labels)
+        tx = optax.chain(optax.masked(optax.set_to_zero(), frozen),
+                         optax.clip_by_global_norm(cfg.clip_value), tx)
     return tx

@@ -67,6 +67,12 @@ def chunks_to_train_batch(chunks: List[EpisodeChunk], cfg: DetectorConfig,
             gcs.append(ch.gt_classes[i])
             gvs.append(ch.gt_valid[i])
     b = len(images)
+    if b == 0:
+        raise ValueError(
+            "no valid frames in the sampled chunks "
+            f"({[ch.sequence_name for ch in chunks]}) — a sensor h5 with an "
+            "empty detection_data table yields frame_valid all-False; fix "
+            "or exclude the file")
     pad = (-b) % max(pad_to_multiple, 1)
     weight = [1.0] * b + [0.0] * pad
     for _ in range(pad):
@@ -180,7 +186,8 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
     with mesh:
         state = replicate(mesh, state)
         zs_d = replicate(mesh, zs)
-        step = jit_train_step(step_fn, mesh)
+        step = jit_train_step(step_fn, mesh,
+                              data_axis=cfg.parallel.data_axis)
         t_start = time.perf_counter()
         data_t = step_t = 0.0
         dp = mesh.shape[cfg.parallel.data_axis]
@@ -194,39 +201,47 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
                                          pad_to_multiple=dp)
 
         # one-batch lookahead: host h5 reads overlap the device step (the
-        # DataLoader-workers analog, train_mp3d.py:564-573)
+        # DataLoader-workers analog, train_mp3d.py:564-573). try/finally:
+        # the finite-loss assert (or any step error) must not leave a
+        # non-daemon worker thread loading a batch nobody will consume.
         from concurrent.futures import ThreadPoolExecutor
         pool = ThreadPoolExecutor(max_workers=1)
-        pending = pool.submit(load_batch, start_iter)
-        for it in range(start_iter, max_iter):
-            t0 = time.perf_counter()
-            batch = pending.result()
-            if it + 1 < max_iter:
-                pending = pool.submit(load_batch, it + 1)
-            batch = shard_batch(mesh, batch)
-            data_t += time.perf_counter() - t0
+        try:
+            pending = pool.submit(load_batch, start_iter)
+            for it in range(start_iter, max_iter):
+                t0 = time.perf_counter()
+                batch = pending.result()
+                if it + 1 < max_iter:
+                    pending = pool.submit(load_batch, it + 1)
+                batch = shard_batch(mesh, batch,
+                                    axis=cfg.parallel.data_axis)
+                data_t += time.perf_counter() - t0
 
-            t0 = time.perf_counter()
-            state, losses = step(state, batch, zs_d)
-            total = float(losses["total_loss"])
-            step_t += time.perf_counter() - t0
-            # ref: train_mp3d.py:618 — finite-loss assert
-            assert math.isfinite(total), \
-                {k: float(v) for k, v in losses.items()}
+                t0 = time.perf_counter()
+                state, losses = step(state, batch, zs_d)
+                total = float(losses["total_loss"])
+                step_t += time.perf_counter() - t0
+                # ref: train_mp3d.py:618 — finite-loss assert
+                assert math.isfinite(total), \
+                    {k: float(v) for k, v in losses.items()}
 
-            if (it + 1) % log_period == 0:
-                scalars = {k: float(v) for k, v in losses.items()}
-                scalars["data_time"] = data_t / log_period
-                scalars["time"] = step_t / log_period
-                writer.write(it + 1, scalars)
-                if verbose:
-                    eta = (max_iter - it - 1) * (time.perf_counter() - t_start) \
-                        / max(it + 1 - start_iter, 1)
-                    print(f"iter {it + 1}/{max_iter} total_loss {total:.4f} "
-                          f"step {step_t / log_period:.3f}s eta {eta/60:.1f}m")
-                data_t = step_t = 0.0
-            checkpointer.step(it, state)
-            if eval_period > 0 and (it + 1) % eval_period == 0 and eval_fn:
-                eval_fn(state)
-        pool.shutdown(wait=False)
+                if (it + 1) % log_period == 0:
+                    scalars = {k: float(v) for k, v in losses.items()}
+                    scalars["data_time"] = data_t / log_period
+                    scalars["time"] = step_t / log_period
+                    writer.write(it + 1, scalars)
+                    if verbose:
+                        eta = (max_iter - it - 1) * \
+                            (time.perf_counter() - t_start) \
+                            / max(it + 1 - start_iter, 1)
+                        print(f"iter {it + 1}/{max_iter} "
+                              f"total_loss {total:.4f} "
+                              f"step {step_t / log_period:.3f}s "
+                              f"eta {eta/60:.1f}m")
+                    data_t = step_t = 0.0
+                checkpointer.step(it, state)
+                if eval_period > 0 and (it + 1) % eval_period == 0 and eval_fn:
+                    eval_fn(state)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
     return state

@@ -12,15 +12,18 @@ from common import tiny_config
 
 def expected_label(path: str) -> str:
     """Independent re-derivation of custom_solver.py:24-44 semantics:
-    FrozenBN never trains; map_merge gets CUSTOM_MULTIPLIER; everything in
-    the ResNet trunk gets BACKBONE_MULTIPLIER; the rest is default."""
+    FrozenBN never trains; the reference's `backbone.*` namespace is the
+    FPN-wrapped trunk (timm.py:54 CustomRecurrentFPN — fpn_lateral /
+    fpn_output / map_merge_projection all live under `backbone.`), and
+    BACKBONE_MULTIPLIER and CUSTOM_MULTIPLIER are MULTIPLICATIVE (both
+    `lr *=` lines can fire for one param), so map_merge gets both."""
     if re.search(r"/(running_mean|running_var)$", path):
         return "frozen"
     if re.search(r"/(bn\d|downsample_bn)/(weight|bias)$", path):
         return "frozen"
     if "map_merge_projection" in path:
-        return "custom"
-    if path.startswith("params/backbone/"):
+        return "backbone_custom"
+    if path.startswith(("params/backbone/", "params/fpn/")):
         return "backbone"
     return "default"
 
@@ -51,6 +54,40 @@ def test_full_flagship_tree_labels():
     for l in flat_labels.values():
         counts[l] = counts.get(l, 0) + 1
     assert counts["frozen"] > 100       # all FrozenBN stats + affines
-    assert counts["custom"] == 6        # 3 map_merge projections x (k, b)
-    assert counts["backbone"] > 50      # trunk convs
-    assert counts["default"] > 50       # fpn/centernet/roi_heads
+    # 3 map_merge projections x (k, b): backbone x custom product group
+    assert counts["backbone_custom"] == 6
+    assert counts["backbone"] > 50      # trunk + fpn convs
+    assert counts["default"] > 50       # centernet/roi_heads
+
+
+def test_clip_ignores_frozen_grads():
+    """Gradient clipping must see only trainable grads: the reference
+    clips chained param_groups that contain requires_grad params only
+    (custom_solver.py:27-31, 56-58) — a huge grad on a frozen leaf must
+    not shrink the trainable update."""
+    import jax.numpy as jnp
+    import numpy as np
+    from embodied_object_detection_tpu.config import SolverConfig
+    from embodied_object_detection_tpu.engine.solver import build_optimizer
+
+    cfg = SolverConfig(clip_gradients=True, clip_value=1.0)
+    params = {"params": {
+        "roi_heads": {"w": jnp.ones((4,))},
+        "backbone": {"stem": {"bn1": {"running_mean": jnp.zeros((4,))}}},
+    }}
+    tx = build_optimizer(params, cfg)
+    state = tx.init(params)
+    small = {"params": {
+        "roi_heads": {"w": jnp.full((4,), 0.1)},
+        # astronomically large garbage grad on the frozen stat: if it
+        # reaches the clip, the trainable grad is scaled to ~1e-31 and
+        # adam's eps swallows it (update ~1e-23); clipped correctly the
+        # trainable update is ~lr (>1e-12 even at warmup-factor lr)
+        "backbone": {"stem": {"bn1": {"running_mean": jnp.full((4,), 1e30)}}},
+    }}
+    upd, _ = tx.update(small, state, params)
+    w_upd = np.asarray(upd["params"]["roi_heads"]["w"])
+    assert np.all(np.abs(w_upd) > 1e-12), w_upd
+    np.testing.assert_array_equal(
+        np.asarray(upd["params"]["backbone"]["stem"]["bn1"]["running_mean"]),
+        0.0)

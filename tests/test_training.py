@@ -139,7 +139,9 @@ def test_param_labels_and_freezing():
     p = labels["params"]
     assert p["backbone"]["layer1_0"]["bn1"]["running_mean"] == "frozen"
     assert p["backbone"]["layer1_0"]["conv1"]["kernel"] == "backbone"
-    assert p["fpn"]["map_merge_projection1"]["kernel"] == "custom"
+    # fpn lives under the reference's `backbone.*` namespace (timm.py:54)
+    # and the lr multipliers stack multiplicatively (custom_solver.py:24-44)
+    assert p["fpn"]["map_merge_projection1"]["kernel"] == "backbone_custom"
     assert p["roi_heads"]["box_head0"]["fc1"]["kernel"] == "default"
 
 
