@@ -49,7 +49,10 @@ def _worker(conn, env_fn, auto_reset_done=False):
                 conn.send(env.reset())
             elif cmd == _CALL:
                 name, args, kwargs = data
-                conn.send(getattr(env, name)(*args, **kwargs))
+                attr = getattr(env, name)
+                # non-callable attributes are returned directly, like
+                # habitat's VectorEnv._worker_env (vector_env.py CALL_COMMAND)
+                conn.send(attr(*args, **kwargs) if callable(attr) else attr)
             elif cmd == _CLOSE:
                 if hasattr(env, "close"):
                     env.close()
@@ -184,7 +187,8 @@ class ThreadedVectorEnv(VectorEnv):
                 r.put(env.reset())
             elif cmd == _CALL:
                 name, args, kwargs = data
-                r.put(getattr(env, name)(*args, **kwargs))
+                attr = getattr(env, name)
+                r.put(attr(*args, **kwargs) if callable(attr) else attr)
 
     @property
     def num_envs(self):

@@ -33,7 +33,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from embodied_object_detection_tpu.rl.ppo import (
-    PPOConfig, PPOState, make_ppo)
+    PPOConfig, PPOState, distributed_mean_and_var, make_ppo)
 
 __all__ = [
     "make_ddppo", "distributed_mean_and_var", "EXIT", "REQUEUE",
@@ -46,12 +46,8 @@ __all__ = [
 # Distributed update
 # --------------------------------------------------------------------------
 
-def distributed_mean_and_var(values: jnp.ndarray, axis_name: str):
-    """Global mean/var across a named mesh axis (ddppo.py:18-42)."""
-    n = jax.lax.psum(jnp.asarray(values.size, jnp.float32), axis_name)
-    mean = jax.lax.psum(values.sum(), axis_name) / n
-    var = jax.lax.psum(((values - mean) ** 2).sum(), axis_name) / n
-    return mean, var
+# distributed_mean_and_var lives in ppo.py (the local update uses it under
+# shard_map too) and is re-exported here for its reference-analog home.
 
 
 def make_ddppo(evaluate_actions: Callable, cfg: PPOConfig, mesh: Mesh,
@@ -81,17 +77,28 @@ def make_ddppo(evaluate_actions: Callable, cfg: PPOConfig, mesh: Mesh,
         specs["hidden0"] = P(axis)
         return specs
 
-    def update(state: PPOState, batch: Dict, perm_key: jax.Array):
-        batch_specs = _spec_for_batch(batch)
-        replicated = jax.tree_util.tree_map(lambda _: P(), state)
+    # One compiled program per (state, batch) tree structure: a fresh
+    # shard_map closure + jax.jit wrapper per call would defeat the jit
+    # cache (it is keyed on the wrapper object) and recompile the whole
+    # epoch x minibatch program every update — minutes per PPO update on
+    # TPU. Structures are stable across a run, so this compiles once.
+    compiled = {}
 
-        sharded = shard_map(
-            local_update, mesh=mesh,
-            in_specs=(replicated, batch_specs, P()),
-            out_specs=(replicated,
-                       {"value_loss": P(), "action_loss": P(),
-                        "dist_entropy": P()}))
-        return jax.jit(sharded)(state, batch, perm_key)
+    def update(state: PPOState, batch: Dict, perm_key: jax.Array):
+        key = (jax.tree_util.tree_structure(state),
+               jax.tree_util.tree_structure(batch))
+        fn = compiled.get(key)
+        if fn is None:
+            batch_specs = _spec_for_batch(batch)
+            replicated = jax.tree_util.tree_map(lambda _: P(), state)
+            fn = jax.jit(shard_map(
+                local_update, mesh=mesh,
+                in_specs=(replicated, batch_specs, P()),
+                out_specs=(replicated,
+                           {"value_loss": P(), "action_loss": P(),
+                            "dist_entropy": P()})))
+            compiled[key] = fn
+        return fn(state, batch, perm_key)
 
     return init_state, update
 

@@ -162,8 +162,11 @@ class HabitatSim:
         return buf[..., :3].astype(np.uint8)
 
     def render_depth(self) -> np.ndarray:
+        # [H, W, 1] — the GridSimulator/StreamSim contract that
+        # nav.DepthSensor's observation_space (*image_hw, 1) and the
+        # RolloutStorage buffers allocated from it both rely on.
         buf = np.asarray(self._obs["depth"], np.float32)
-        return buf.reshape(buf.shape[0], buf.shape[1])
+        return buf.reshape(buf.shape[0], buf.shape[1], 1)
 
     # ------------------------------------------------------------- misc
     def seed(self, seed: int) -> None:

@@ -27,7 +27,18 @@ import optax
 
 EPS_PPO = 1e-5
 
-__all__ = ["PPOConfig", "PPOState", "make_ppo", "ppo_loss"]
+__all__ = ["PPOConfig", "PPOState", "make_ppo", "ppo_loss",
+           "distributed_mean_and_var"]
+
+
+def distributed_mean_and_var(values: jnp.ndarray, axis_name: str):
+    """Global mean/var across a named mesh axis (ddppo.py:18-42). Lives
+    here (not ddppo.py) because the local PPO update also uses it when run
+    under shard_map; ddppo re-exports it."""
+    n = jax.lax.psum(jnp.asarray(values.size, jnp.float32), axis_name)
+    mean = jax.lax.psum(values.sum(), axis_name) / n
+    var = jax.lax.psum(((values - mean) ** 2).sum(), axis_name) / n
+    return mean, var
 
 
 @dataclass(frozen=True)
@@ -131,10 +142,7 @@ def make_ppo(evaluate_actions: Callable, cfg: PPOConfig,
         if axis_name is None:
             mean, var = adv.mean(), adv.var()
         else:
-            # distributed_mean_and_var (ddppo.py:18-42)
-            n = jax.lax.psum(jnp.asarray(adv.size, jnp.float32), axis_name)
-            mean = jax.lax.psum(adv.sum(), axis_name) / n
-            var = jax.lax.psum(((adv - mean) ** 2).sum(), axis_name) / n
+            mean, var = distributed_mean_and_var(adv, axis_name)
         return (adv - mean) / (jnp.sqrt(var) + EPS_PPO)
 
     def _minibatch_step(carry, env_idx):

@@ -71,8 +71,11 @@ def main(argv: Optional[list] = None) -> int:
     if args.distributed:
         from jax.sharding import Mesh
         mesh = Mesh(np.array(jax.devices()), ("data",))
-        assert args.num_envs % len(jax.devices()) == 0, (
-            "num_envs must divide the device count for DD-PPO")
+        n_dev = len(jax.devices())
+        assert args.num_envs % n_dev == 0, (
+            f"num_envs ({args.num_envs}) must be a multiple of the device "
+            f"count ({n_dev}) for DD-PPO; per-device envs must also be "
+            f"divisible by --num-mini-batch ({args.num_mini_batch})")
 
     cfg = PPOTrainerConfig(
         num_envs=args.num_envs, num_steps=args.num_steps,

@@ -192,11 +192,23 @@ class GridSimulator:
 
     # -- rendering ---------------------------------------------------------
     def _raycast(self) -> np.ndarray:
-        """Per-column distance to the nearest occupied cell (DDA raycast
-        over the grid) -> [W] metres."""
+        """Per-column PLANAR depth (forward z to the nearest occupied cell,
+        DDA raycast over the grid) -> [W] metres.
+
+        Pinhole convention: tan-linear columns with fx = (W/2)/tan(hfov/2)
+        and cx = int(W/2)-1, matching habitat-sim's depth camera and the
+        SLAM mapper's back-projection (slam.py DirectDepthMapper /
+        mappers.py:18-36 — x = z*(u-cx)/fx assumes z is the forward
+        component at tan-linear pixels). Returning the raw Euclidean march
+        distance at angle-linear columns would misregister obstacles ~41%
+        too far at the image edge under the 90-degree hfov; planar depth is
+        also the classic fisheye correction for the column render."""
         h, w = self.image_hw
-        angles = self.agent.rotation + np.linspace(
-            self.hfov / 2, -self.hfov / 2, w)
+        fx = (w / 2.0) / np.tan(self.hfov / 2.0)
+        cx = int(w / 2) - 1
+        # relative angle per column: +~hfov/2 (left) at u=0, negative right
+        rel = np.arctan2(cx - np.arange(w, dtype=np.float64), fx)
+        angles = self.agent.rotation + rel
         occ = self._occ
         n = occ.shape[0]
         step = self.cell_m * 0.5
@@ -212,7 +224,8 @@ class GridSimulator:
         hit = occ[rs, cs]                                      # [S, W]
         first = np.argmax(hit, axis=0)                         # 0 if none hit
         any_hit = hit.any(axis=0)
-        depth = np.where(any_hit, (first + 1) * step, self.max_depth)
+        depth = np.where(any_hit, (first + 1) * step * np.cos(rel),
+                         self.max_depth)
         return depth.astype(np.float32)
 
     def render_depth(self) -> np.ndarray:

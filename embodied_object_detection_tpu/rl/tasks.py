@@ -121,23 +121,39 @@ def make_objectnav_dataset(sim: GridSimulator, scene_ids: Sequence[str],
         objs = place_objects(sim, scene)
         sim._scene_id = scene
         sim._occ = sim.scene_occupancy(scene)
-        for k in range(episodes_per_scene):
+        made = 0
+        attempts = 0
+        # Reachability gate, as in make_pointnav_dataset (sim.py): random
+        # rectangle scenes can enclose free pockets, and a start (or every
+        # goal instance) inside one yields inf geodesic distance ->
+        # DistanceToGoal=inf -> NaN rewards poisoning PPO. Require at least
+        # one reachable instance and drop the unreachable ones.
+        while made < episodes_per_scene and \
+                attempts < 200 * episodes_per_scene:
+            attempts += 1
             target = objs[rng.randint(len(objs))]
             goals = [o.position for o in objs
                      if o.category_id == target.category_id]
             start = sim.sample_navigable_point(scene, rng)
+            dists = [sim.geodesic_distance(start, g) for g in goals]
+            goals = [g for g, d in zip(goals, dists) if np.isfinite(d)]
+            dists = [d for d in dists if np.isfinite(d)]
+            if not goals:
+                continue
             # pointgoal sensor still needs a single reference goal: use
             # the nearest instance (the sensor is auxiliary in objectnav)
-            dists = [sim.geodesic_distance(start, g) for g in goals]
             nearest = goals[int(np.argmin(dists))]
             episodes.append(Episode(
-                episode_id=f"{scene}:on{k}", scene_id=scene,
+                episode_id=f"{scene}:on{made}", scene_id=scene,
                 start_position=start,
                 start_rotation=float(rng.uniform(0, 2 * np.pi)),
                 info={"goal": nearest.tolist(),
                       "goal_positions": [g.tolist() for g in goals],
                       "category": target.category,
                       "category_id": target.category_id}))
+            made += 1
+    if not episodes:
+        raise RuntimeError("failed to sample any objectnav episodes")
     return Dataset(episodes)
 
 
@@ -239,15 +255,25 @@ def make_eqa_dataset(sim: GridSimulator, scene_ids: Sequence[str],
         objs = place_objects(sim, scene)
         sim._scene_id = scene
         sim._occ = sim.scene_occupancy(scene)
-        for k in range(episodes_per_scene):
+        made = 0
+        attempts = 0
+        while made < episodes_per_scene and \
+                attempts < 200 * episodes_per_scene:
+            attempts += 1
+            k = made
             qi = rng.randint(len(objs))
             others = [o for i, o in enumerate(objs) if i != qi]
             if not others:
-                continue
+                break
             d = [np.linalg.norm(o.position - objs[qi].position)
                  for o in others]
             answer = others[int(np.argmin(d))]
             start = sim.sample_navigable_point(scene, rng)
+            # reachability gate (see make_objectnav_dataset)
+            if not np.isfinite(
+                    sim.geodesic_distance(start, objs[qi].position)):
+                continue
+            made += 1
             episodes.append(Episode(
                 episode_id=f"{scene}:eqa{k}", scene_id=scene,
                 start_position=start,
@@ -297,9 +323,19 @@ def make_vln_dataset(sim: GridSimulator, scene_ids: Sequence[str],
         objs = place_objects(sim, scene)
         sim._scene_id = scene
         sim._occ = sim.scene_occupancy(scene)
-        for k in range(episodes_per_scene):
+        made = 0
+        attempts = 0
+        while made < episodes_per_scene and \
+                attempts < 200 * episodes_per_scene:
+            attempts += 1
+            k = made
             target = objs[rng.randint(len(objs))]
             start = sim.sample_navigable_point(scene, rng)
+            # reachability gate (see make_objectnav_dataset)
+            if not np.isfinite(
+                    sim.geodesic_distance(start, target.position)):
+                continue
+            made += 1
             mid = (np.asarray(start) + np.asarray(target.position)) / 2.0
             episodes.append(Episode(
                 episode_id=f"{scene}:vln{k}", scene_id=scene,

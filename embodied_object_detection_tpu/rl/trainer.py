@@ -67,12 +67,11 @@ class PPOTrainer:
         self.envs = vector_env_cls(
             [(lambda i=i: env_fn(i)) for i in range(cfg.num_envs)],
             auto_reset_done=True)
-        # observation/action spaces from a throwaway env 0
-        space_env = env_fn(0)
-        self._obs_space = space_env.observation_space
-        self._num_actions = space_env.action_space.n
-        if hasattr(space_env, "close"):
-            space_env.close()
+        # observation/action spaces from the pool's own env 0 (habitat's
+        # VectorEnv CALL pattern) — a throwaway env_fn(0) would rerun the
+        # whole dataset generation (Dijkstra floods per goal) a second time
+        self._obs_space = self.envs.call("observation_space")[0]
+        self._num_actions = self.envs.call("action_space")[0].n
 
         self.policy = PointNavPolicy(
             dim_actions=self._num_actions, hidden_size=cfg.hidden_size,
@@ -182,9 +181,14 @@ class PPOTrainer:
                                                 interrupted["params"])
                 opt_state = jax.tree_util.tree_map(
                     jnp.asarray, interrupted["opt_state"])
-                self.state = self.state._replace(params=params,
-                                                 opt_state=opt_state)
                 start_update = int(interrupted.get("update", 0))
+                # update_idx paces the linear lr/clip decay schedules —
+                # without restoring it a requeue snaps clip_param back to
+                # its full value (lr only survives via Adam's count)
+                self.state = self.state._replace(
+                    params=params, opt_state=opt_state,
+                    update_idx=jnp.asarray(start_update,
+                                           self.state.update_idx.dtype))
                 self.num_steps_done = int(interrupted.get("steps", 0))
             if interrupted is not None:
                 # consume the state file either way: a fingerprint mismatch

@@ -150,9 +150,10 @@ def test_state_and_motion_conventions(fake_habitat):
     assert abs((h1 - h0 - math.radians(10) + np.pi) % (2 * np.pi) - np.pi) \
         < 1e-6
 
-    # rendering drops alpha / squeezes depth
+    # rendering drops alpha; depth keeps the [H, W, 1] channel the
+    # GridSimulator contract (DepthSensor space, RolloutStorage) requires
     assert sim.render_rgb().shape == (16, 24, 3)
-    assert sim.render_depth().shape == (16, 24)
+    assert sim.render_depth().shape == (16, 24, 1)
     # geodesic on the nav plane
     assert sim.geodesic_distance(np.asarray([0.0, 0.0]),
                                  np.asarray([3.0, 4.0])) == pytest.approx(5.0)

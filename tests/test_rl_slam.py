@@ -110,6 +110,30 @@ def test_mapper_marks_wall_ahead():
     assert counts.sum() > 0  # wall points registered
 
 
+def test_raycast_planar_depth_flat_wall():
+    """A flat wall perpendicular to the heading must back-project onto a
+    single plane: render_depth is PLANAR pinhole z-depth at tan-linear
+    columns (the mapper's convention, mappers.py:18-36) — raw Euclidean
+    ray distance at angle-linear columns would put edge columns ~41%
+    too deep under the default 90-degree hfov."""
+    sim = GridSimulator(image_hw=(8, 64))
+    # face the -x border wall from ~1 m away: every ray within +-45 deg
+    # hits the same wall plane (scene is 12.8 m wide, agent at mid-z)
+    sim.reset(Episode("e", "slamscene",
+                      np.array([1.0, 6.4], np.float32), float(np.pi)))
+    depth = sim.render_depth()[0, :, 0]                 # one row, [W]
+    # planar depth of a flat wall is constant across columns up to the
+    # DDA march quantization (step = cell_m/2, plus cell rounding)
+    assert float(depth.max() - depth.min()) < 3 * sim.cell_m, depth
+    # and the camera-frame point cloud lands on one z-plane
+    w = depth.shape[0]
+    fx, cx = w / 2.0, int(w / 2) - 1
+    pcl = np.asarray(depth2local3d(jnp.asarray(
+        np.broadcast_to(depth, (8, w)).copy()), fx, 8 / 2.0, cx, 3))
+    z = pcl[:, 2]
+    assert float(z.max() - z.min()) < 3 * sim.cell_m
+
+
 def test_slam_agent_navigates():
     env = make_nav_rl_env(scene_ids=("slam0",), episodes_per_scene=4,
                           seed=0, max_episode_steps=120, with_rgb=False)

@@ -78,6 +78,30 @@ def test_vln_instruction_and_path():
     env.close()
 
 
+def test_dataset_generators_gate_reachability():
+    """Every generated episode must have a finite start->goal geodesic:
+    random rectangle scenes can enclose free pockets, and an unreachable
+    goal makes DistanceToGoal inf -> NaN rewards poisoning PPO (the gate
+    make_pointnav_dataset always had, applied to all task generators)."""
+    sim = GridSimulator(render_rgb=False)
+    for make_ds, goal_key in ((T.make_objectnav_dataset, "goal_positions"),
+                              (T.make_eqa_dataset, "goal"),
+                              (T.make_vln_dataset, "goal")):
+        # several scenes for coverage; the seed-salted scenes differ
+        ds = make_ds(sim, [f"reach{i}" for i in range(4)],
+                     episodes_per_scene=4, seed=3)
+        assert len(ds.episodes) > 0
+        for ep in ds.episodes:
+            sim._scene_id = ep.scene_id
+            sim._occ = sim.scene_occupancy(ep.scene_id)
+            goals = ep.info[goal_key]
+            goals = goals if goal_key == "goal_positions" else [goals]
+            dists = [sim.geodesic_distance(
+                np.asarray(ep.start_position), np.asarray(g))
+                for g in goals]
+            assert np.all(np.isfinite(dists)), (ep.episode_id, dists)
+
+
 def test_place_objects_deterministic():
     sim = GridSimulator(render_rgb=False)
     a = T.place_objects(sim, "detscene")
