@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _bilinear_sample_zero_pad(img: jax.Array, y: jax.Array, x: jax.Array
-                              ) -> jax.Array:
+def bilinear_sample_zero_pad(img: jax.Array, y: jax.Array, x: jax.Array
+                             ) -> jax.Array:
     """img [H, W, C]; y, x [...] continuous coords -> [..., C] with zero
     padding outside [0, H-1] x [0, W-1] (grid_sample-style hat weights —
     border pixels fade out over the last unit, exactly the CUDA
@@ -86,12 +86,16 @@ def modulated_deform_conv(x: jax.Array, offset: jax.Array,
     sy = base_y + off[..., 0]
     sx = base_x + off[..., 1]
 
-    vals = _bilinear_sample_zero_pad(x.astype(jnp.float32), sy, sx)
+    vals = bilinear_sample_zero_pad(x.astype(jnp.float32), sy, sx)
     if mask is not None:
         m = mask.reshape(ho, wo, kh, kw)
         vals = vals * m[..., None]
     # contract taps x Cin with the weights on the MXU
+    # precision=HIGHEST: the CUDA ModulatedDeformConv reference is fp32-only
+    # and TPU matmuls otherwise round inputs to bf16 even after the f32
+    # casts above (preferred_element_type only fixes the accumulator)
     out = jnp.einsum("hwabc,abcd->hwd", vals, weight.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias

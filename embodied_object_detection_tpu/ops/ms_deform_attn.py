@@ -24,26 +24,11 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-
-def _bilinear_zero_pad(value: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
-    """value [H, W, C]; x, y [...] continuous pixel coords (align_corners=False
-    convention, i.e. already unnormalized to H/W grid). Zero padding."""
-    h, w, _ = value.shape
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    lx = x - x0
-    ly = y - y0
-
-    def tap(yy, xx):
-        inside = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
-        v = value[jnp.clip(yy, 0, h - 1).astype(jnp.int32),
-                  jnp.clip(xx, 0, w - 1).astype(jnp.int32)]
-        return jnp.where(inside[..., None], v, 0.0)
-
-    return (tap(y0, x0) * ((1 - ly) * (1 - lx))[..., None] +
-            tap(y0, x0 + 1) * ((1 - ly) * lx)[..., None] +
-            tap(y0 + 1, x0) * (ly * (1 - lx))[..., None] +
-            tap(y0 + 1, x0 + 1) * (ly * lx)[..., None])
+# Shared grid-sample-style zero-pad sampler (validity folded into the
+# SCALAR tap weights — cheaper than masking gathered [..., C] vectors,
+# same reasoning as roi_align.py's tap weighting).
+from embodied_object_detection_tpu.ops.deform_conv import (
+    bilinear_sample_zero_pad)
 
 
 @partial(jax.jit, static_argnames=("spatial_shapes",))
@@ -73,8 +58,9 @@ def ms_deform_attn(value: jax.Array,
         # grid_sample align_corners=False: unnormalized = loc * size - 0.5
         x = loc[..., 0] * w - 0.5
         y = loc[..., 1] * h - 0.5
-        sampled = jax.vmap(_bilinear_zero_pad, in_axes=(0, 1, 1), out_axes=1)(
-            v, x, y)                                     # [Q, M, P, D]
+        sampled = jax.vmap(bilinear_sample_zero_pad,
+                           in_axes=(0, 1, 1), out_axes=1)(
+            v, y, x)                                     # [Q, M, P, D]
         outputs.append(sampled * attention_weights[:, :, lvl][..., None])
     out = sum(outputs).sum(axis=2)                       # [Q, M, D]
     return out.reshape(q, m * d)

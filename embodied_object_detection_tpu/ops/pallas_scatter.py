@@ -63,8 +63,9 @@ def scatter_sum_pallas(pix_w: jax.Array, idx: jax.Array, num_cells: int,
     """segment_sum(pix_w [P, N], idx [P]) -> [num_cells, N] float32.
 
     P is padded to a multiple of pixel_tile (padded rows carry idx -1, which
-    matches no cell); N should be a multiple of 128 for MXU efficiency;
-    num_cells a multiple of cell_tile.
+    matches no cell); N should be a multiple of 128 for MXU efficiency.
+    `cell_tile` is ignored — the kernel picks its own internal tile — and
+    kept only for call-site compatibility.
 
     NOTE: the one-hot product accumulates in bf16 x bf16 -> f32 on the MXU;
     the one-hot factor is exact in bf16, so precision equals a bf16 rounding
@@ -72,7 +73,6 @@ def scatter_sum_pallas(pix_w: jax.Array, idx: jax.Array, num_cells: int,
     small rationals), and the final feature matmul stays f32.
     """
     p, n = pix_w.shape
-    assert num_cells % cell_tile == 0
     pad = (-p) % pixel_tile
     if pad:
         pix_w = jnp.pad(pix_w, ((0, pad), (0, 0)))
@@ -86,12 +86,12 @@ def scatter_sum_pallas(pix_w: jax.Array, idx: jax.Array, num_cells: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec((pixel_tile, 1), lambda j: (j, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((pixel_tile, n), lambda j: (j, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((num_cells, n), lambda j: (0, 0),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_cells, n), jnp.float32),
         interpret=interpret,
     )(idx.reshape(-1, 1).astype(jnp.int32), pix_w.astype(jnp.float32))

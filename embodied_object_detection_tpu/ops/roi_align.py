@@ -124,8 +124,16 @@ def multilevel_roi_align(features: Sequence[jax.Array], boxes: jax.Array,
     bases = jnp.array(bases_list, jnp.int32)
     flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
 
-    # levels are log2(stride): (8,16,32) -> (3,4,5)
+    # levels are log2(stride): (8,16,32) -> (3,4,5). Level routing below
+    # indexes feature maps by (assigned_level - lvls[0]), which is only
+    # correct for a contiguous power-of-two pyramid — guard loudly rather
+    # than silently pooling a mid-size box from the wrong level.
     lvls = [int(math.log2(s)) for s in strides]
+    if tuple(2 ** l for l in lvls) != tuple(strides) or \
+            lvls != list(range(lvls[0], lvls[0] + num_levels)):
+        raise ValueError(
+            f"multilevel_roi_align needs contiguous power-of-two strides "
+            f"(e.g. (8, 16, 32)); got {strides}")
     lvl_of_roi = assign_levels(boxes, lvls[0], lvls[-1], canonical_box_size,
                                canonical_level) - lvls[0]        # [R] in [0, L)
 
