@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from ..config import DetectorConfig
 from ..ops.ms_deform_attn import ms_deform_attn
-from ..structures import Detections, GroundTruth
+from ..structures import Detections, GroundTruth, giou_xyxy
 
 
 def position_embedding_sine(h: int, w: int, dim: int = 256,
@@ -213,17 +213,27 @@ class DeformableDETR(nn.Module):
     # decoder queries + 4-d reference points; the extra (dec_layers-th)
     # class/bbox head scores the encoder stage.
     two_stage: bool = False
+    # trailing features already projected to hidden_dim by the caller (the
+    # detector's stride-2 extra level carries its own conv+GN, matching the
+    # reference's single Conv2d(3,s2)+GN input_proj for extra levels —
+    # deformable_detr.py input_proj extra-level branch); 0 = project all
+    pre_projected: int = 0
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array],
                  zs_weight: Optional[jax.Array] = None) -> DETROutputs:
+        from .layers import GroupNorm
         c = self.hidden_dim
         shapes = tuple((f.shape[0], f.shape[1]) for f in features)
         srcs, poss, refs = [], [], []
+        n_proj = len(features) - self.pre_projected
         for i, f in enumerate(features):
-            s = nn.Conv(c, (1, 1), name=f"input_proj{i}")(f.astype(jnp.float32))
-            s = nn.GroupNorm(num_groups=32, name=f"input_gn{i}")(
-                s.reshape(1, *s.shape))[0]
+            if i < n_proj:
+                s = nn.Conv(c, (1, 1),
+                            name=f"input_proj{i}")(f.astype(jnp.float32))
+                s = GroupNorm(num_groups=32, name=f"input_gn{i}")(s)
+            else:
+                s = f.astype(jnp.float32)
             h, w = shapes[i]
             pos = position_embedding_sine(h, w, c) + \
                 self.param(f"level_embed{i}", nn.initializers.normal(1.0), (c,))
@@ -266,9 +276,8 @@ class DeformableDETR(nn.Module):
                     jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
                 # fp32 zs_weight logits (CLAUDE.md matmul rule; mirrors
                 # ZeroShotPredictor roi_heads.py:108-110)
-                import jax as _jax
                 return jnp.dot(emb, zs_weight[:, :self.num_classes],
-                               precision=_jax.lax.Precision.HIGHEST,
+                               precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
             return cls_heads[k](x)
 
@@ -365,17 +374,21 @@ class DeformableDetrDetector(nn.Module):
         from .resnet import ResNet50
         self.backbone = ResNet50(depths=self.cfg.backbone.depths,
                                  dtype=jnp.float32, name="backbone")
+        from .layers import GroupNorm
         self.detr = DeformableDETR(
             num_classes=self.cfg.roi.num_classes,
             num_queries=self.num_queries,
             use_zeroshot=self.use_zeroshot,
             with_box_refine=self.with_box_refine,
-            two_stage=self.two_stage, name="detr")
-        # extra level: stride-2 3x3 conv on C5 (ref: deformable_detr.py
-        # input_proj extra levels)
+            two_stage=self.two_stage, pre_projected=1, name="detr")
+        # extra level: a SINGLE stride-2 3x3 conv + GN on C5 is that level's
+        # whole input_proj (ref: deformable_detr.py input_proj extra-level
+        # branch builds Conv2d(k=3,s=2)+GroupNorm, nothing more); the DETR
+        # trunk is told it is pre-projected so no second 1x1 is stacked on
         self.extra_level = nn.Conv(self.detr.hidden_dim, (3, 3),
                                    strides=(2, 2), padding=1,
                                    dtype=jnp.float32, name="extra_level")
+        self.extra_gn = GroupNorm(num_groups=32, name="extra_gn")
 
     def _normalize(self, image):
         mean = jnp.asarray(self.cfg.input.pixel_mean, jnp.float32)
@@ -385,7 +398,7 @@ class DeformableDetrDetector(nn.Module):
     def __call__(self, image: jax.Array,
                  zs_weight: Optional[jax.Array] = None) -> DETROutputs:
         c3, c4, c5 = self.backbone(self._normalize(image))
-        c6 = self.extra_level(c5.astype(jnp.float32))
+        c6 = self.extra_gn(self.extra_level(c5.astype(jnp.float32)))
         return self.detr((c3, c4, c5, c6), zs_weight)
 
 
@@ -400,7 +413,12 @@ def detr_train_step_host_matched(model: "DeformableDetrDetector", params,
     q = model.num_queries
     g = gt.boxes.shape[0]
 
-    out = model.apply(params, image, zs_weight)
+    # single forward: take the vjp so the backward pass can reuse this
+    # primal instead of re-running the whole trunk inside value_and_grad
+    # (the matcher is no-grad, so matching on the primal outputs and then
+    # pulling the loss cotangent back through vjp is exact)
+    out, pullback = jax.vjp(
+        lambda p: model.apply(p, image, zs_weight), params)
 
     def pad_match(logits, boxes, targets):
         cost = matcher_cost_matrix(logits, boxes, targets, image_hw)
@@ -423,8 +441,7 @@ def detr_train_step_host_matched(model: "DeformableDetrDetector", params,
     if out.enc_logits is not None:
         enc_match = pad_match(out.enc_logits, out.enc_boxes_cxcywh, bin_gt)
 
-    def loss_fn(p):
-        o = model.apply(p, image, zs_weight)
+    def loss_fn(o):
         total = 0.0
         aux = {}
         for layer, (mq, mg, mv) in enumerate(matches):
@@ -442,7 +459,10 @@ def detr_train_step_host_matched(model: "DeformableDetrDetector", params,
                 total = total + v
         return total, aux
 
-    return jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (total, aux), out_grad = jax.value_and_grad(
+        loss_fn, has_aux=True)(out)
+    (grads,) = pullback(out_grad)
+    return (total, aux), grads
 
 
 # =========================================================================
@@ -454,22 +474,6 @@ def boxes_cxcywh_to_xyxy(b: jax.Array) -> jax.Array:
     return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
 
 
-def _giou_xyxy(a, b):
-    ix1 = jnp.maximum(a[..., 0], b[..., 0])
-    iy1 = jnp.maximum(a[..., 1], b[..., 1])
-    ix2 = jnp.minimum(a[..., 2], b[..., 2])
-    iy2 = jnp.minimum(a[..., 3], b[..., 3])
-    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
-    area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
-    area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
-    union = area_a + area_b - inter
-    iou = inter / jnp.maximum(union, 1e-7)
-    cx1 = jnp.minimum(a[..., 0], b[..., 0])
-    cy1 = jnp.minimum(a[..., 1], b[..., 1])
-    cx2 = jnp.maximum(a[..., 2], b[..., 2])
-    cy2 = jnp.maximum(a[..., 3], b[..., 3])
-    area_c = (cx2 - cx1) * (cy2 - cy1)
-    return iou - (area_c - union) / jnp.maximum(area_c, 1e-7)
 
 
 def matcher_cost_matrix(logits: jax.Array, boxes_cxcywh: jax.Array,
@@ -493,7 +497,7 @@ def matcher_cost_matrix(logits: jax.Array, boxes_cxcywh: jax.Array,
         (gt_xyxy[:, 0] + gt_xyxy[:, 2]) / 2, (gt_xyxy[:, 1] + gt_xyxy[:, 3]) / 2,
         gt_xyxy[:, 2] - gt_xyxy[:, 0], gt_xyxy[:, 3] - gt_xyxy[:, 1]], -1)
     cost_l1 = jnp.sum(jnp.abs(boxes_cxcywh[:, None] - gt_cxcywh[None]), -1)
-    cost_giou = -_giou_xyxy(boxes_cxcywh_to_xyxy(boxes_cxcywh)[:, None],
+    cost_giou = -giou_xyxy(boxes_cxcywh_to_xyxy(boxes_cxcywh)[:, None],
                             gt_xyxy[None])
     cost = cls_weight * cost_cls + l1_weight * cost_l1 + giou_weight * cost_giou
     return jnp.where(gt.valid[None, :], cost, 1e9)
@@ -542,7 +546,7 @@ def detr_losses(logits: jax.Array, boxes_cxcywh: jax.Array, gt: GroundTruth,
     pred = boxes_cxcywh[match_q]
     l1 = jnp.sum(jnp.where(match_valid[:, None],
                            jnp.abs(pred - gt_cxcywh), 0.0)) / num_boxes
-    giou = _giou_xyxy(boxes_cxcywh_to_xyxy(pred), boxes_cxcywh_to_xyxy(gt_cxcywh))
+    giou = giou_xyxy(boxes_cxcywh_to_xyxy(pred), boxes_cxcywh_to_xyxy(gt_cxcywh))
     loss_giou = jnp.sum(jnp.where(match_valid, 1 - giou, 0.0)) / num_boxes
     return {"loss_ce": cls_weight * loss_ce, "loss_bbox": l1_weight * l1,
             "loss_giou": giou_weight * loss_giou}

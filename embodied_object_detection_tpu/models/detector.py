@@ -226,7 +226,13 @@ class EmbodiedDetector(nn.Module):
         # logits) since feats are the stage-3 embeddings and zs_weight is the
         # same matrix (ref: custom_rcnn.py:846-855).
         sig = jax.nn.sigmoid(cascade.stages[-1].logits)
-        wscores = jnp.sqrt(sig * jnp.maximum(obj[:, None], 0.0))
+        # the reference write re-scores with the same mult_proposal_score
+        # branch as inference (custom_rcnn.py:846-855 reuses the
+        # inference-scored proposals) — keep the knob consistent here too
+        if cfg.roi.mult_proposal_score:
+            wscores = jnp.sqrt(sig * jnp.maximum(obj[:, None], 0.0))
+        else:
+            wscores = sig
 
         _, rows = multiclass_nms(boxes, wscores, valid,
                                  cfg.memory.cls_score_thresh,

@@ -110,7 +110,8 @@ class Res5Detector(nn.Module):
         cascade path (detic_fast_rcnn.py:201-266 applies to the Res5 heads'
         shared DeticFastRCNNOutputLayers too)."""
         from .losses import (add_gt_to_proposals, centernet_targets,
-                             centernet_losses, match_proposals, stage_losses)
+                             centernet_losses, match_proposals,
+                             sample_proposals, stage_losses)
         cfg = self.cfg
         h, w = cfg.input.height, cfg.input.width
         # single C4 level: its size-of-interest range must cover EVERY box
@@ -133,7 +134,23 @@ class Res5Detector(nn.Module):
         proposals = decode_proposals(agn_hms, regs, ccfg, training=True)
         proposals = add_gt_to_proposals(proposals, gt)
         boxes = jax.lax.stop_gradient(proposals.boxes)
-        matched = match_proposals(boxes, proposals.valid, gt, 0.5,
+        valid = proposals.valid
+        # label_and_sample_proposals subsampling applies to the Res5 heads
+        # too (res5_roi_heads.py inherits StandardROIHeads._sample_proposals:
+        # batch_size_per_image=512, positive_fraction=0.25) — pooling all
+        # ~2000 post-NMS train proposals through res5 (14x14x1024 each)
+        # would be both unfaithful and an activation-memory blowup
+        bsz = cfg.roi.batch_size_per_image
+        if bsz and boxes.shape[0] > bsz:
+            m0 = match_proposals(boxes, valid, gt, 0.5, cfg.roi.num_classes)
+            fg = (m0.gt_classes < cfg.roi.num_classes) & m0.valid
+            idx, keep = sample_proposals(
+                valid, fg, bsz, cfg.roi.positive_fraction,
+                sample_rng if sample_rng is not None
+                else jax.random.PRNGKey(0))
+            boxes = jnp.take(boxes, idx, axis=0)
+            valid = jnp.take(valid, idx) & keep
+        matched = match_proposals(boxes, valid, gt, 0.5,
                                   cfg.roi.num_classes)
         x = self._roi_features(c4, boxes)
         logits, deltas, _ = self.predictor(x, zs_weight)

@@ -95,6 +95,27 @@ def pairwise_iou(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.where(union > 0, inter / union, 0.0)
 
 
+def giou_xyxy(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Elementwise generalized IoU between broadcast XYXY box arrays
+    (ref: fvcore giou_loss / DETR box_ops.generalized_box_iou). Shared by
+    the cascade box-reg loss and the DETR matcher/criterion."""
+    ix1 = jnp.maximum(a[..., 0], b[..., 0])
+    iy1 = jnp.maximum(a[..., 1], b[..., 1])
+    ix2 = jnp.minimum(a[..., 2], b[..., 2])
+    iy2 = jnp.minimum(a[..., 3], b[..., 3])
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
+    area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+    union = area_a + area_b - inter
+    iou = inter / jnp.maximum(union, 1e-7)
+    cx1 = jnp.minimum(a[..., 0], b[..., 0])
+    cy1 = jnp.minimum(a[..., 1], b[..., 1])
+    cx2 = jnp.maximum(a[..., 2], b[..., 2])
+    cy2 = jnp.maximum(a[..., 3], b[..., 3])
+    area_c = (cx2 - cx1) * (cy2 - cy1)
+    return iou - (area_c - union) / jnp.maximum(area_c, 1e-7)
+
+
 def clip_boxes(boxes: jax.Array, height: int, width: int) -> jax.Array:
     """Clip XYXY boxes to image bounds (ref: Boxes.clip)."""
     x1 = jnp.clip(boxes[..., 0], 0, width)
