@@ -642,20 +642,7 @@ def stage_losses(logits: jax.Array, deltas: jax.Array,
     fg = (matched.gt_classes < c) & matched.valid
     pred_boxes = apply_deltas(deltas, matched.boxes, reg_weights)
     # giou on xyxy (ref: fvcore giou_loss via box_reg_loss :293-297)
-    px1, py1, px2, py2 = [pred_boxes[:, i] for i in range(4)]
-    gx1, gy1, gx2, gy2 = [matched.gt_boxes[:, i] for i in range(4)]
-    ix1 = jnp.maximum(px1, gx1)
-    iy1 = jnp.maximum(py1, gy1)
-    ix2 = jnp.minimum(px2, gx2)
-    iy2 = jnp.minimum(py2, gy2)
-    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
-    union = (px2 - px1) * (py2 - py1) + (gx2 - gx1) * (gy2 - gy1) - inter
-    iou = inter / jnp.maximum(union, 1e-7)
-    cx1 = jnp.minimum(px1, gx1)
-    cy1 = jnp.minimum(py1, gy1)
-    cx2 = jnp.maximum(px2, gx2)
-    cy2 = jnp.maximum(py2, gy2)
-    area_c = (cx2 - cx1) * (cy2 - cy1)
-    giou = iou - (area_c - union) / jnp.maximum(area_c, 1e-7)
+    from ..structures import giou_xyxy
+    giou = giou_xyxy(pred_boxes, matched.gt_boxes)
     loss_box = jnp.sum(jnp.where(fg, 1 - giou, 0.0)) / b
     return {"loss_cls": loss_cls, "loss_box_reg": loss_box}
