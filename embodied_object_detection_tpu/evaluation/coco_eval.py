@@ -149,9 +149,11 @@ class COCOEvaluator:
     def _evaluate_img_cat(self, img_id: int, cat: int, area_rng, n_thrs: int):
         """Greedy matching for one (image, category); mirrors
         COCOeval.evaluateImg."""
-        gt_entries = self._gt[img_id].get(cat, [])
+        # .get on the outer dicts: plain [img_id] on the defaultdicts would
+        # insert empty per-image entries on this read path
+        gt_entries = self._gt.get(img_id, {}).get(cat, [])
         dt_entries = [] if self._federated_drop(img_id, cat) else sorted(
-            self._dt[img_id].get(cat, []),
+            self._dt.get(img_id, {}).get(cat, []),
             key=lambda e: -e[1])[: self.max_dets]
         if not gt_entries and not dt_entries:
             return None
@@ -168,33 +170,32 @@ class COCOEvaluator:
 
         ious = _iou_xywh(d_boxes, g_boxes)
         nd, ng = len(d_boxes), len(g_boxes)
-        core = _native_core()
-        if core is not None:
-            dt_m, _, dt_ig = core.greedy_match(
-                ious, g_ignore, np.asarray(IOU_THRS[:n_thrs]))
-        else:
-            dt_m = np.zeros((n_thrs, nd), np.int64)    # matched gt idx + 1
-            gt_m = np.zeros((n_thrs, ng), np.int64)
-            dt_ig = np.zeros((n_thrs, nd), bool)
-            for t, thr in enumerate(IOU_THRS[:n_thrs]):
-                for d in range(nd):
-                    best_iou = min(thr, 1 - 1e-10)
-                    best_g = -1
-                    for g in range(ng):
-                        if gt_m[t, g] > 0:
-                            continue
-                        if best_g > -1 and not g_ignore[best_g] \
-                                and g_ignore[g]:
-                            break
-                        if ious[d, g] < best_iou:
-                            continue
-                        best_iou = ious[d, g]
-                        best_g = g
-                    if best_g == -1:
+        # pure-numpy reference matching: evaluate() only reaches this method
+        # when the native core is absent, so no core.greedy_match branch here
+        # (the native greedy_match is exercised inside evaluate_category and
+        # directly by tests/test_native_eval.py)
+        dt_m = np.zeros((n_thrs, nd), np.int64)    # matched gt idx + 1
+        gt_m = np.zeros((n_thrs, ng), np.int64)
+        dt_ig = np.zeros((n_thrs, nd), bool)
+        for t, thr in enumerate(IOU_THRS[:n_thrs]):
+            for d in range(nd):
+                best_iou = min(thr, 1 - 1e-10)
+                best_g = -1
+                for g in range(ng):
+                    if gt_m[t, g] > 0:
                         continue
-                    dt_ig[t, d] = g_ignore[best_g]
-                    dt_m[t, d] = best_g + 1
-                    gt_m[t, best_g] = d + 1
+                    if best_g > -1 and not g_ignore[best_g] \
+                            and g_ignore[g]:
+                        break
+                    if ious[d, g] < best_iou:
+                        continue
+                    best_iou = ious[d, g]
+                    best_g = g
+                if best_g == -1:
+                    continue
+                dt_ig[t, d] = g_ignore[best_g]
+                dt_m[t, d] = best_g + 1
+                gt_m[t, best_g] = d + 1
         # unmatched detections outside the area range are ignored
         d_areas = d_boxes[:, 2] * d_boxes[:, 3]
         out_of_rng = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
@@ -206,7 +207,11 @@ class COCOEvaluator:
                  area: str = "all") -> Dict[str, float]:
         """Returns {'AP', 'AP50', 'AP75', 'AP-<cat>': ...} (percentages,
         detectron2-style)."""
-        ids = list(img_ids) if img_ids is not None else list(self._img_ids)
+        # dedup like COCOeval's p.imgIds = np.unique(...) — duplicates would
+        # double-count GT and detections (insertion order kept; order does
+        # not affect the globally score-sorted accumulate)
+        ids = list(dict.fromkeys(img_ids)) if img_ids is not None \
+            else list(self._img_ids)
         area_rng = AREA_RNGS[area]
         n_thrs = len(IOU_THRS)
         ap_per_cat = {}
@@ -221,13 +226,13 @@ class COCOEvaluator:
                 d_boxes, d_scores, d_off = [], [], [0]
                 any_entries = False
                 for i in ids:
-                    for box, ar in self._gt[i].get(cat, []):
+                    for box, ar in self._gt.get(i, {}).get(cat, []):
                         g_boxes.append(box)
                         g_areas.append(ar)
                         any_entries = True
                     g_off.append(len(g_boxes))
                     if not self._federated_drop(i, cat):
-                        for box, sc in self._dt[i].get(cat, []):
+                        for box, sc in self._dt.get(i, {}).get(cat, []):
                             d_boxes.append(box)
                             d_scores.append(sc)
                             any_entries = True
@@ -332,5 +337,8 @@ def coco_ap(gt_by_img, dt_by_img, category_ids) -> Dict[str, float]:
         ev.add_image(img_id)
         ev.add_ground_truth(img_id, b, c)
     for img_id, (b, s, c) in dt_by_img.items():
+        # det-only images must be registered too, or their false positives
+        # silently vanish from the sweep (add_image dedups repeats)
+        ev.add_image(img_id)
         ev.add_detections(img_id, b, s, c)
     return ev.evaluate()

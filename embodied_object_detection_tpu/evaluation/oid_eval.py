@@ -78,8 +78,10 @@ class OIDEvaluator:
 
     def add_image(self, image_id: int, pos_category_ids: Sequence[int],
                   neg_category_ids: Sequence[int] = ()):
-        self._pos[image_id] = set(pos_category_ids)
-        self._neg[image_id] = set(neg_category_ids)
+        # union on repeat calls (per-frame label streaming), matching
+        # COCOEvaluator.add_image — replacing would drop earlier labels
+        self._pos.setdefault(image_id, set()).update(pos_category_ids)
+        self._neg.setdefault(image_id, set()).update(neg_category_ids)
 
     def add_ground_truth(self, image_id: int, boxes_xyxy, classes,
                          group_of=None):
@@ -94,22 +96,27 @@ class OIDEvaluator:
         boxes_xyxy = np.asarray(boxes_xyxy, np.float64).reshape(-1, 4)
         scores = np.asarray(scores, np.float64).reshape(-1)
         classes = np.asarray(classes).reshape(-1)
-        pos = self._pos.get(image_id, set())
-        neg = self._neg.get(image_id, set())
         for b, s, c in zip(boxes_xyxy, scores, classes):
             cats = [int(c)]
             if self.expand_pred_label:
                 cats += sorted(self.parents.get(int(c), ()))
             for cat in cats:
-                # federated filtering (ref: oideval.py:203-207)
-                if cat not in pos and cat not in neg:
-                    continue
                 self._dt[image_id, cat].append((b, float(s)))
+
+    def _federated_drop(self, img_id: int, cat: int) -> bool:
+        """Federated filtering (ref: oideval.py:203-207): detections of
+        classes neither positively annotated nor verified-absent are
+        ignored. Evaluated at evaluate() time, not add time — _pos/_neg may
+        not be complete yet when detections stream in, which would make the
+        API order-dependent (same rationale as COCOEvaluator)."""
+        return (cat not in self._pos.get(img_id, set())
+                and cat not in self._neg.get(img_id, set()))
 
     def _evaluate_img_cat(self, img_id: int, cat: int):
         """ref: evaluate_img_google (oideval.py:289-384)."""
         gt = self._gt.get((img_id, cat), [])
-        dt = sorted(self._dt.get((img_id, cat), []), key=lambda e: -e[1])
+        dt = [] if self._federated_drop(img_id, cat) else sorted(
+            self._dt.get((img_id, cat), []), key=lambda e: -e[1])
         if not gt and not dt:
             return None
         if not dt:
@@ -160,10 +167,12 @@ class OIDEvaluator:
         carries GT — GT on an unregistered image must still count in the
         recall denominator."""
         aps = {}
+        # image set is category-independent: build it once, not per category
+        gt_imgs = {i for (i, _c) in self._gt}
+        img_ids = sorted(set(self._pos) | gt_imgs)
         for cat, name in zip(self.category_ids, self.category_names):
             all_scores, all_tp, n_gt = [], [], 0
-            gt_imgs = {i for (i, _c) in self._gt}
-            for img_id in sorted(set(self._pos) | gt_imgs):
+            for img_id in img_ids:
                 r = self._evaluate_img_cat(img_id, cat)
                 if r is None:
                     continue

@@ -120,11 +120,21 @@ class EvalCore:
 
 
 def _build(so: str) -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", so, _SRC]
+    # compile to a process-unique temp name, then rename atomically into
+    # place: concurrent processes (parallel pytest, the multichip dryrun)
+    # must never CDLL a half-linked file or have g++ O_TRUNC a library
+    # another process already mapped
+    tmp = f"{so}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

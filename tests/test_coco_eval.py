@@ -180,3 +180,43 @@ def test_federated_reset_clears_label_sets():
     ev.add_image(5)
     ev.add_image(5)
     assert ev._img_ids == [5]
+
+
+def test_coco_ap_counts_fp_only_images():
+    """False positives on an image with no GT must still enter the sweep
+    (coco_ap registers det-only images; COCOeval would see them via the
+    detections' image_id)."""
+    from embodied_object_detection_tpu.evaluation.coco_eval import coco_ap
+    box = np.array([[10, 10, 50, 50]], float)
+    gt = {1: (box, np.array([0]))}
+    fp_boxes = np.tile(box, (50, 1)) + np.arange(50)[:, None]
+    clean = coco_ap(gt, {1: (box, np.array([0.9]), np.array([0]))}, [0])
+    noisy = coco_ap(gt, {1: (box, np.array([0.9]), np.array([0])),
+                         2: (fp_boxes, np.full(50, 0.99),
+                             np.zeros(50, int))}, [0])
+    assert clean["AP"] == pytest.approx(100.0)
+    assert noisy["AP"] < 50.0
+
+
+def test_evaluate_dedups_img_ids():
+    from embodied_object_detection_tpu.evaluation.coco_eval import (
+        COCOEvaluator)
+    ev = COCOEvaluator([0])
+    box = np.array([[10, 10, 50, 50]], float)
+    ev.add_image(1)
+    ev.add_ground_truth(1, box, np.array([0]))
+    ev.add_detections(1, box, np.array([0.9]), np.array([0]))
+    assert ev.evaluate(img_ids=[1, 1])["AP"] == \
+        ev.evaluate(img_ids=[1])["AP"] == pytest.approx(100.0)
+
+
+def test_evaluate_does_not_mutate_state_on_reads():
+    """Evaluating ids with no stored entries must not grow the internal
+    defaultdicts (read path stays a read)."""
+    from embodied_object_detection_tpu.evaluation.coco_eval import (
+        COCOEvaluator)
+    ev = COCOEvaluator([0])
+    ev.add_image(1)
+    ev.add_ground_truth(1, np.array([[0, 0, 10, 10]], float), np.array([0]))
+    ev.evaluate(img_ids=[1, 7, 8, 9])
+    assert set(ev._gt) == {1} and set(ev._dt) == set()

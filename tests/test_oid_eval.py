@@ -1,6 +1,7 @@
 """OID evaluator tests: federated filtering, group-of handling, hierarchy."""
 
 import numpy as np
+import pytest
 
 from embodied_object_detection_tpu.evaluation.oid_eval import (
     OIDEvaluator, hierarchy_parent_map, voc_average_precision)
@@ -86,3 +87,32 @@ def test_hierarchy_parent_map_and_expansion():
                       np.array([2]))
     res = ev.evaluate()
     assert abs(res["AP50"] - 100.0) < 1e-6
+
+
+def test_oid_filtering_is_order_independent():
+    """Detections streamed before add_image must survive once the label
+    sets are complete (filtering at evaluate time, like COCOEvaluator)."""
+    def run(dets_first):
+        ev = OIDEvaluator([0])
+        box = np.array([_box(10, 10, 40, 40)])
+        if dets_first:
+            ev.add_detections(0, box, np.array([0.9]), np.array([0]))
+            ev.add_image(0, pos_category_ids=[0])
+        else:
+            ev.add_image(0, pos_category_ids=[0])
+            ev.add_detections(0, box, np.array([0.9]), np.array([0]))
+        ev.add_ground_truth(0, box, np.array([0]))
+        return ev.evaluate()["AP50"]
+
+    assert run(True) == run(False) == pytest.approx(100.0)
+
+
+def test_oid_add_image_unions_labels():
+    ev = OIDEvaluator([0, 1])
+    ev.add_image(0, pos_category_ids=[0])
+    ev.add_image(0, pos_category_ids=[1], neg_category_ids=[])
+    assert ev._pos[0] == {0, 1}
+    box = np.array([_box(10, 10, 40, 40)])
+    ev.add_ground_truth(0, box, np.array([0]))
+    ev.add_detections(0, box, np.array([0.9]), np.array([0]))
+    assert ev.evaluate()["AP50"] == pytest.approx(100.0)
