@@ -303,6 +303,25 @@ def _coerce(old: Any, raw: str) -> Any:
     if isinstance(old, float):
         return float(raw)
     if isinstance(old, tuple):
+        # nested tuples (cascade_bbox_reg_weights, sizes_of_interest):
+        # flat strip-and-split would shred the inner parens — parse the
+        # literal and coerce recursively against the old structure
+        import ast
+        try:
+            parsed = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            parsed = None
+        if isinstance(parsed, (tuple, list)):
+            def co(template, v):
+                if isinstance(v, (tuple, list)):
+                    t = template[0] if isinstance(template, tuple) \
+                        and template else (v[0] if v else "")
+                    return tuple(co(t, y) for y in v)
+                t = template[0] if isinstance(template, tuple) \
+                    and template else template
+                return _coerce(t, str(v))
+            elem = old[0] if old else ""
+            return tuple(co(elem, x) for x in parsed)
         items = [x for x in raw.strip("()[] ").split(",") if x]
         elem = old[0] if old else ""
         return tuple(_coerce(elem, x.strip()) for x in items)
@@ -330,11 +349,17 @@ def apply_opts(cfg: DetectorConfig, opts: Sequence[str]) -> DetectorConfig:
 # The four golden parity configurations (ref: README.md:44-62, BASELINE.md).
 def parity_config(name: str) -> DetectorConfig:
     base = DetectorConfig()
-    if name in ("pretrained", "vanilla_training"):
-        return base.replace(memory=dataclasses.replace(base.memory, memory_type="image_only"))
-    if name == "detic_finetuned":
+    if name in ("pretrained", "vanilla_training", "detic_finetuned"):
+        # all three run WITHOUT a memory read: the reference FPN merge is
+        # gated on MEMORY_TYPE == 'implicit_memory' (timm.py:143 -> the
+        # `else: pass  # image features only` branch), and these commands
+        # pass MEMORY_TYPE image_only / image_only / '' (README.md:48-58,
+        # detic/config.py:67 default '') — the three configs differ only in
+        # weights. Memory WRITES still happen (update_implicit_memory is
+        # unconditional in the eval loop, custom_rcnn.py:517), so the
+        # reference-exact write subsample is pinned for semmap parity.
         return base.replace(memory=dataclasses.replace(
-            base.memory, memory_type="implicit_memory", feat_fusion="sum",
+            base.memory, memory_type="image_only",
             exact_write_subsample=True))
     if name == "implicit_object_memory":
         # parity runs pin the reference-exact write subsample

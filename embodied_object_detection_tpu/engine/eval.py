@@ -234,8 +234,8 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
     buckets keep each chunk's ORIGINAL serial index (train_mp3d.py:210-217).
     AP/timing aggregation happens host-side, as in the single-chip path.
     """
-    from ..models.detector import make_batched_episode_runner
-    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    from ..parallel.eval_step import make_sharded_episode_runner
+    from ..parallel.mesh import make_mesh
 
     if mesh is None:
         mesh = make_mesh(cfg.parallel)
@@ -263,7 +263,10 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
             print(f"sharded eval: {pad_frac:.1%} of lane steps are "
                   f"padding (scene-length imbalance over {s} streams)")
 
-    runner = jax.jit(make_batched_episode_runner(model, cfg))
+    # the one sharded-eval wiring: the dryrun (__graft_entry__) and the
+    # tests call the same make_sharded_episode_runner — no inline copy here
+    runner = make_sharded_episode_runner(model, cfg, mesh,
+                                         data_axis=cfg.parallel.data_axis)
     zs = jnp.asarray(zs_weight, jnp.float32)
     evaluator = COCOEvaluator(list(range(cfg.roi.num_classes)),
                               OBJECT_LVIS[:cfg.roi.num_classes])
@@ -308,17 +311,15 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
     fetch_iter = prefetch_iterator(_fetch, range(n_steps),
                                    num_workers=num_workers)
     with mesh:
-        params_d = replicate(mesh, params)
-        zs_d = replicate(mesh, zs)
         for j in range(n_steps):
             t0 = time.perf_counter()
             frames, metas = next(fetch_iter)
-            frames = shard_batch(mesh, frames, cfg.parallel.data_axis)
             t_data += time.perf_counter() - t0
 
             t0 = time.perf_counter()
-            out = runner(params_d, frames, zs_d,
-                         shard_batch(mesh, memory, cfg.parallel.data_axis))
+            # runner device_puts params/zs/frames/memory with the right
+            # shardings each call (no-op copies once they're committed)
+            out = runner(params, frames, zs, memory)
             memory = out.memory
             float(jnp.sum(out.detections.scores[:, -1, :1]))
             t_compute += time.perf_counter() - t0

@@ -186,8 +186,7 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
     with mesh:
         state = replicate(mesh, state)
         zs_d = replicate(mesh, zs)
-        step = jit_train_step(step_fn, mesh,
-                              data_axis=cfg.parallel.data_axis)
+        step = jit_train_step(step_fn, mesh)
         t_start = time.perf_counter()
         data_t = step_t = 0.0
         dp = mesh.shape[cfg.parallel.data_axis]

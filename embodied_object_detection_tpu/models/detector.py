@@ -497,7 +497,8 @@ class EmbodiedDetector(nn.Module):
                          image_loss_weight: float = 0.1,
                          ws_num_props: int = 128,
                          image_box_size: float = 1.0,
-                         train: bool = False) -> dict:
+                         train: bool = False,
+                         return_image_box_embedding: bool = False):
         """Image-label weak supervision (the Detic co-training path).
 
         ref: CustomRCNN.forward with ann_type='image' (custom_rcnn.py:188-278)
@@ -532,11 +533,19 @@ class EmbodiedDetector(nn.Module):
         losses = {}
         num_stages = len(cfg.roi.cascade_ious)
         cur = boxes
+        image_box_emb = None
         for s in range(num_stages):
             pooled = self.roi_heads._pool((p3, p4, p5), cur,
                                           cfg.roi.pooler_resolution)
             x = self.roi_heads.box_heads[s](pooled)
-            logits, deltas, _ = self.roi_heads.predictors[s](x, zs_weight)
+            logits, deltas, clip_feats = self.roi_heads.predictors[s](
+                x, zs_weight)
+            if s == 0:
+                # stage-0 CLIP feature of the appended whole-image box (last
+                # row) — the caption region embedding, identical to
+                # image_box_embedding but sharing THIS forward so captiontag
+                # co-training doesn't pay a second trunk pass
+                image_box_emb = clip_feats[-1]
             prop_logits = None
             if variant in ("wsddn", "wsod"):
                 assert cfg.roi.with_softmax_prop, \
@@ -549,6 +558,8 @@ class EmbodiedDetector(nn.Module):
                 prop_logits=prop_logits)
             cur = _clip(jax.lax.stop_gradient(apply_deltas(
                 deltas, cur, cfg.roi.cascade_bbox_reg_weights[s])), h, w)
+        if return_image_box_embedding:
+            return losses, image_box_emb
         return losses
 
     def image_box_embedding(self, image: jax.Array,

@@ -165,47 +165,66 @@ def make_captiontag_train_step(model: EmbodiedDetector, cfg: DetectorConfig,
 
     ref: detic_fast_rcnn.py:370-375 — only ann_type=='caption' skips the tag
     loop, so captiontag batches (e.g. cc3m_v1_train_tags) get the caption
-    loss AND the per-stage image-label BCE. Returns
-    loss_fn(params, images [B,H,W,3], caption_features [B,D], weight [B],
-    labels [B,L], labels_valid [B,L], zs_weight) -> (total, aux)."""
-    cap_fn = make_caption_train_step(model, cfg, caption_weight,
-                                     neg_cap_weight)
+    loss AND the per-stage image-label BCE. Both losses share ONE backbone
+    forward per image (the reference derives the caption score and the tag
+    BCE from the same head pass, custom_rcnn.py:188-278) — frame_train_weak
+    returns the stage-0 image-box CLIP embedding alongside the tag losses.
+
+    Returns loss_fn(params, images [B,H,W,3], caption_features [B,D],
+    weight [B], labels [B,L], labels_valid [B,L], zs_weight) ->
+    (total, aux). `weight` is 0 for images whose caption list was empty
+    (they still get tag supervision); `frame_valid` (default all-True)
+    marks batch-divisibility padding rows, which get NEITHER loss."""
+    from ..models.losses import caption_loss
 
     def loss_fn(params, images, caption_features, weight, labels,
-                labels_valid, zs_weight, step=0):
-        cap_total, aux = cap_fn(params, images, caption_features, weight,
-                                step)
+                labels_valid, zs_weight, step=0, frame_valid=None):
+        b = images.shape[0]
+        if frame_valid is None:
+            frame_valid = jnp.ones((b,), bool)
+        fv = frame_valid.astype(jnp.float32)
 
         def one_frame(img, lab, lv, key):
-            l = model.apply(params, img, zs_weight, lab, lv,
-                            method=EmbodiedDetector.frame_train_weak,
-                            variant=variant,
-                            image_loss_weight=image_loss_weight,
-                            train=True, rngs={"drop_path": key})
-            return sum(l.values())
+            l, emb = model.apply(params, img, zs_weight, lab, lv,
+                                 method=EmbodiedDetector.frame_train_weak,
+                                 variant=variant,
+                                 image_loss_weight=image_loss_weight,
+                                 train=True, return_image_box_embedding=True,
+                                 rngs={"drop_path": key})
+            return sum(l.values()), emb
 
         keys = jax.random.split(
-            jax.random.fold_in(jax.random.PRNGKey(29), step),
-            images.shape[0])
-        tags = jax.vmap(one_frame)(images, labels, labels_valid, keys)
-        # tag supervision applies to every captiontag image with labels,
-        # even ones whose caption list was empty (weight==0): the reference
-        # skips the tag loop only for ann_type=='caption'
-        # (detic_fast_rcnn.py:370-375), not for caption-less images
-        tag_w = jnp.any(labels_valid, axis=1).astype(tags.dtype)
+            jax.random.fold_in(jax.random.PRNGKey(29), step), b)
+        tags, embs = jax.vmap(one_frame)(images, labels, labels_valid, keys)
+
+        cap_valid = (weight > 0) & frame_valid
+        def per_frame(i):
+            return caption_loss(embs[i][None], caption_features, i,
+                                cfg.roi.norm_temperature, neg_cap_weight,
+                                caption_valid=cap_valid)
+        cap_losses = jax.vmap(per_frame)(jnp.arange(b))
+        cw = weight * fv
+        cap_total = caption_weight * jnp.sum(cap_losses * cw) \
+            / jnp.maximum(jnp.sum(cw), 1.0)
+
+        # tag supervision applies to every VALID captiontag image with
+        # labels, even ones whose caption list was empty (weight==0): the
+        # reference skips the tag loop only for ann_type=='caption'
+        # (detic_fast_rcnn.py:370-375), not for caption-less images.
+        # Padding rows (frame_valid False) are excluded from both losses.
+        tag_w = jnp.any(labels_valid, axis=1).astype(tags.dtype) * fv
         tag_total = jnp.sum(tags * tag_w) / jnp.maximum(jnp.sum(tag_w), 1.0)
         total = cap_total + tag_total
-        aux = dict(aux)
-        aux["tag_loss"] = tag_total
-        return total, aux
+        return total, {"caption_loss": cap_total, "tag_loss": tag_total}
 
     return loss_fn
 
 
-def jit_train_step(step_fn, mesh: Mesh, data_axis: str = "data"):
+def jit_train_step(step_fn, mesh: Mesh):
     """Compile step_fn with params/state replicated; batch sharding is taken
-    from the committed input arrays (use parallel.mesh.shard_batch). XLA
-    inserts the gradient all-reduce over ICI."""
+    ENTIRELY from the committed input arrays — commit them with
+    parallel.mesh.shard_batch(mesh, batch, axis=cfg.parallel.data_axis).
+    XLA inserts the gradient all-reduce over ICI."""
     replicated = NamedSharding(mesh, P())
     return jax.jit(step_fn, out_shardings=(replicated, replicated),
                    donate_argnums=(0,))

@@ -101,8 +101,21 @@ def find_zs_weight(args, num_classes: int) -> np.ndarray:
         from .demo.predictor import build_zs_weight
         return build_zs_weight(
             rng.randn(num_classes, 512).astype(np.float32))
-    candidates = [args.zs_weight] if args.zs_weight else []
-    candidates += [
+    if args.zs_weight:
+        # an EXPLICIT path must be honored or fail — falling back to the
+        # vendored table would evaluate with a classifier the user did not
+        # ask for (the docstring's garbage-AP hazard, silently)
+        if not os.path.exists(args.zs_weight):
+            raise FileNotFoundError(
+                f"--zs-weight {args.zs_weight!r} does not exist")
+        w = load_zs_weight_npy(args.zs_weight)
+        if w.shape[1] != num_classes + 1:
+            raise ValueError(
+                f"--zs-weight {args.zs_weight!r} has {w.shape[1] - 1} "
+                f"classes but the config wants {num_classes}")
+        print(f"zs_weight from {args.zs_weight}")
+        return w
+    candidates = [
         # vendored package asset (always present in a fresh clone)
         os.path.join(os.path.dirname(__file__), "data", "metadata",
                      "mp3d_clip.npy"),
@@ -284,11 +297,22 @@ def main(argv=None):
             missing, extra, mismatch = verify_against_model(converted, params)
             print(f"converted {args.weights}: missing={len(missing)} "
                   f"extra={len(extra)} mismatch={len(mismatch)}")
-            if not missing and not mismatch:
-                import jax.numpy as jnp
-                params = jax.tree_util.tree_map(
-                    lambda x: jnp.asarray(x),
-                    {"params": converted["params"]})
+            if missing or mismatch:
+                # proceeding with random-init params would print a
+                # garbage AP that looks like a parity result — fail like
+                # the --dry-run path does (parity_dry_run)
+                detail = "; ".join(
+                    [f"missing: {sorted(missing)[:5]}" if missing else "",
+                     f"mismatch: {sorted(mismatch)[:5]}" if mismatch else ""]
+                ).strip("; ")
+                raise RuntimeError(
+                    f"checkpoint {args.weights} did not convert cleanly "
+                    f"({detail}); refusing to run with randomly "
+                    "initialized parameters")
+            import jax.numpy as jnp
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x),
+                {"params": converted["params"]})
         else:
             from .engine.checkpoint import restore_checkpoint
             params = restore_checkpoint(args.weights, params)
@@ -324,6 +348,9 @@ def main(argv=None):
                 print("warning: --max-chunks is ignored with "
                       "--eval-streams (scene partitioning needs the "
                       "full chunk list)")
+            if args.profile_dir:
+                print("warning: --profile-dir is ignored with "
+                      "--eval-streams (profile the single-stream path)")
             results = evaluate_dataset_sharded(model, params, cfg, dataset,
                                                zs_weight,
                                                streams=args.eval_streams)

@@ -92,7 +92,10 @@ def pairwise_iou(a: jax.Array, b: jax.Array) -> jax.Array:
     wh = jnp.maximum(rb - lt, 0.0)
     inter = wh[..., 0] * wh[..., 1]
     union = area(a)[:, None] + area(b)[None, :] - inter
-    return jnp.where(union > 0, inter / union, 0.0)
+    # denominator guard INSIDE the where: padded all-zero boxes give
+    # union==0 on every training frame, and a bare inter/union would leak
+    # 0/0=NaN cotangents through jnp.where's VJP if boxes ever carry grads
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
 
 
 def giou_xyxy(a: jax.Array, b: jax.Array) -> jax.Array:

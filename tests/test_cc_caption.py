@@ -311,3 +311,38 @@ def test_captiontag_tag_loss_survives_missing_captions():
     assert float(aux_full["tag_loss"]) == pytest.approx(
         float(aux_nocap["tag_loss"]), rel=1e-6)
     assert float(aux_nocap["tag_loss"]) > 0
+
+
+def test_captiontag_padding_rows_excluded():
+    """Batch-divisibility padding rows (frame_valid False, typically
+    duplicated real rows with weight 0) must contribute NEITHER the caption
+    loss nor the tag loss — labels_valid alone can't distinguish a
+    duplicate from a real caption-less image."""
+    from embodied_object_detection_tpu.models.detector import build_detector
+    from embodied_object_detection_tpu.parallel.train_step import (
+        make_captiontag_train_step)
+
+    cfg = tiny_config()
+    h, w = cfg.input.height, cfg.input.width
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (1, h, w, 3)).astype(np.float32)
+    images = jnp.asarray(np.concatenate([img, img], axis=0))
+    feats = jnp.asarray(_stub_embed(["a chair", "a chair"]))
+    labels = jnp.asarray([[2, 0], [2, 0]], jnp.int32)
+    lv = jnp.asarray([[True, False], [True, False]])
+    zs = jnp.asarray(rng.randn(cfg.roi.zs_weight_dim,
+                               cfg.roi.num_classes + 1).astype(np.float32))
+
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    tag_fn = make_captiontag_train_step(model, cfg)
+    # reference: batch of ONE real image
+    _, aux_single = tag_fn(params, images[:1], feats[:1],
+                           jnp.asarray([1.0]), labels[:1], lv[:1], zs)
+    # same image padded to B=2 with a weight-0 duplicate, marked invalid
+    _, aux_padded = tag_fn(params, images, feats, jnp.asarray([1.0, 0.0]),
+                           labels, lv, zs,
+                           frame_valid=jnp.asarray([True, False]))
+    assert float(aux_padded["tag_loss"]) == pytest.approx(
+        float(aux_single["tag_loss"]), rel=1e-5)
+    assert float(aux_padded["caption_loss"]) == pytest.approx(
+        float(aux_single["caption_loss"]), rel=1e-5)

@@ -1,0 +1,66 @@
+"""Config opts coercion + parity presets (yacs merge_from_list analog)."""
+
+import numpy as np
+import pytest
+
+from embodied_object_detection_tpu.config import (DetectorConfig, apply_opts,
+                                                  parity_config)
+
+
+def test_opts_scalar_coercion():
+    cfg = apply_opts(DetectorConfig(), [
+        "roi.num_classes=7", "memory.map_feature_weight=2.5",
+        "memory.write_memory=false", "compute_dtype=float32"])
+    assert cfg.roi.num_classes == 7
+    assert cfg.memory.map_feature_weight == 2.5
+    assert cfg.memory.write_memory is False
+    assert cfg.compute_dtype == "float32"
+
+
+def test_opts_flat_tuple():
+    cfg = apply_opts(DetectorConfig(), ["centernet.strides=8,16,32"])
+    assert cfg.centernet.strides == (8, 16, 32)
+
+
+def test_opts_nested_tuple():
+    cfg = apply_opts(DetectorConfig(), [
+        "centernet.sizes_of_interest=((0,80),(64,160),(128,10000))"])
+    assert cfg.centernet.sizes_of_interest == \
+        ((0, 80), (64, 160), (128, 10000))
+    # element types follow the template (floats stay floats)
+    cfg = apply_opts(DetectorConfig(), [
+        "roi.cascade_bbox_reg_weights=((10,10,5,5),(20,20,10,10),(30,30,15,15))"])
+    w = cfg.roi.cascade_bbox_reg_weights
+    assert w[1] == (20.0, 20.0, 10.0, 10.0)
+    assert all(isinstance(x, float) for x in w[0])
+
+
+def test_parity_presets_match_reference_commands():
+    """ref README.md:44-62 + detic/config.py:67 — configs 1-3 all run with
+    the FPN memory merge OFF (MEMORY_TYPE image_only/image_only/'' — the
+    timm.py:143 gate needs 'implicit_memory'); only config 4 reads memory,
+    with MAP_FEATURE_WEIGHT 5."""
+    for name in ("pretrained", "vanilla_training", "detic_finetuned"):
+        cfg = parity_config(name)
+        assert cfg.memory.memory_type == "image_only", name
+        assert cfg.memory.exact_write_subsample, name
+    c4 = parity_config("implicit_object_memory")
+    assert c4.memory.memory_type == "implicit_memory"
+    assert c4.memory.map_feature_weight == 5.0
+    assert c4.memory.feat_fusion == "sum"
+    assert c4.memory.exact_write_subsample
+
+
+def test_explicit_zs_weight_fails_loudly(tmp_path):
+    import argparse
+    from embodied_object_detection_tpu.run import find_zs_weight
+    args = argparse.Namespace(zs_weight=str(tmp_path / "nope.npy"),
+                              data_path=str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        find_zs_weight(args, 20)
+    # wrong class count: no silent fallback to the vendored table
+    bad = tmp_path / "bad.npy"
+    np.save(bad, np.zeros((512, 6), np.float32))
+    args.zs_weight = str(bad)
+    with pytest.raises(ValueError, match="classes"):
+        find_zs_weight(args, 20)
