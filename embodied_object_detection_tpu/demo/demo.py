@@ -116,20 +116,20 @@ class VisualizationDemo:
                                                zs_weight=zs_weight,
                                                class_names=class_names)
 
-    def run_on_image(self, image_rgb: np.ndarray,
-                     confidence_threshold: float = 0.5
-                     ) -> Tuple[Detections, np.ndarray]:
-        """-> (detections, visualized RGB image)."""
+    def _resize(self, image_rgb: np.ndarray) -> np.ndarray:
         h, w = self.cfg.input.height, self.cfg.input.width
         if image_rgb.shape[:2] != (h, w):
             from PIL import Image
-            resized = np.asarray(
+            image_rgb = np.asarray(
                 Image.fromarray(image_rgb.astype(np.uint8)).resize((w, h)))
-        else:
-            resized = image_rgb
-        dets = self.predictor(resized.astype(np.float32))
-        # rescale boxes back to the original resolution (the reference's
-        # _postprocess rescale, custom_rcnn.py:579)
+        return image_rgb.astype(np.float32)
+
+    def _postprocess(self, image_rgb: np.ndarray, dets: Detections,
+                     confidence_threshold: float
+                     ) -> Tuple[Detections, np.ndarray]:
+        """Rescale boxes back to the original resolution (the reference's
+        _postprocess rescale, custom_rcnn.py:579) and draw."""
+        h, w = self.cfg.input.height, self.cfg.input.width
         sy = image_rgb.shape[0] / h
         sx = image_rgb.shape[1] / w
         boxes = np.asarray(dets.boxes) * np.array([sx, sy, sx, sy],
@@ -141,16 +141,51 @@ class VisualizationDemo:
             image_rgb, dets, score_thresh=confidence_threshold)
         return dets, vis
 
+    def run_on_image(self, image_rgb: np.ndarray,
+                     confidence_threshold: float = 0.5
+                     ) -> Tuple[Detections, np.ndarray]:
+        """-> (detections, visualized RGB image)."""
+        dets = self.predictor(self._resize(image_rgb))
+        return self._postprocess(image_rgb, dets, confidence_threshold)
+
     def run_on_video(self, video, confidence_threshold: float = 0.5):
         """Generator of visualized BGR frames from a cv2.VideoCapture-like
-        object (ref: predictor.py run_on_video)."""
-        while True:
-            ok, frame_bgr = video.read()
-            if not ok:
-                return
-            rgb = frame_bgr[:, :, ::-1]
-            _, vis = self.run_on_image(rgb, confidence_threshold)
-            yield np.ascontiguousarray(vis[:, :, ::-1])
+        object (ref: predictor.py run_on_video + AsyncPredictor
+        default_buffer_size). With parallel=True frames are submitted
+        buffer_size ahead of results so every device worker stays busy —
+        a synchronous put-then-get per frame would serialize the pool."""
+        def frames():
+            while True:
+                ok, frame_bgr = video.read()
+                if not ok:
+                    return
+                yield frame_bgr[:, :, ::-1]
+
+        def to_bgr(vis):
+            return np.ascontiguousarray(vis[:, :, ::-1])
+
+        if not self.parallel:
+            for rgb in frames():
+                _, vis = self.run_on_image(rgb, confidence_threshold)
+                yield to_bgr(vis)
+            return
+
+        from collections import deque
+        buffer_size = self.predictor.default_buffer_size
+        pending: deque = deque()
+        for rgb in frames():
+            pending.append(rgb)
+            self.predictor.put(self._resize(rgb))
+            if len(pending) > buffer_size:
+                _, vis = self._postprocess(pending.popleft(),
+                                           self.predictor.get(),
+                                           confidence_threshold)
+                yield to_bgr(vis)
+        while pending:
+            _, vis = self._postprocess(pending.popleft(),
+                                       self.predictor.get(),
+                                       confidence_threshold)
+            yield to_bgr(vis)
 
 
 def get_parser():
@@ -216,10 +251,12 @@ def main(argv=None):
     # still re-enable a memory type explicitly.
     cfg = cfg.replace(memory=dataclasses.replace(
         cfg.memory, memory_type="", write_memory=False))
-    # ref: demo.py setup_cfg — score thresh from CLI, ONE_CLASS_PER_PROPOSAL
-    # unless --pred-all-class
+    # ref: demo.py:55-57 setup_cfg — the device score threshold IS the CLI
+    # value (no cap: capping would make the printed instance count disagree
+    # with what the visualization draws); ONE_CLASS_PER_PROPOSAL unless
+    # --pred-all-class
     cfg = cfg.replace(roi=dataclasses.replace(
-        cfg.roi, score_thresh_test=min(args.confidence_threshold, 0.3),
+        cfg.roi, score_thresh_test=args.confidence_threshold,
         one_class_per_proposal=not args.pred_all_class))
     cfg = apply_opts(cfg, args.opts)
 

@@ -22,16 +22,14 @@ from ..data.episode_dataset import OBJECT_LVIS
 from ..models.detector import EmbodiedDetector, build_detector
 from ..ops.memory_ops import semmap_classes
 from ..structures import Detections, MemoryState
+# ONE palette for every drawing surface (visualizer.color_palette): a
+# legend rendered by Visualizer must label the same colors this predictor
+# paints (the reference hard-codes one 41-color list, custom_rcnn.py:36-78)
+from .visualizer import Visualizer
 
-# vocabulary registry (ref: predictor.py:25-44 BUILDIN_CLASSIFIER /
-# BUILDIN_METADATA_PATH) — metadata .npy files of CLIP text embeddings
-BUILTIN_CLASSIFIERS = {
-    "mp3d": "datasets/metadata/mp3d_clip.npy",
-    "lvis": "datasets/metadata/lvis_v1_clip_a+cname.npy",
-    "objects365": "datasets/metadata/o365_clip_a+cnamefix.npy",
-    "openimages": "datasets/metadata/oid_clip_a+cname.npy",
-    "coco": "datasets/metadata/coco_clip_a+cname.npy",
-}
+# The builtin vocabulary -> classifier-.npy registry lives in
+# demo.demo._CLASSIFIER_FILES / find_classifier_npy (it also resolves the
+# vendored data/metadata/ root; ref: predictor.py:25-44 BUILDIN_CLASSIFIER).
 
 
 def get_clip_embeddings(vocabulary: List[str], prompt: str = "a ",
@@ -65,23 +63,6 @@ def build_zs_weight(class_embeddings: np.ndarray,
 def load_zs_weight_npy(path: str) -> np.ndarray:
     """Load a metadata .npy ([C, D] CLIP embeddings, e.g. mp3d_clip.npy)."""
     return build_zs_weight(np.load(path).astype(np.float32))
-
-
-# a simple distinct-color palette for the semantic map overlay (the reference
-# hard-codes a 41-color list, custom_rcnn.py:36-78; colors are arbitrary)
-def _palette(n: int) -> np.ndarray:
-    rng = np.random.RandomState(7)
-    base = np.array([
-        [230, 25, 75], [60, 180, 75], [255, 225, 25], [0, 130, 200],
-        [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
-        [210, 245, 60], [250, 190, 212], [0, 128, 128], [220, 190, 255],
-        [170, 110, 40], [255, 250, 200], [128, 0, 0], [170, 255, 195],
-        [128, 128, 0], [255, 215, 180], [0, 0, 128], [128, 128, 128]],
-        np.uint8)
-    if n <= len(base):
-        return base[:n]
-    extra = rng.randint(0, 255, (n - len(base), 3)).astype(np.uint8)
-    return np.concatenate([base, extra], 0)
 
 
 class AsyncPredictor:
@@ -158,6 +139,10 @@ class AsyncPredictor:
                                  daemon=True)
             t.start()
             self._threads.append(t)
+        # how far ahead a pipelined caller should submit (put before get)
+        # to keep every device busy; ref: predictor.py:455
+        # (default_buffer_size = num_gpus * 3)
+        self.default_buffer_size = len(self._threads) * 3
 
     def put(self, image_rgb: np.ndarray):
         self._tasks.put((self._next_put, image_rgb))
@@ -206,7 +191,7 @@ class EmbodiedPredictor:
                                   cfg.roi.num_classes + 1), np.float32)
         self.zs_weight = jnp.asarray(zs_weight, jnp.float32)
         self.class_names = class_names or OBJECT_LVIS[:cfg.roi.num_classes]
-        self.palette = _palette(cfg.roi.num_classes)
+        self._visualizer = Visualizer(self.class_names)
 
         model = self.model
 
@@ -232,7 +217,7 @@ class EmbodiedPredictor:
         self.zs_weight = jnp.asarray(zs_weight, jnp.float32)
         if class_names:
             self.class_names = class_names
-            self.palette = _palette(len(class_names))
+            self._visualizer = Visualizer(class_names)
 
     def _prep_image(self, image: np.ndarray) -> np.ndarray:
         h, w = self.cfg.input.height, self.cfg.input.width
@@ -277,12 +262,9 @@ class EmbodiedPredictor:
         return cls.reshape(map_h, map_w)
 
     def render_map(self, map_h: int, map_w: int, scale: int = 4) -> np.ndarray:
-        """RGB visualization of the semantic map."""
-        cls = self.semantic_map(map_h, map_w)
-        img = np.zeros((map_h, map_w, 3), np.uint8)
-        observed = cls >= 0
-        img[observed] = self.palette[cls[observed] % len(self.palette)]
-        return np.kron(img, np.ones((scale, scale, 1), np.uint8))
+        """RGB visualization of the semantic map (Visualizer.draw_semmap)."""
+        return self._visualizer.draw_semmap(self.semantic_map(map_h, map_w),
+                                            scale=scale)
 
     def frame_step_detections(self, image_rgb, proj_indices=None,
                               outlier_mask=None):
@@ -290,22 +272,7 @@ class EmbodiedPredictor:
 
     def render_detections(self, image_rgb: np.ndarray, dets: Detections,
                           score_thresh: float = 0.3) -> np.ndarray:
-        """Draw boxes + labels (host-side, cv2)."""
-        import cv2
-        img = np.ascontiguousarray(image_rgb.astype(np.uint8))
-        boxes = np.asarray(dets.boxes)
-        scores = np.asarray(dets.scores)
-        classes = np.asarray(dets.classes)
-        valid = np.asarray(dets.valid)
-        for b, s, c, v in zip(boxes, scores, classes, valid):
-            if not v or s < score_thresh:
-                continue
-            color = tuple(int(x) for x in self.palette[int(c) % len(self.palette)])
-            cv2.rectangle(img, (int(b[0]), int(b[1])), (int(b[2]), int(b[3])),
-                          color, 2)
-            name = (self.class_names[int(c)]
-                    if int(c) < len(self.class_names) else str(int(c)))
-            label = f"{name} {s:.2f}"
-            cv2.putText(img, label, (int(b[0]), max(int(b[1]) - 4, 10)),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
-        return img
+        """Draw boxes + labels (Visualizer.draw_detections — same palette
+        as render_map and any legend strip)."""
+        return self._visualizer.draw_detections(image_rgb, dets,
+                                                score_thresh=score_thresh)

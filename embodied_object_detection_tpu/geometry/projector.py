@@ -87,8 +87,14 @@ def camera_to_world(xyz1: jax.Array, T: jax.Array) -> jax.Array:
 
     ref: core.py:151-175 (transform_camera_to_world, a bmm) — expressed as a
     single einsum so XLA maps it onto the MXU for whole frames at once.
+    fp32-forced: the reference bmm is fp32 torch; at bf16 matmul precision
+    (~2^-8 rel) a 40 m world coordinate carries ~0.15 m error — more than
+    the 0.1 m half-cell of the 0.2 m grid, so discretize_point_cloud would
+    round boundary pixels into the wrong map cell.
     """
-    return jnp.einsum("ij,...j->...i", T, xyz1)
+    return jnp.einsum("ij,...j->...i", T, xyz1,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
 
 
 def pixel_to_world(depth: jax.Array, T: jax.Array, vfov: float,

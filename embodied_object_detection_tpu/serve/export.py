@@ -8,9 +8,11 @@ detectron2 model + checkpoint in-process, `Detic/predict.py:30-60`).
 
 The exported callable is the persistent-memory streaming step the demo
 predictor runs (demo/predictor.py): params are baked as constants,
-inputs are (image, zs_weight, memory_features, memory_obs, proj_indices)
-and outputs are (boxes, scores, classes, updated memory) — vocabulary
-swap stays a runtime input.
+inputs are (image, zs_weight, memory_features, memory_obs, proj_indices,
+outlier_mask) and outputs are (boxes, scores, classes, valid, updated
+memory) — vocabulary swap stays a runtime input. `valid` marks the real
+detections among the fixed detections_per_image rows; the rest are
+shape padding and must be dropped by the consumer.
 """
 
 from __future__ import annotations
@@ -47,7 +49,8 @@ def export_frame_step(model, params, cfg, num_classes: Optional[int] = None,
         # recurrent memory update (make_episode_runner step semantics)
         new_feat = mem_features + out.write.features_update
         new_obs = mem_obs + out.write.obs_update
-        return (dets.boxes, dets.scores, dets.classes, new_feat, new_obs)
+        return (dets.boxes, dets.scores, dets.classes, dets.valid,
+                new_feat, new_obs)
 
     args = (
         jax.ShapeDtypeStruct((h, w, 3), jnp.float32),
@@ -72,7 +75,7 @@ def save_frame_step(path: str, model, params, cfg, **kw) -> str:
 def load_frame_step(path_or_blob):
     """Deserialize an exported frame step; returns a callable
     (image, zs_weight, mem_features, mem_obs, proj_indices, outlier_mask)
-    -> (boxes, scores, classes, mem_features', mem_obs')."""
+    -> (boxes, scores, classes, valid, mem_features', mem_obs')."""
     from jax import export as jexport
     blob = path_or_blob
     if isinstance(blob, (str, os.PathLike)):

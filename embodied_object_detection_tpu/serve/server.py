@@ -117,6 +117,7 @@ def main(argv: Optional[list] = None) -> int:  # pragma: no cover
         EmbodiedPredictor)
     cfg = apply_opts(DetectorConfig(), args.opts)
     params = None
+    zs_weight = None
     if args.weights:
         import jax
         import jax.numpy as jnp
@@ -125,7 +126,10 @@ def main(argv: Optional[list] = None) -> int:  # pragma: no cover
         from embodied_object_detection_tpu.models.detector import (
             build_detector)
         _, init_params = build_detector(cfg)
-        converted, _zs = load_torch_checkpoint(args.weights)
+        # the checkpoint's own zs_weight buffer IS the classifier it was
+        # trained against (D x C+1, normalized) — dropping it would serve
+        # sigmoid(0)=0.5 garbage for every class until /set_vocabulary
+        converted, zs_weight = load_torch_checkpoint(args.weights)
         missing, extra, mismatch = verify_against_model(converted,
                                                         init_params)
         if missing or mismatch:
@@ -134,7 +138,11 @@ def main(argv: Optional[list] = None) -> int:  # pragma: no cover
                 f"{len(missing)} missing / {len(mismatch)} mismatched")
         params = jax.tree_util.tree_map(jnp.asarray,
                                         {"params": converted["params"]})
-    predictor = EmbodiedPredictor(cfg, params=params)
+    if zs_weight is None:
+        print("WARNING: no classifier loaded (checkpoint had no zs_weight "
+              "buffer or no --weights given); /predict returns garbage "
+              "until a client POSTs /set_vocabulary")
+    predictor = EmbodiedPredictor(cfg, params=params, zs_weight=zs_weight)
     server = make_server(predictor, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port}")
     server.serve_forever()

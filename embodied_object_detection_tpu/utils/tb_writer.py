@@ -50,6 +50,11 @@ def _masked_crc(data: bytes) -> int:
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # protobuf encodes negative int64 as 10-byte two's complement;
+        # a raw right-shift of a negative Python int never reaches 0 and
+        # the loop below would hang the process inside a logging call
+        n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -154,30 +159,20 @@ def read_events(path: str):
 
 def _parse_event(buf: bytes):
     pos, step, scalars = 0, 0, {}
-
-    def read_varint(p):
-        shift = v = 0
-        while True:
-            b = buf[p]
-            v |= (b & 0x7F) << shift
-            p += 1
-            if not b & 0x80:
-                return v, p
-            shift += 7
-
     while pos < len(buf):
-        key, pos = read_varint(pos)
+        key, pos = _read_varint(buf, pos)
         num, wire = key >> 3, key & 7
         if wire == 0:
-            v, pos = read_varint(pos)
+            v, pos = _read_varint(buf, pos)
             if num == 2:
-                step = v
+                # step is int64: undo the two's-complement varint encoding
+                step = v - (1 << 64) if v >= (1 << 63) else v
         elif wire == 1:
             pos += 8
         elif wire == 5:
             pos += 4
         elif wire == 2:
-            ln, pos = read_varint(pos)
+            ln, pos = _read_varint(buf, pos)
             sub = buf[pos:pos + ln]
             pos += ln
             if num == 5:  # Summary

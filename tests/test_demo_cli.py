@@ -87,3 +87,78 @@ def test_run_parity_dry_run(capsys):
     assert "synthetic eval OK" in text
     assert "--parity-config implicit_object_memory" in text
     assert "models/detic_pretrained.pth" in text
+
+
+def test_run_on_video_parallel_pipelines_in_order():
+    """--parallel video inference must submit frames buffer_size ahead of
+    results (the reference AsyncPredictor contract) — a synchronous
+    put-then-get per frame would keep at most one device busy — while
+    still yielding frames in order."""
+    from embodied_object_detection_tpu.config import DetectorConfig
+    from embodied_object_detection_tpu.demo.demo import VisualizationDemo
+    from embodied_object_detection_tpu.demo.visualizer import Visualizer
+    from embodied_object_detection_tpu.structures import Detections
+
+    h, w = 32, 40
+
+    class FakeAsync:
+        default_buffer_size = 3
+
+        def __init__(self):
+            self.pending = []
+            self.max_in_flight = 0
+
+        def put(self, image):
+            self.pending.append(image)
+            self.max_in_flight = max(self.max_in_flight, len(self.pending))
+
+        def get(self):
+            img = self.pending.pop(0)
+            # encode the frame id (stamped in pixel [0,0,0]) as a box coord
+            fid = float(img[0, 0, 0])
+            return Detections(
+                boxes=np.array([[fid, 0.0, 1.0, 1.0]], np.float32),
+                scores=np.array([0.9], np.float32),
+                classes=np.array([0], np.int32),
+                valid=np.array([True]))
+
+    class FakeVideo:
+        def __init__(self, n):
+            self.i, self.n = 0, n
+
+        def read(self):
+            if self.i >= self.n:
+                return False, None
+            frame = np.zeros((h, w, 3), np.uint8)
+            frame[0, 0, 2] = self.i  # BGR -> RGB flips channel 2 to 0
+            self.i += 1
+            return True, frame
+
+    import dataclasses
+    demo = VisualizationDemo.__new__(VisualizationDemo)
+    demo.cfg = DetectorConfig().replace(
+        input=dataclasses.replace(DetectorConfig().input, height=h, width=w))
+    demo.class_names = ["thing"]
+    demo.visualizer = Visualizer(demo.class_names)
+    demo.parallel = True
+    demo.predictor = FakeAsync()
+
+    # intercept _postprocess to record which detections got paired with
+    # which source frame (frame id lives in RGB pixel [0,0,0], detection id
+    # in box x1)
+    pairs = []
+    orig_post = VisualizationDemo._postprocess
+
+    def spy_post(self, image_rgb, dets, thresh):
+        pairs.append((int(image_rgb[0, 0, 0]), int(dets.boxes[0, 0])))
+        return orig_post(self, image_rgb, dets, thresh)
+
+    demo._postprocess = spy_post.__get__(demo)
+
+    n = 8
+    frames = list(demo.run_on_video(FakeVideo(n), 0.5))
+    assert len(frames) == n
+    # in-order, and each frame paired with its own detections
+    assert pairs == [(i, i) for i in range(n)]
+    # pipelining actually happened: more than one frame was in flight
+    assert demo.predictor.max_in_flight > 1

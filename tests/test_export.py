@@ -34,8 +34,8 @@ def test_export_roundtrip_matches_live_model(tmp_path):
                        dtype=jnp.int32)
     outl = jnp.zeros((h, w), bool)
 
-    boxes, scores, classes, memf2, memo2 = step(image, zs, memf, memo,
-                                                proj, outl)
+    boxes, scores, classes, valid, memf2, memo2 = step(image, zs, memf,
+                                                       memo, proj, outl)
 
     out = model.apply(params, image, zs, memf, memo, proj, outl,
                       method=EmbodiedDetector.frame_step)
@@ -45,6 +45,9 @@ def test_export_roundtrip_matches_live_model(tmp_path):
     np.testing.assert_allclose(np.asarray(scores),
                                np.asarray(out.detections.scores),
                                rtol=1e-5, atol=1e-5)
+    # consumers need the padding mask — identical to the live model's
+    np.testing.assert_array_equal(np.asarray(valid),
+                                  np.asarray(out.detections.valid))
     np.testing.assert_allclose(
         np.asarray(memf2),
         np.asarray(memf + out.write.features_update), rtol=1e-5, atol=1e-5)

@@ -60,3 +60,13 @@ def test_long_tag_roundtrip(tmp_path):
         path = w.path
     events = list(tb_writer.read_events(path))
     assert events[0] == (7, {tag: pytest.approx(3.25)})
+
+
+def test_negative_step_roundtrip(tmp_path):
+    """A negative step (sentinel/underflow) must encode as protobuf's
+    10-byte two's-complement varint, not hang _varint's shift loop."""
+    with tb_writer.SummaryWriter(str(tmp_path)) as w:
+        w.add_scalar("a", 2.0, -1)
+        path = w.path
+    events = list(tb_writer.read_events(path))
+    assert events[0] == (-1, {"a": pytest.approx(2.0)})
