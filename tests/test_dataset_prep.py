@@ -241,3 +241,50 @@ def test_remove_rare_and_oriorder():
     full = [{"id": 1}, {"id": 2}, {"id": 3}]
     out2 = coco_zeroshot_oriorder(zs, full)
     assert out2["categories"] == full
+
+
+def test_merge_keeps_cross_category_overlaps():
+    """Only a SAME-category IoU>=thresh overlap is a duplicate
+    (merge_lvis_coco.py:185-195): a COCO person box sitting on an LVIS cat
+    box must be kept."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import dataset_prep
+    lvis = {
+        "categories": [{"id": 100, "name": "person", "synset": "person.n.01"},
+                       {"id": 200, "name": "cat", "synset": "cat.n.01"}],
+        "images": [{"id": 1, "coco_url": "http://x/000000000001.jpg",
+                    "neg_category_ids": []}],
+        "annotations": [{"id": 1, "image_id": 1, "category_id": 200,
+                         "bbox": [10, 10, 20, 20]}],   # LVIS cat
+    }
+    coco = {
+        "categories": [{"id": 1, "name": "person"}],
+        "images": [{"id": 5, "file_name": "000000000001.jpg"}],
+        # same box, DIFFERENT category -> kept (cross-category overlap)
+        "annotations": [{"id": 9, "image_id": 5, "category_id": 1,
+                         "bbox": [10, 10, 20, 20]}],
+    }
+    merged = dataset_prep.merge_coco_into_lvis(coco, lvis)
+    cats = sorted(a["category_id"] for a in merged["annotations"])
+    assert cats == [100, 200]
+
+
+def test_cc_tags_expands_coco_categories_to_lvis_synonyms():
+    """COCO-style category tables (no 'synonyms' field) are expanded
+    coco_cat_id -> synset -> LVIS synonyms (get_cc_tags.py:126-133) so
+    e.g. 'tv' matches 'television'."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from dataset_prep import cc_tags
+
+    cc = {
+        "images": [{"id": 1, "file_name": "a.jpg",
+                    "captions": ["an old tv set in the corner"]}],
+        "annotations": [],
+    }
+    # COCO category id 72 is 'tv' (synset television_receiver.n.01 ->
+    # LVIS synonyms television_set / tv / tv_set); a bare-name fallback
+    # would still match 'tv' here, so assert the expansion itself too
+    out = cc_tags(cc, categories=[{"id": 72, "name": "tv"}])
+    syns = out["categories"][0]["synonyms"]
+    assert "television_set" in syns, syns
+    assert out["images"] and out["images"][0]["pos_category_ids"] == [72]

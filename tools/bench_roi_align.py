@@ -47,10 +47,15 @@ def main():
         @partial(jax.jit, static_argnames=("which",))
         def pipeline(feats, b256, b100, which=impl):
             outs = []
-            for _ in range(3):  # cascade stages
+            cur = b256
+            for s in range(3):  # cascade stages
                 outs.append(ra.multilevel_roi_align(
-                    feats, b256, strides=(8, 16, 32), output_size=7,
+                    feats, cur, strides=(8, 16, 32), output_size=7,
                     impl=which))
+                # real cascade stages pool DIFFERENT (refined) boxes —
+                # identical inputs would let XLA CSE collapse the three
+                # pools into one and the bench would measure 1/3 the work
+                cur = cur + jnp.float32(1.5) * (s + 1)
             outs.append(ra.multilevel_roi_align(
                 feats, b100, strides=(8, 16, 32), output_size=14,
                 impl=which))

@@ -76,8 +76,11 @@ def main():
     ap.add_argument("--remat-stages", action="store_true",
                     help="rematerialize each cascade stage")
     ap.add_argument("--variants", action="store_true",
-                    help="time all four remat combinations in one process "
-                         "(amortizes the per-process axon first-dispatch)")
+                    help="SMOKE-TEST ONLY: time all four remat combos in "
+                         "one process. In-process coexistence inflates the "
+                         "baseline (~102 ms vs the true 93.8; "
+                         "ARCHITECTURE.md byte-diet) — for real A/B "
+                         "numbers run each combo in its own process")
     args = ap.parse_args()
 
     import dataclasses

@@ -67,20 +67,6 @@ def clip_features(names, out_path: str, clip_weights: str = None,
     return emb
 
 
-def _iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    if len(a) == 0 or len(b) == 0:
-        return np.zeros((len(a), len(b)))
-    ix = np.maximum(0, np.minimum(a[:, None, 2], b[None, :, 2]) -
-                    np.maximum(a[:, None, 0], b[None, :, 0]))
-    iy = np.maximum(0, np.minimum(a[:, None, 3], b[None, :, 3]) -
-                    np.maximum(a[:, None, 1], b[None, :, 1]))
-    inter = ix * iy
-    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
-    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-    union = area_a[:, None] + area_b[None] - inter
-    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
-
-
 def merge_coco_into_lvis(coco_data: dict, lvis_data: dict,
                          synset_table=None, iou_thresh: float = 0.7) -> dict:
     """Merge COCO annotations into an LVIS json
@@ -88,9 +74,13 @@ def merge_coco_into_lvis(coco_data: dict, lvis_data: dict,
 
     COCO categories map to LVIS ids through the synset table; annotations
     whose category is in the image's neg_category_ids are dropped, and a
-    COCO box overlapping any same-image LVIS box at IoU >= iou_thresh is a
-    duplicate and skipped. Returns the merged LVIS-format dict.
+    COCO box overlapping a same-image SAME-CATEGORY LVIS box at IoU >=
+    iou_thresh is a duplicate and skipped (cross-category overlaps are
+    kept, merge_lvis_coco.py:185-195). Returns the merged LVIS-format dict.
     """
+    # shared pairwise IoU on raw COCO xywh bboxes (same math the evaluator
+    # uses, with the native fast path)
+    from embodied_object_detection_tpu.evaluation.coco_eval import _iou_xywh
     if synset_table is None:
         meta = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                             "embodied_object_detection_tpu", "data",
@@ -107,10 +97,6 @@ def merge_coco_into_lvis(coco_data: dict, lvis_data: dict,
         "file_name" in x for x in lvis_data["images"][:1]) else "coco_url"
     lvis_file2img = {tail(x[file_key]): x for x in lvis_data["images"]}
     coco_id2img = {x["id"]: x for x in coco_data["images"]}
-
-    def xyxy(ann):
-        b = ann["bbox"]
-        return [b[0], b[1], b[0] + b[2], b[1] + b[3]]
 
     from collections import defaultdict
     coco_img2anns = defaultdict(list)
@@ -140,11 +126,23 @@ def merge_coco_into_lvis(coco_data: dict, lvis_data: dict,
         keep = list(lvis_anns)
         coco_anns = coco_img2anns.get(fn, [])
         if coco_anns:
-            ious = _iou_xyxy(np.array([xyxy(a) for a in coco_anns]),
-                             np.array([xyxy(a) for a in lvis_anns]))
+            ious = _iou_xywh(
+                np.array([a["bbox"] for a in coco_anns], np.float64),
+                np.array([a["bbox"] for a in lvis_anns], np.float64)
+                if lvis_anns else np.zeros((0, 4)))
             for i, ann in enumerate(coco_anns):
                 if len(lvis_anns) == 0 or ious[i].max() < iou_thresh:
                     keep.append(ann)
+                else:
+                    # only a SAME-category overlap is a duplicate
+                    # (merge_lvis_coco.py:185-195): a COCO 'person' box
+                    # over an LVIS 'chair' box is kept
+                    dup = any(
+                        ious[i, j] >= iou_thresh and
+                        ann["category_id"] == lvis_anns[j]["category_id"]
+                        for j in range(len(lvis_anns)))
+                    if not dup:
+                        keep.append(ann)
         for ann in keep:
             ann_id += 1
             merged.append(dict(ann, id=ann_id))
@@ -201,12 +199,29 @@ def cc_tags(cc_data: dict, categories=None, allcaps: bool = False,
     (plus the startswith/endswith edge forms); images gain
     `pos_category_ids` and tag-less images are dropped unless
     keep_images. `categories` defaults to the json's own (or the vendored
-    LVIS v1 table)."""
+    LVIS v1 table). Categories WITHOUT a 'synonyms' field (COCO-style
+    tables) are expanded coco_cat_id -> synset -> LVIS synonyms exactly as
+    get_cc_tags.py:126-133 does — matching only the literal name would
+    find far fewer tags (e.g. 'tv' never matches 'television')."""
     import copy
+    meta_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                            "embodied_object_detection_tpu", "data",
+                            "metadata")
     cc_data = copy.deepcopy(cc_data)
     if categories is not None:
         cc_data["categories"] = copy.deepcopy(categories)
+    if "categories" not in cc_data:
+        cc_data["categories"] = json.load(
+            open(os.path.join(meta_dir, "lvis_v1_categories.json")))
     cats = cc_data["categories"]
+    if cats and "synonyms" not in cats[0]:
+        cocoid2synset = {x["coco_cat_id"]: x["synset"] for x in json.load(
+            open(os.path.join(meta_dir, "coco_synset_categories.json")))}
+        synset2synonyms = {x["synset"]: x["synonyms"] for x in json.load(
+            open(os.path.join(meta_dir, "lvis_v1_train_cat_info.json")))}
+        for c in cats:
+            c["synonyms"] = synset2synonyms[cocoid2synset[c["id"]]]
+            c["frequency"] = "f"
     for c in cats:
         c.setdefault("synonyms", [c["name"]])
     class_data = {c["id"]: [" " + map_tag_name(s) + " "

@@ -26,7 +26,12 @@ def main():
         FrameInputs, build_detector, make_episode_runner)
     from embodied_object_detection_tpu.structures import MemoryState
 
-    h, w, t, cells = 480, 640, 20, 8192
+    # input shapes derive from the config — hardcoding them would silently
+    # desync (out-of-range proj cells clamp instead of failing) if a
+    # default ever changes
+    base = DetectorConfig()
+    h, w = base.input.height, base.input.width
+    t, cells = 20, base.memory.max_cells
     rng = np.random.RandomState(0)
     from embodied_object_detection_tpu.engine.eval import obs_visibility_host
     proj_np = rng.randint(0, cells, (t, h, w)).astype(np.int32)
@@ -37,9 +42,13 @@ def main():
         obs_visibility=jnp.asarray(obs_visibility_host(proj_np, cells)),
         memory_reset=jnp.asarray([True] + [False] * (t - 1)),
         episode_start=jnp.asarray([True] + [False] * (t - 1)))
-    zs_np = rng.randn(512, 21).astype(np.float32)
+    zs_np = rng.randn(base.roi.zs_weight_dim,
+                      base.roi.num_classes + 1).astype(np.float32)
 
     def run(name, cfg):
+        assert (cfg.input.height, cfg.input.width,
+                cfg.memory.max_cells) == (h, w, cells), \
+            "variant changed input shapes; rebuild frames from cfg"
         model, params = build_detector(cfg, jax.random.PRNGKey(0))
         zs = jnp.asarray(zs_np)
         init = MemoryState.zeros(cfg.memory.max_cells, cfg.memory.memory_dim)
@@ -58,7 +67,6 @@ def main():
         print(f"{name}: compile {c:.0f}s steady {dt*1000:.0f}ms/chunk = "
               f"{dt/t*1000:.1f}ms/frame ({t/dt:.1f} fps)", flush=True)
 
-    base = DetectorConfig()
     run("full", base)
     if args.variants:
         run("no_write", base.replace(memory=dataclasses.replace(

@@ -21,7 +21,9 @@ def main():
 
     cfg = DetectorConfig()
     model, params = build_detector(cfg, jax.random.PRNGKey(0))
-    h, w, t, cells = 480, 640, 20, 8192
+    # shapes from the config, not hardcoded (see tools/profile_tpu.py)
+    h, w = cfg.input.height, cfg.input.width
+    t, cells = 20, cfg.memory.max_cells
     rng = np.random.RandomState(0)
     from embodied_object_detection_tpu.engine.eval import obs_visibility_host
     proj_np = rng.randint(0, cells, (t, h, w)).astype(np.int32)
@@ -32,8 +34,9 @@ def main():
         obs_visibility=jnp.asarray(obs_visibility_host(proj_np, cells)),
         memory_reset=jnp.asarray([True] + [False] * (t - 1)),
         episode_start=jnp.asarray([True] + [False] * (t - 1)))
-    zs = jnp.asarray(rng.randn(512, 21).astype(np.float32))
-    init = MemoryState.zeros(cells, 512)
+    zs = jnp.asarray(rng.randn(cfg.roi.zs_weight_dim,
+                               cfg.roi.num_classes + 1).astype(np.float32))
+    init = MemoryState.zeros(cells, cfg.memory.memory_dim)
     runner = jax.jit(make_episode_runner(model, cfg))
     out = runner(params, frames, zs, init)
     float(jnp.sum(out.detections.scores[-1, :1]))

@@ -59,6 +59,10 @@ def main():
 
     files = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
     print("trace files:", files, flush=True)
+    if not files:
+        print("no trace files produced — the backend may not support "
+              "device tracing")
+        return
     with gzip.open(sorted(files)[-1]) as f:
         trace = json.load(f)
     agg = aggregate_self_time(trace)
