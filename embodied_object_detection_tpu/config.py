@@ -237,13 +237,19 @@ class InputConfig:
 @dataclass(frozen=True)
 class SolverConfig:
     """ref: Detic/detic/custom_solver.py + mp3d yaml SOLVER block."""
-    optimizer: str = "adamw"                    # SOLVER.OPTIMIZER ADAMW
+    optimizer: str = "adamw"                    # SOLVER.OPTIMIZER: adamw | sgd
     base_lr: float = 1e-5                       # mp3d yaml BASE_LR
     weight_decay: float = 1e-4
+    momentum: float = 0.9                       # SOLVER.MOMENTUM (sgd only)
+    nesterov: bool = False                      # SOLVER.NESTEROV (sgd only)
     max_iter: int = 10000                       # mp3d yaml MAX_ITER
     warmup_iters: int = 1000                    # mp3d yaml WARMUP_ITERS
     warmup_factor: float = 0.001                # mp3d yaml WARMUP_FACTOR
-    lr_scheduler: str = "warmup_cosine"         # SOLVER.LR_SCHEDULER_NAME WarmupCosineLR
+    # SOLVER.LR_SCHEDULER_NAME: warmup_cosine (Detic configs) or
+    # warmup_multistep (the d2 default; steps/gamma apply to multistep only)
+    lr_scheduler: str = "warmup_cosine"
+    steps: Tuple[int, ...] = (60000, 80000)     # SOLVER.STEPS milestones
+    gamma: float = 0.1                          # SOLVER.GAMMA
     backbone_multiplier: float = 1.0            # SOLVER.BACKBONE_MULTIPLIER
     custom_multiplier: float = 10.0             # SOLVER.CUSTOM_MULTIPLIER (mp3d yaml)
     custom_multiplier_name: Tuple[str, ...] = ("map_merge",)  # CUSTOM_MULTIPLIER_NAME
@@ -288,6 +294,45 @@ class DetectorConfig:
 
     def replace(self, **kw) -> "DetectorConfig":
         return dataclasses.replace(self, **kw)
+
+
+def validate_config(cfg: DetectorConfig) -> DetectorConfig:
+    """Fail loudly on knobs whose non-default values the implementation
+    does not honor — a knob that silently does nothing is worse than an
+    absent one. Each pin names where the reference-default behavior is
+    hard-wired; flipping one of these requires implementing the branch,
+    not just setting the flag. Called from build_detector and apply_opts."""
+    pins = (
+        (cfg.centernet.only_proposal, True, "centernet.only_proposal",
+         "models/centernet.py builds the proposal-only head (no cls tower)"),
+        (cfg.centernet.with_agn_hm, True, "centernet.with_agn_hm",
+         "the agnostic heatmap IS the proposal scorer (centernet.py decode)"),
+        (cfg.centernet.num_cls_convs, 0, "centernet.num_cls_convs",
+         "only_proposal mode has no cls tower"),
+        (cfg.centernet.num_share_convs, 0, "centernet.num_share_convs",
+         "the tower stack is bbox-only (centernet_head.py defaults)"),
+        (cfg.centernet.not_norm_reg, True, "centernet.not_norm_reg",
+         "models/losses.py giou_loss normalizes by num_pos only"),
+        (cfg.centernet.loc_loss_type, "giou", "centernet.loc_loss_type",
+         "models/losses.py implements the gIoU location loss"),
+        (cfg.backbone.freeze_at, 0, "backbone.freeze_at",
+         "freezing is solver-level: solver.freeze_backbone/unfrozen_layers"),
+        (cfg.roi.add_feature_to_prop, True, "roi.add_feature_to_prop",
+         "roi_heads always appends the pooled feature to proposals"),
+        (cfg.roi.cls_agnostic_bbox_reg, True, "roi.cls_agnostic_bbox_reg",
+         "predictors emit 4 deltas per box (class-agnostic)"),
+        (cfg.roi.cls_agnostic_mask, True, "roi.cls_agnostic_mask",
+         "mask head emits one mask per box"),
+        (cfg.roi.mask_weight, 1.0, "roi.mask_weight",
+         "the train path has no mask loss (zero on mp3d; detector.py"
+         " frame_train docstring)"),
+    )
+    for actual, required, knob, where in pins:
+        if actual != required:
+            raise NotImplementedError(
+                f"config {knob}={actual!r} is not implemented (pinned to "
+                f"{required!r}: {where})")
+    return cfg
 
 
 # ---------------------------------------------------------------------------
@@ -343,7 +388,7 @@ def apply_opts(cfg: DetectorConfig, opts: Sequence[str]) -> DetectorConfig:
         updates.setdefault(section, {})[fieldname] = _coerce(old, raw)
     for section, kv in updates.items():
         cfg = dataclasses.replace(cfg, **{section: dataclasses.replace(getattr(cfg, section), **kv)})
-    return cfg
+    return validate_config(cfg)
 
 
 # The four golden parity configurations (ref: README.md:44-62, BASELINE.md).

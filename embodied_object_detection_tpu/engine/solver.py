@@ -74,6 +74,11 @@ def param_labels(params, cfg: SolverConfig) -> Any:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def _warmup(cfg: SolverConfig, step):
+    return cfg.warmup_factor + (1 - cfg.warmup_factor) * \
+        jnp.minimum(step / max(cfg.warmup_iters, 1), 1.0)
+
+
 def warmup_cosine_schedule(cfg: SolverConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """WarmupCosineLR (detectron2): lr = base * warmup_factor(t) *
     0.5*(1 + cos(pi*t/max_iter)) — the cosine applies DURING warmup too
@@ -81,30 +86,68 @@ def warmup_cosine_schedule(cfg: SolverConfig) -> Callable[[jnp.ndarray], jnp.nda
     multiplies the base schedule)."""
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
-        warm = cfg.warmup_factor + (1 - cfg.warmup_factor) * \
-            jnp.minimum(step / max(cfg.warmup_iters, 1), 1.0)
         cos = 0.5 * (1 + jnp.cos(math.pi * step / max(cfg.max_iter, 1)))
-        return cfg.base_lr * warm * cos
+        return cfg.base_lr * _warmup(cfg, step) * cos
     return schedule
 
 
-def build_optimizer(params, cfg: SolverConfig) -> optax.GradientTransformation:
-    schedule = warmup_cosine_schedule(cfg)
+def warmup_multistep_schedule(cfg: SolverConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """WarmupMultiStepLR (the detectron2 default; vanilla COCO configs):
+    lr = base * warmup_factor(t) * gamma ** (#milestones passed)."""
+    steps = jnp.asarray(cfg.steps or (cfg.max_iter + 1,), jnp.float32)
 
-    def adamw(mult: float):
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        k = jnp.sum(step >= steps).astype(jnp.float32)
+        return cfg.base_lr * _warmup(cfg, step) * cfg.gamma ** k
+    return schedule
+
+
+def lr_schedule(cfg: SolverConfig) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """SOLVER.LR_SCHEDULER_NAME dispatch (d2 build_lr_scheduler)."""
+    name = cfg.lr_scheduler
+    if name in ("warmup_cosine", "WarmupCosineLR"):
+        return warmup_cosine_schedule(cfg)
+    if name in ("warmup_multistep", "WarmupMultiStepLR"):
+        return warmup_multistep_schedule(cfg)
+    raise NotImplementedError(f"no LR scheduler {name!r}")
+
+
+def build_optimizer(params, cfg: SolverConfig) -> optax.GradientTransformation:
+    schedule = lr_schedule(cfg)
+
+    # SOLVER.OPTIMIZER dispatch (custom_solver.py:64-76): ADAMW decoupled
+    # decay, or SGD with momentum/nesterov and coupled L2 (torch SGD folds
+    # weight_decay into the grad BEFORE the momentum buffer — so decay goes
+    # ahead of trace here too)
+    opt = cfg.optimizer.upper()
+    if opt == "ADAMW":
+        def core():
+            return [optax.scale_by_adam(),
+                    optax.add_decayed_weights(cfg.weight_decay)]
+    elif opt == "SGD":
+        def core():
+            tx = [optax.add_decayed_weights(cfg.weight_decay)]
+            if cfg.momentum:
+                tx.append(optax.trace(decay=cfg.momentum,
+                                      nesterov=cfg.nesterov))
+            return tx
+    else:
+        raise NotImplementedError(f"no optimizer type {cfg.optimizer!r}")
+
+    def group(mult: float):
         return optax.chain(
-            optax.scale_by_adam(),
-            optax.add_decayed_weights(cfg.weight_decay),
+            *core(),
             optax.scale_by_learning_rate(lambda s: schedule(s) * mult),
         )
 
     labels = param_labels(params, cfg)
     tx = optax.multi_transform(
         {
-            "default": adamw(1.0),
-            "backbone": adamw(cfg.backbone_multiplier),
-            "custom": adamw(cfg.custom_multiplier),
-            "backbone_custom": adamw(cfg.backbone_multiplier *
+            "default": group(1.0),
+            "backbone": group(cfg.backbone_multiplier),
+            "custom": group(cfg.custom_multiplier),
+            "backbone_custom": group(cfg.backbone_multiplier *
                                      cfg.custom_multiplier),
             "frozen": optax.set_to_zero(),
         },

@@ -754,6 +754,8 @@ def build_detector(cfg: Optional[DetectorConfig] = None,
     480x640 frame-step trace just for init costs minutes on a slow link.
     """
     cfg = cfg or DetectorConfig()
+    from ..config import validate_config
+    validate_config(cfg)  # fail loudly on pinned-but-flipped knobs
     if getattr(cfg.roi, "head_type", "cascade") == "res5":
         # Res5ROIHeads variant (res5_roi_heads.py:20-172 analog)
         from .res5_detector import build_res5_detector

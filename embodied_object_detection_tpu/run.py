@@ -83,7 +83,8 @@ def argument_parser():
     return p
 
 
-def find_zs_weight(args, num_classes: int) -> np.ndarray:
+def find_zs_weight(args, num_classes: int,
+                   config_path: str = "") -> np.ndarray:
     """Locate the CLIP class-embedding matrix (ref: reset_cls_test path,
     zero_shot_classifier.py:41-54, train_mp3d.py:383-387).
 
@@ -116,6 +117,10 @@ def find_zs_weight(args, num_classes: int) -> np.ndarray:
         print(f"zs_weight from {args.zs_weight}")
         return w
     candidates = [
+        # the config's ZEROSHOT_WEIGHT_PATH analog (cfg.zeroshot_weight_path,
+        # settable via --opts) is searched first, like the reference's
+        # cfg-driven classifier lookup (zero_shot_classifier.py:41-54)
+        config_path,
         # vendored package asset (always present in a fresh clone)
         os.path.join(os.path.dirname(__file__), "data", "metadata",
                      "mp3d_clip.npy"),
@@ -132,7 +137,8 @@ def find_zs_weight(args, num_classes: int) -> np.ndarray:
                 continue
             print(f"zs_weight from {c}")
             return w
-    lines = "\n  ".join(candidates + [f"[wrong size] {s}" for s in skipped])
+    lines = "\n  ".join([c for c in candidates if c] +
+                     [f"[wrong size] {s}" for s in skipped])
     raise FileNotFoundError(
         "no CLIP class-embedding .npy found for "
         f"{num_classes} classes; searched:\n  {lines}\n"
@@ -184,7 +190,8 @@ def parity_dry_run(args) -> dict:
     for name in names:
         cfg = parity_config(name)
         # the vendored 20-class table must resolve for the real run
-        zs_full = find_zs_weight(args, cfg.roi.num_classes)
+        zs_full = find_zs_weight(args, cfg.roi.num_classes,
+                         cfg.zeroshot_weight_path)
         if zs_full.shape != (cfg.roi.zs_weight_dim,
                              cfg.roi.num_classes + 1):
             raise RuntimeError(
@@ -317,7 +324,8 @@ def main(argv=None):
             from .engine.checkpoint import restore_checkpoint
             params = restore_checkpoint(args.weights, params)
 
-    zs_weight = find_zs_weight(args, cfg.roi.num_classes)
+    zs_weight = find_zs_weight(args, cfg.roi.num_classes,
+                           cfg.zeroshot_weight_path)
 
     if args.coco_json:
         # vanilla single-frame evaluation (train_net.py analog)

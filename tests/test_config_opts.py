@@ -64,3 +64,48 @@ def test_explicit_zs_weight_fails_loudly(tmp_path):
     args.zs_weight = str(bad)
     with pytest.raises(ValueError, match="classes"):
         find_zs_weight(args, 20)
+
+
+def test_pinned_knobs_fail_loudly():
+    """Structural knobs the implementation hard-wires must raise when
+    flipped — a knob that silently does nothing is worse than an absent
+    one (validate_config, called from apply_opts and build_detector)."""
+    with pytest.raises(NotImplementedError, match="only_proposal"):
+        apply_opts(DetectorConfig(), ["centernet.only_proposal=false"])
+    with pytest.raises(NotImplementedError, match="loc_loss_type"):
+        apply_opts(DetectorConfig(), ["centernet.loc_loss_type=smooth_l1"])
+    with pytest.raises(NotImplementedError, match="freeze_at"):
+        apply_opts(DetectorConfig(), ["backbone.freeze_at=2"])
+    with pytest.raises(NotImplementedError, match="mask_weight"):
+        apply_opts(DetectorConfig(), ["roi.mask_weight=2.0"])
+
+
+def test_solver_optimizer_and_scheduler_knobs():
+    """solver.optimizer sgd/adamw and lr_scheduler multistep are honored
+    (custom_solver.py:64-76, d2 WarmupMultiStepLR)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from embodied_object_detection_tpu.engine.solver import (
+        build_optimizer, lr_schedule)
+
+    base = DetectorConfig().solver
+    ms = dataclasses.replace(base, lr_scheduler="warmup_multistep",
+                             steps=(10, 20), gamma=0.1, warmup_iters=0,
+                             warmup_factor=1.0, base_lr=1.0)
+    sched = lr_schedule(ms)
+    assert float(sched(5)) == pytest.approx(1.0)
+    assert float(sched(15)) == pytest.approx(0.1)
+    assert float(sched(25)) == pytest.approx(0.01)
+
+    params = {"params": {"roi": {"w": jnp.ones((3,))}}}
+    grads = {"params": {"roi": {"w": jnp.ones((3,))}}}
+    for name in ("sgd", "adamw"):
+        tx = build_optimizer(params, dataclasses.replace(base,
+                                                         optimizer=name))
+        state = tx.init(params)
+        upd, _ = tx.update(grads, state, params)
+        assert float(jnp.sum(jnp.abs(upd["params"]["roi"]["w"]))) > 0
+    with pytest.raises(NotImplementedError, match="optimizer"):
+        build_optimizer(params, dataclasses.replace(base, optimizer="lamb"))
+    with pytest.raises(NotImplementedError, match="scheduler"):
+        lr_schedule(dataclasses.replace(base, lr_scheduler="linear"))
