@@ -193,3 +193,27 @@ def test_engine_sharded_eval_matches_serial(tmp_path):
                 np.testing.assert_allclose(a[key][()], b[key][()],
                                            rtol=1e-5, atol=1e-5,
                                            err_msg=f"{fn}:{key}")
+
+
+def test_custom_data_axis_name_plumbed():
+    """A non-default parallel.data_axis name must flow into the sharded
+    runner (ADVICE r3: evaluate_dataset_sharded once hardcoded 'data' in
+    its shard_batch calls, so a renamed axis crashed device_put)."""
+    from embodied_object_detection_tpu.parallel.eval_step import (
+        make_sharded_episode_runner)
+    from jax.sharding import Mesh
+
+    cfg = _mini_cfg().replace(
+        parallel=dataclasses.replace(DetectorConfig().parallel,
+                                     data_axis="streams"))
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("streams", "model"))
+    runner = make_sharded_episode_runner(model, cfg, mesh,
+                                         data_axis=cfg.parallel.data_axis)
+    rng = np.random.RandomState(0)
+    frames, init = _streams(cfg, 3, 2, rng)  # 3 streams % 2 devices != 0
+    zs = jnp.asarray(rng.randn(cfg.roi.zs_weight_dim,
+                               cfg.roi.num_classes + 1).astype(np.float32))
+    with pytest.raises(ValueError, match="streams"):
+        runner(params, frames, zs, init)
