@@ -219,6 +219,17 @@ class MemoryConfig:
     # that don't snapshot semmaps)
     write_memory: bool = True
 
+    # memory-type policy predicates — the ONE definition of which types
+    # read memory through the FPN fusion and which use an external fixed
+    # table (GT baselines, loader.py:233-246). Frame paths must use these,
+    # not hand-maintained tuples (a missed site silently splits train/eval).
+    def reads_memory(self) -> bool:
+        return self.memory_type in ("implicit_memory", "semantic_gt",
+                                    "map_gt", "explicit_map")
+
+    def external_memory(self) -> bool:
+        return self.memory_type in ("semantic_gt", "map_gt", "explicit_map")
+
 
 @dataclass(frozen=True)
 class InputConfig:
@@ -332,6 +343,13 @@ def validate_config(cfg: DetectorConfig) -> DetectorConfig:
             raise NotImplementedError(
                 f"config {knob}={actual!r} is not implemented (pinned to "
                 f"{required!r}: {where})")
+    # enum knobs: a typo must not silently select another protocol (the
+    # episode scan's longterm branch is the `else`, detector.py scan step;
+    # the reference NameErrors on unknown TEST_TYPE, custom_rcnn.py:484-500)
+    if cfg.memory.test_type not in ("default", "episodic", "longterm"):
+        raise ValueError(
+            f"memory.test_type={cfg.memory.test_type!r} is not one of "
+            "'default'/'episodic'/'longterm' (ref: detic/config.py:74)")
     return cfg
 
 

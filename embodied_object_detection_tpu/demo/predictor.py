@@ -240,6 +240,12 @@ class EmbodiedPredictor:
         if outlier_mask is None:
             outlier_mask = np.zeros((h, w), bool)
         proj_np = np.asarray(proj_indices)
+        if int(proj_np.max()) >= cells:
+            # on device an out-of-range cell silently aliases (read clips,
+            # write drops) — the robot map must fit memory.max_cells
+            raise ValueError(
+                f"proj index {int(proj_np.max())} >= memory.max_cells="
+                f"{cells}; raise memory.max_cells for this map size")
         vis = (np.bincount(proj_np.reshape(-1), minlength=cells)[:cells] > 0
                ).astype(np.float32)
         out = self._step(self.params, image, self.zs_weight,

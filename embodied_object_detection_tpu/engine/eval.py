@@ -54,6 +54,16 @@ def obs_visibility_host(proj_indices: np.ndarray, max_cells: int) -> np.ndarray:
 
 
 def chunk_to_frame_inputs(chunk: EpisodeChunk, max_cells: int) -> FrameInputs:
+    # fail loudly at the host boundary: inside jit an out-of-range cell is
+    # silently asymmetric (memory_read's take clips onto the last row while
+    # the write scatter drops it) — a scene bigger than memory.max_cells
+    # would corrupt instead of erroring
+    hi = int(chunk.proj_indices.max())
+    if hi >= max_cells:
+        raise ValueError(
+            f"proj index {hi} >= memory.max_cells={max_cells}: the scene's "
+            "map has more cells than the configured memory — raise "
+            "memory.max_cells")
     return FrameInputs(
         image=jnp.asarray(chunk.images, jnp.float32),
         proj_indices=jnp.asarray(chunk.proj_indices),

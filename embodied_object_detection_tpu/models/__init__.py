@@ -1,5 +1,5 @@
 from .resnet import ResNet50
-from .fpn import FPN, RecurrentFPN
+from .fpn import RecurrentFPN
 from .centernet import CenterNetHead, decode_proposals
 from .roi_heads import CascadeROIHeads
 from .detector import EmbodiedDetector, build_detector

@@ -84,7 +84,6 @@ class EmbodiedDetector(nn.Module):
                                      dtype=dtype, name="backbone")
         self.fpn = RecurrentFPN(
             out_channels=self.cfg.backbone.fpn_channels,
-            memory_dim=self.cfg.memory.memory_dim,
             feat_fusion=self.cfg.memory.feat_fusion,
             map_feature_weight=self.cfg.memory.map_feature_weight,
             dtype=dtype, name="fpn")
@@ -148,8 +147,7 @@ class EmbodiedDetector(nn.Module):
         # GT-memory baselines (semantic_gt / map_gt / explicit_map,
         # ref: loader.py:233-246): the "memory" is a fixed table (CLIP class
         # embeddings or a precomputed map) read through the same gather path.
-        use_memory = cfg.memory.memory_type in (
-            "implicit_memory", "semantic_gt", "map_gt", "explicit_map")
+        use_memory = cfg.memory.reads_memory()
         ego = memory_read(mem_features, mem_obs, proj_indices) if use_memory else None
         if backbone_feats is None:
             backbone_feats = self.backbone_raw(image)
@@ -178,8 +176,7 @@ class EmbodiedDetector(nn.Module):
             cfg.roi.score_thresh_test, cfg.roi.nms_thresh_test,
             cfg.roi.detections_per_image)
 
-        external = cfg.memory.memory_type in ("semantic_gt", "map_gt",
-                                              "explicit_map")
+        external = cfg.memory.external_memory()
         if cfg.memory.write_memory and not external:
             write, wboxes, wvalid = self._memory_write(
                 proposals, cascade, zs_weight, (p3, p4, p5), proj_indices,
@@ -209,35 +206,34 @@ class EmbodiedDetector(nn.Module):
         h, w = cfg.input.height, cfg.input.width
         k = cfg.memory.write_topk
 
-        # boxes/feats handed to the write are the *last cascade stage inputs*
-        # (the stage-2 regressed boxes) and the stage-3 CLIP features — in the
-        # reference these are what `proposals.proposal_boxes` / `p.feat` hold
-        # after roi_heads.forward (detic_roi_heads.py:326-349 sets .feat per
-        # stage; the returned Instances are the stage-3 ones).
-        boxes = cascade.stages[-1].boxes
-        feats = cascade.clip_feats                       # 50 * l2-normalized
+        # boxes/feats handed to the write are the ORIGINAL stage-0 proposals:
+        # DeticCascadeROIHeads.forward returns the input Instances unchanged
+        # (_forward_box rebinds `proposals` to fresh Instances for k>0,
+        # detic_roi_heads.py:108-115, so only _run_stage at k=0 sets .feat on
+        # the originals, :341-346). inference_with_proposals
+        # (custom_rcnn.py:827-829) therefore reads UNREGRESSED CenterNet
+        # boxes + stage-0 CLIP embeddings, and forward_mask_memory
+        # (custom_rcnn.py:573) pools masks on those same boxes.
+        boxes = cascade.stages[0].boxes
+        feats = cascade.stages[0].clip_feats             # 50 * l2-normalized
         obj = proposals.scores
 
         # training-time GT filter: drop injected GT proposals (score >= 1)
         # ref: custom_rcnn.py:837-844
         valid = proposals.valid & (obj < 1.0)
 
-        # write scores: sigmoid(feat @ zs_weight) equals sigmoid(stage-3
-        # logits) since feats are the stage-3 embeddings and zs_weight is the
-        # same matrix (ref: custom_rcnn.py:846-855).
-        sig = jax.nn.sigmoid(cascade.stages[-1].logits)
-        # the reference write re-scores with the same mult_proposal_score
-        # branch as inference (custom_rcnn.py:846-855 reuses the
-        # inference-scored proposals) — keep the knob consistent here too
-        if cfg.roi.mult_proposal_score:
-            wscores = jnp.sqrt(sig * jnp.maximum(obj[:, None], 0.0))
-        else:
-            wscores = sig
+        # write scores: sqrt(sigmoid(stage-0 logits) * proposal score).
+        # sigmoid(feat @ zs_weight) equals sigmoid(stage-0 logits) since
+        # the write recomputes 50*normalize(feat) @ zs with no bias
+        # (custom_rcnn.py:846-853). The proposal-score multiply is
+        # UNCONDITIONAL (:853-855 has no mult_proposal_score branch — the
+        # knob gates detection scoring only, detic_roi_heads.py:94-99).
+        sig = jax.nn.sigmoid(cascade.stages[0].logits)
+        wscores = jnp.sqrt(sig * jnp.maximum(obj[:, None], 0.0))
 
         _, rows = multiclass_nms(boxes, wscores, valid,
                                  cfg.memory.cls_score_thresh,
-                                 cfg.memory.write_nms_thresh, k,
-                                 candidate_cap=1024)
+                                 cfg.memory.write_nms_thresh, k)
 
         # unique kept proposal rows (ref: custom_rcnn.py:875) — scatter into a
         # per-row flag, then take up to K rows in ascending row order. Invalid
@@ -321,8 +317,7 @@ class EmbodiedDetector(nn.Module):
         # (semantic_gt / map_gt / explicit_map) must TRAIN through the
         # fusion convs they evaluate through, or the merge projections
         # stay random while eval routes the table through them
-        use_memory = cfg.memory.memory_type in (
-            "implicit_memory", "semantic_gt", "map_gt", "explicit_map")
+        use_memory = cfg.memory.reads_memory()
         ego = memory_read(mem_features, mem_obs, proj_indices) if use_memory else None
         if cfg.backbone.train_remat:
             # trade recompute for activation bytes on the memory-bound step
@@ -460,8 +455,7 @@ class EmbodiedDetector(nn.Module):
         """
         cfg = self.cfg
         h, w = cfg.input.height, cfg.input.width
-        use_memory = cfg.memory.memory_type in (
-            "implicit_memory", "semantic_gt", "map_gt", "explicit_map")
+        use_memory = cfg.memory.reads_memory()
         ego = memory_read(mem_features, mem_obs, proj_indices) if use_memory else None
         p3, p4, p5, p6, p7 = self._features(image, ego)
         agn_hms, regs = self.centernet((p3, p4, p5, p6, p7))
@@ -643,8 +637,7 @@ def make_episode_runner(model: EmbodiedDetector, cfg: DetectorConfig,
     """
     test_type = cfg.memory.test_type
     # external GT-memory tables are constant: never reset, never written
-    external_memory = cfg.memory.memory_type in ("semantic_gt", "map_gt",
-                                                 "explicit_map")
+    external_memory = cfg.memory.external_memory()
 
     def episode(params, frames: FrameInputs, zs_weight: jax.Array,
                 init_memory: MemoryState,

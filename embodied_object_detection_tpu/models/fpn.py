@@ -25,41 +25,6 @@ def _upsample_nearest2x(x: jax.Array) -> jax.Array:
     return jnp.repeat(x, 2, axis=-2)
 
 
-class FPN(nn.Module):
-    """Standard 3-level FPN + p6/p7 from p5.
-
-    Lateral 1x1 convs + output 3x3 convs, no norm (MODEL.FPN.NORM "" in the
-    reference configs), sum fuse. Input: (C3, C4, C5); output: (p3..p7).
-    """
-    out_channels: int = 256
-    dtype: Any = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, c3, c4, c5) -> Tuple[jax.Array, ...]:
-        lat5 = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                       name="lateral3")(c5)
-        lat4 = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                       name="lateral2")(c4)
-        lat3 = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                       name="lateral1")(c3)
-        # top-down: nearest 2x (ref: timm.py:131 F.interpolate nearest)
-        m5 = lat5
-        m4 = lat4 + _upsample_nearest2x(m5)
-        m3 = lat3 + _upsample_nearest2x(m4)
-        p5 = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                     name="output3")(m5)
-        p4 = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                     name="output2")(m4)
-        p3 = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                     name="output1")(m3)
-        # top block (ref: LastLevelP6P7_P5: p6 = conv(p5); p7 = conv(relu(p6)))
-        p6 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
-                     dtype=self.dtype, name="p6")(p5)
-        p7 = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
-                     dtype=self.dtype, name="p7")(nn.relu(p6))
-        return p3, p4, p5, p6, p7
-
-
 class RecurrentFPN(nn.Module):
     """FPN whose p3-p5 outputs are fused with egocentric memory features.
 
@@ -71,7 +36,6 @@ class RecurrentFPN(nn.Module):
     degrades to the plain FPN (memory_type != implicit_memory path).
     """
     out_channels: int = 256
-    memory_dim: int = 512
     feat_fusion: str = "sum"
     map_feature_weight: float = 1.0
     dtype: Any = jnp.bfloat16

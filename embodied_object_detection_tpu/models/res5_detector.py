@@ -91,7 +91,10 @@ class Res5Detector(nn.Module):
         boxes = clip_boxes(apply_deltas(
             deltas, proposals.boxes,
             cfg.roi.cascade_bbox_reg_weights[0]), h, w)
-        scores = jax.nn.sigmoid(logits)
+        # sigmoid or softmax per USE_SIGMOID_CE (predict_probs,
+        # detic_fast_rcnn.py:334-338)
+        scores = (jax.nn.sigmoid(logits) if cfg.roi.use_sigmoid_ce
+                  else jax.nn.softmax(logits, axis=-1))
         if cfg.roi.mult_proposal_score:
             scores = jnp.sqrt(scores *
                               jnp.maximum(proposals.scores[:, None], 0.0))

@@ -175,10 +175,10 @@ class StageOutput(NamedTuple):
 
 
 class CascadeOutputs(NamedTuple):
-    stages: Tuple[StageOutput, ...]
+    stages: Tuple[StageOutput, ...]  # per-stage logits/deltas/feats/boxes;
+                                     # the memory write reads stages[0]
     final_boxes: jax.Array   # [R, 4] stage-3 regressed, clipped
     mean_scores: jax.Array   # [R, C+1] mean sigmoid over stages
-    clip_feats: jax.Array    # [R, 512] last-stage region embeddings
 
 
 class CascadeROIHeads(nn.Module):
@@ -231,12 +231,15 @@ class CascadeROIHeads(nn.Module):
                                  self.cfg.cascade_bbox_reg_weights[k])
             boxes = clip_boxes(boxes, h, w)
 
-        # inference score = mean of per-stage sigmoid scores
-        # (ref: detic_roi_heads.py:164-168)
-        mean_scores = sum(jax.nn.sigmoid(s.logits) for s in stages) / len(stages)
+        # inference score = mean of per-stage class probabilities
+        # (ref: detic_roi_heads.py:164-168); the per-stage probability is
+        # sigmoid or softmax per USE_SIGMOID_CE (predict_probs,
+        # detic_fast_rcnn.py:334-338)
+        prob = (jax.nn.sigmoid if self.cfg.use_sigmoid_ce
+                else lambda l: jax.nn.softmax(l, axis=-1))
+        mean_scores = sum(prob(s.logits) for s in stages) / len(stages)
         return CascadeOutputs(stages=tuple(stages), final_boxes=boxes,
-                              mean_scores=mean_scores,
-                              clip_feats=stages[-1].clip_feats)
+                              mean_scores=mean_scores)
 
     def mask_logits(self, features: Sequence[jax.Array],
                     boxes: jax.Array) -> jax.Array:

@@ -109,3 +109,20 @@ def test_solver_optimizer_and_scheduler_knobs():
         build_optimizer(params, dataclasses.replace(base, optimizer="lamb"))
     with pytest.raises(NotImplementedError, match="scheduler"):
         lr_schedule(dataclasses.replace(base, lr_scheduler="linear"))
+
+
+def test_test_type_typo_fails_loudly():
+    """An unknown memory.test_type must not silently fall into the
+    longterm else-branch of the episode scan."""
+    with pytest.raises(ValueError, match="test_type"):
+        apply_opts(DetectorConfig(), ["memory.test_type=epsodic"])
+
+
+def test_memory_type_predicates_single_source():
+    cfg = DetectorConfig()
+    assert cfg.memory.reads_memory() and not cfg.memory.external_memory()
+    import dataclasses
+    gt = dataclasses.replace(cfg.memory, memory_type="semantic_gt")
+    assert gt.reads_memory() and gt.external_memory()
+    img = dataclasses.replace(cfg.memory, memory_type="image_only")
+    assert not img.reads_memory() and not img.external_memory()

@@ -153,3 +153,32 @@ def test_trace_self_time_aggregation():
     assert agg["fusion"] == 27          # (30 - 10) + 7
     assert agg["convolution"] == 10
     assert agg["gather"] == 30
+
+
+def test_chunk_proj_overflow_fails_loudly():
+    """A scene whose map has more cells than memory.max_cells must raise at
+    the host boundary — on device the read clips onto the last cell while
+    the write scatter drops, silently corrupting instead of erroring."""
+    import pytest
+    from embodied_object_detection_tpu.data.episode_dataset import (
+        EpisodeChunk)
+    from embodied_object_detection_tpu.engine.eval import (
+        chunk_to_frame_inputs)
+
+    t, h, w, g = 2, 4, 6, 1
+    proj = np.zeros((t, h, w), np.int32)
+    proj[1, 2, 3] = 64                      # >= max_cells
+    chunk = EpisodeChunk(
+        sequence_name="s", file_names=["a", "b"],
+        images=np.zeros((t, h, w, 3), np.uint8), proj_indices=proj,
+        gt_boxes=np.zeros((t, g, 4), np.float32),
+        gt_classes=np.zeros((t, g), np.int32),
+        gt_valid=np.zeros((t, g), bool),
+        memory_reset=np.array([True, False]),
+        episode_start=np.array([True, False]), num_cells=64,
+        frame_valid=np.ones((t,), bool))
+    with pytest.raises(ValueError, match="max_cells"):
+        chunk_to_frame_inputs(chunk, max_cells=64)
+    # in-range passes
+    proj[1, 2, 3] = 63
+    chunk_to_frame_inputs(chunk, max_cells=64)

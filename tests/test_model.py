@@ -189,3 +189,42 @@ def test_pipelined_runner_equals_serial(model_and_params, rng):
     np.testing.assert_allclose(np.asarray(got2.memory.features),
                                np.asarray(want2.memory.features),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_use_sigmoid_ce_false_scores_softmax(rng):
+    """USE_SIGMOID_CE=False switches inference class probabilities to
+    softmax (predict_probs, detic_fast_rcnn.py:334-338) — the knob must
+    change eval scoring, not just the train loss."""
+    import dataclasses
+    from embodied_object_detection_tpu.models.detector import (
+        EmbodiedDetector, build_detector)
+
+    cfg = tiny_config()
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    h, w = cfg.input.height, cfg.input.width
+    image = jnp.asarray(rng.randint(0, 255, (h, w, 3)).astype(np.float32))
+    zs = jnp.asarray(rng.randn(cfg.roi.zs_weight_dim,
+                               cfg.roi.num_classes + 1).astype(np.float32))
+    memf = jnp.zeros((cfg.memory.max_cells, cfg.memory.memory_dim))
+    memo = jnp.zeros((cfg.memory.max_cells,))
+    proj = jnp.zeros((h, w), jnp.int32)
+    outl = jnp.zeros((h, w), bool)
+
+    def run(c):
+        m = EmbodiedDetector(c)
+        return m.apply(params, image, zs, memf, memo, proj, outl,
+                       method=EmbodiedDetector.frame_step)
+
+    sig = run(cfg)
+    soft = run(cfg.replace(roi=dataclasses.replace(
+        cfg.roi, use_sigmoid_ce=False)))
+    assert not np.allclose(np.asarray(sig.detections.scores),
+                           np.asarray(soft.detections.scores))
+    # the memory write stays sigmoid-scored regardless of the knob
+    # (inference_with_proposals calls .sigmoid() unconditionally,
+    # custom_rcnn.py:853) — same rows selected either way
+    np.testing.assert_array_equal(np.asarray(sig.write_valid),
+                                  np.asarray(soft.write_valid))
+    np.testing.assert_allclose(np.asarray(sig.write.features_update),
+                               np.asarray(soft.write.features_update),
+                               rtol=1e-5, atol=1e-6)

@@ -469,8 +469,7 @@ class TorchFrameOracle(tnn.Module):
         std = torch.tensor(cfg.input.pixel_std)
         x = ((image - mean) / std).permute(2, 0, 1)[None]
         c3, c4, c5 = self._backbone(x)
-        use_memory = cfg.memory.memory_type in (
-            "implicit_memory", "semantic_gt", "map_gt", "explicit_map")
+        use_memory = cfg.memory.reads_memory()
         ego = self._memory_read(memf, memo, proj) if use_memory else None
         p3, p4, p5, p6, p7 = self._fpn(c3, c4, c5, ego)
         agn_hms, regs = self._centernet((p3, p4, p5, p6, p7))
@@ -528,17 +527,19 @@ class TorchFrameOracle(tnn.Module):
 
     def _cascade(self, feats_hwc, boxes):
         """3 stages; stage-0 boxes unclipped, later stages clipped.
-        Returns (final_boxes, mean_scores, stage3_logits, stage3_clip_feats,
-        stage3_input_boxes) — the memory write runs on the LAST STAGE'S INPUT
-        boxes (what the reference Instances carry after roi_heads.forward,
-        detic_roi_heads.py:326-349)."""
+        Returns (final_boxes, mean_scores, stage0_logits, stage0_clip_feats)
+        — the memory write runs on the ORIGINAL stage-0 proposals: the
+        reference roi_heads.forward returns the input Instances unchanged
+        (_forward_box rebinds `proposals` to fresh Instances for k>0,
+        detic_roi_heads.py:108-115; only _run_stage at k=0 sets .feat on
+        the originals, :341-346), so inference_with_proposals reads
+        unregressed CenterNet boxes + stage-0 CLIP embeddings
+        (custom_rcnn.py:827-829)."""
         rcfg = self.cfg.roi
         h, w = self.cfg.input.height, self.cfg.input.width
         cur = boxes
-        sigmoids, feats_out, logits_out = [], None, None
-        last_input = boxes
+        sigmoids, feats0, logits0 = [], None, None
         for k in range(len(self.box_fc1)):
-            last_input = cur
             pooled = torch_multilevel_roi_align(
                 feats_hwc, cur, rcfg.strides, rcfg.pooler_resolution,
                 rcfg.sampling_ratio, rcfg.canonical_box_size,
@@ -555,14 +556,15 @@ class TorchFrameOracle(tnn.Module):
             d = tF.relu(self.bbox_fc1[k](x))
             deltas = self.bbox_fc2[k](d)
             sigmoids.append(torch.sigmoid(logits))
-            feats_out, logits_out = feat_n, logits
+            if k == 0:
+                feats0, logits0 = feat_n, logits
             cur = torch_apply_deltas(deltas, cur,
                                      rcfg.cascade_bbox_reg_weights[k])
             cur = torch.stack([cur[:, 0].clamp(0, w), cur[:, 1].clamp(0, h),
                                cur[:, 2].clamp(0, w), cur[:, 3].clamp(0, h)],
                               dim=1)
         mean_scores = torch.stack(sigmoids).mean(dim=0)
-        return cur, mean_scores, logits_out, feats_out, last_input
+        return cur, mean_scores, logits0, feats0
 
     def _mask_probs(self, feats_hwc, boxes):
         rcfg = self.cfg.roi
@@ -593,15 +595,14 @@ class TorchFrameOracle(tnn.Module):
         x = ((image - mean) / std).permute(2, 0, 1)[None]
 
         c3, c4, c5 = self._backbone(x)
-        use_memory = cfg.memory.memory_type in (
-            "implicit_memory", "semantic_gt", "map_gt", "explicit_map")
+        use_memory = cfg.memory.reads_memory()
         ego = self._memory_read(memf, memo, proj) if use_memory else None
         p3, p4, p5, p6, p7 = self._fpn(c3, c4, c5, ego)
         agn_hms, regs = self._centernet((p3, p4, p5, p6, p7))
         prop_boxes, prop_scores = self._decode(agn_hms, regs)
 
         feats_hwc = [p[0].permute(1, 2, 0) for p in (p3, p4, p5)]
-        final_boxes, mean_scores, logits3, clip_feats, stage3_boxes = \
+        final_boxes, mean_scores, logits0, clip_feats = \
             self._cascade(feats_hwc, prop_boxes)
         scores = mean_scores
         if cfg.roi.mult_proposal_score:
@@ -612,15 +613,16 @@ class TorchFrameOracle(tnn.Module):
 
         # ---- memory write (ref: update_implicit_memory /
         # inference_with_proposals, custom_rcnn.py:681-882) — runs on the
-        # stage-3 INPUT boxes + stage-3 CLIP features
-        wscores = torch.sqrt(torch.sigmoid(logits3) *
+        # ORIGINAL stage-0 proposal boxes + stage-0 CLIP features, with an
+        # unconditional proposal-score multiply (custom_rcnn.py:853-855)
+        wscores = torch.sqrt(torch.sigmoid(logits0) *
                              prop_scores.clamp(min=0)[:, None])
         _, _, _, wrows = torch_multiclass_nms(
-            stage3_boxes, wscores, cfg.memory.cls_score_thresh,
+            prop_boxes, wscores, cfg.memory.cls_score_thresh,
             cfg.memory.write_nms_thresh, cfg.memory.write_topk)
         rows = torch.unique(wrows).sort().values[: cfg.memory.write_topk]
         if len(rows):
-            wboxes = stage3_boxes[rows]
+            wboxes = prop_boxes[rows]
             wfeats = clip_feats[rows]
             probs = self._mask_probs(feats_hwc, wboxes)
             masks = torch_paste_masks(probs, wboxes, h, w,
