@@ -53,6 +53,31 @@ def obs_visibility_host(proj_indices: np.ndarray, max_cells: int) -> np.ndarray:
     return out.reshape(proj_indices.shape[:-2] + (max_cells,))
 
 
+def external_memory_state(chunk: EpisodeChunk, cfg) -> MemoryState:
+    """Fixed GT-memory table for semantic_gt/map_gt baselines, padded to
+    [max_cells, D] (ref: loader.py:233-246 — the CLIP class table with a
+    zero row 0; the episode runner never resets or writes it)."""
+    if chunk.memory_features is None:
+        raise ValueError(
+            f"memory_type={cfg.memory.memory_type!r} needs the dataset to "
+            "carry the external table: construct EpisodeDataset with "
+            "memory_type= and clip_path= (run.py wires these when "
+            "memory.memory_type is a GT baseline)")
+    feats = np.asarray(chunk.memory_features, np.float32)
+    if feats.shape[0] > cfg.memory.max_cells or \
+            feats.shape[1] != cfg.memory.memory_dim:
+        raise ValueError(
+            f"external memory table {feats.shape} does not fit "
+            f"[{cfg.memory.max_cells}, {cfg.memory.memory_dim}]")
+    obs = (np.asarray(chunk.observations, np.float32)
+           if chunk.observations is not None
+           else np.ones((feats.shape[0],), np.float32))
+    pad = cfg.memory.max_cells - feats.shape[0]
+    return MemoryState(
+        features=jnp.asarray(np.pad(feats, ((0, pad), (0, 0)))),
+        obs_count=jnp.asarray(np.pad(obs, (0, pad))))
+
+
 def chunk_to_frame_inputs(chunk: EpisodeChunk, max_cells: int) -> FrameInputs:
     # fail loudly at the host boundary: inside jit an out-of-range cell is
     # silently asymmetric (memory_read's take clips onto the last row while
@@ -145,6 +170,7 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
     quartile_ids: List[List[int]] = [[], [], [], []]
     score_every = cfg.input.score_every
 
+    external = cfg.memory.external_memory()
     memory = MemoryState.zeros(cfg.memory.max_cells, cfg.memory.memory_dim)
     im_id = 0
     t_data = t_compute = t_eval = 0.0
@@ -167,6 +193,13 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
     for idx in range(n_chunks):
         t0 = time.perf_counter()
         chunk, frames = next(chunk_iter)
+        if external:
+            # GT-memory baselines: the scan reads a FIXED table (CLIP class
+            # embeddings with remapped proj indices, loader.py:233-246) —
+            # never zeros. A dataset built without memory_type=/clip_path=
+            # has no table, and running anyway would score an all-zero
+            # memory as if it were the baseline.
+            memory = external_memory_state(chunk, cfg)
         t_data += time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -247,6 +280,10 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
     from ..parallel.eval_step import make_sharded_episode_runner
     from ..parallel.mesh import make_mesh
 
+    if cfg.memory.external_memory():
+        raise NotImplementedError(
+            f"memory_type={cfg.memory.memory_type!r} (GT-memory baseline) "
+            "is wired on the serial path only — run without --eval-streams")
     if mesh is None:
         mesh = make_mesh(cfg.parallel)
     s = streams or mesh.shape[cfg.parallel.data_axis]

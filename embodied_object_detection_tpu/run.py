@@ -147,6 +147,26 @@ def find_zs_weight(args, num_classes: int,
         "datasets/metadata/*.npy from a Detic checkout).")
 
 
+def find_clip_table_path(args, cfg) -> str:
+    """Raw [C, D] CLIP class-table .npy for the GT-memory baselines
+    (the dataset prepends the zero row itself, loader.py:233-246)."""
+    candidates = [
+        args.zs_weight if args.zs_weight != "random" else "",
+        cfg.zeroshot_weight_path,
+        os.path.join(os.path.dirname(__file__), "data", "metadata",
+                     "mp3d_clip.npy"),
+        "datasets/metadata/mp3d_clip.npy",
+        os.path.join(args.data_path, "..", "metadata", "mp3d_clip.npy"),
+    ]
+    for c in candidates:
+        if c and os.path.exists(c):
+            return c
+    lines = "\n  ".join(c for c in candidates if c)
+    raise FileNotFoundError(
+        f"memory_type={cfg.memory.memory_type!r} needs the CLIP class "
+        f"table .npy; searched:\n  {lines}")
+
+
 GOLDEN_COMMANDS = """\
 # The four golden parity runs (ref: Detic/README.md:44-62). Each reports
 # overall + quartile COCO bbox AP; the 0.1-mAP gate compares them against
@@ -345,10 +365,21 @@ def main(argv=None):
 
     if args.eval_only:
         from .engine.eval import evaluate_dataset, evaluate_dataset_sharded
+        clip_path = ""
+        if cfg.memory.external_memory():
+            # GT-memory baselines read a fixed CLIP class table through the
+            # dataset (loader.py:139-142, 233-246) — without clip_path the
+            # model would gather an all-zero table and silently score as
+            # image-only-with-bias
+            clip_path = find_clip_table_path(args, cfg)
+            print(f"GT-memory table from {clip_path}")
         dataset = EpisodeDataset(cfg.test_data_path,
                                  test_type=cfg.memory.test_type,
                                  max_sequence_length=cfg.input.max_sequence_length,
-                                 max_gt=cfg.input.max_gt_boxes)
+                                 max_gt=cfg.input.max_gt_boxes,
+                                 memory_type=cfg.memory.memory_type,
+                                 clip_path=clip_path,
+                                 semmap_path=cfg.semmap_path)
         if args.eval_streams > 1:
             # episode-parallel eval: scenes partitioned over mesh data
             # shards (the AsyncPredictor analog, parallel/eval_step.py)

@@ -182,3 +182,45 @@ def test_chunk_proj_overflow_fails_loudly():
     # in-range passes
     proj[1, 2, 3] = 63
     chunk_to_frame_inputs(chunk, max_cells=64)
+
+
+@pytest.mark.slow
+def test_semantic_gt_baseline_eval(synth_root, tmp_path):
+    """GT-memory baseline end-to-end (ref: loader.py:139-142, 233-246):
+    the dataset carries the CLIP class table (zero row prepended, proj =
+    per-pixel segmentation) and evaluate_dataset feeds it as the FIXED
+    memory — and fails loudly when the table is missing instead of
+    silently scoring an all-zero memory."""
+    import jax
+    import pytest
+    from embodied_object_detection_tpu.engine import evaluate_dataset
+    from embodied_object_detection_tpu.models.detector import build_detector
+
+    cfg = tiny_config()
+    cfg = cfg.replace(
+        memory=dataclasses.replace(cfg.memory, memory_type="semantic_gt"),
+        input=dataclasses.replace(cfg.input, max_sequence_length=4,
+                                  score_every=2, max_gt_boxes=8))
+    rng = np.random.RandomState(3)
+    table = rng.randn(cfg.roi.num_classes, 512).astype(np.float32)
+    clip_path = str(tmp_path / "table.npy")
+    np.save(clip_path, table)
+
+    ds = EpisodeDataset(synth_root, max_sequence_length=4, max_gt=8,
+                        memory_type="semantic_gt", clip_path=clip_path)
+    chunk = ds[0]
+    assert chunk.memory_features is not None
+    assert chunk.memory_features.shape == (cfg.roi.num_classes + 1, 512)
+    np.testing.assert_allclose(chunk.memory_features[0], 0.0)
+    np.testing.assert_allclose(chunk.memory_features[1:], table)
+
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    zs = rng.randn(cfg.roi.zs_weight_dim,
+                   cfg.roi.num_classes + 1).astype(np.float32)
+    res = evaluate_dataset(model, params, cfg, ds, zs, verbose=False)
+    assert res.num_images == 4
+
+    # a dataset built WITHOUT the table must raise, not score zeros
+    ds_plain = EpisodeDataset(synth_root, max_sequence_length=4, max_gt=8)
+    with pytest.raises(ValueError, match="external table"):
+        evaluate_dataset(model, params, cfg, ds_plain, zs, verbose=False)

@@ -217,3 +217,15 @@ def test_custom_data_axis_name_plumbed():
                                cfg.roi.num_classes + 1).astype(np.float32))
     with pytest.raises(ValueError, match="streams"):
         runner(params, frames, zs, init)
+
+
+def test_sharded_eval_rejects_external_memory():
+    """GT-memory baselines are wired on the serial path only; the sharded
+    path must refuse rather than carry per-chunk tables incorrectly."""
+    from embodied_object_detection_tpu.engine.eval import (
+        evaluate_dataset_sharded)
+    cfg = _mini_cfg()
+    cfg = cfg.replace(memory=dataclasses.replace(
+        cfg.memory, memory_type="semantic_gt"))
+    with pytest.raises(NotImplementedError, match="serial path"):
+        evaluate_dataset_sharded(None, None, cfg, None, None)
