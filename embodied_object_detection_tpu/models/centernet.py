@@ -49,7 +49,9 @@ class CenterNetHead(nn.Module):
     @nn.compact
     def __call__(self, features: Sequence[jax.Array]
                  ) -> Tuple[List[jax.Array], List[jax.Array]]:
+        # tower convs init normal(std=0.01), bias 0 (centernet_head.py:92-97)
         convs = [nn.Conv(self.in_channels, (3, 3), padding=1, dtype=self.dtype,
+                         kernel_init=nn.initializers.normal(0.01),
                          name=f"bbox_tower_conv{i}")
                  for i in range(self.num_box_convs)]
         norms = [GroupNorm(num_groups=32, name=f"bbox_tower_gn{i}")
@@ -154,4 +156,5 @@ def decode_proposals(agn_hms: Sequence[jax.Array], regs: Sequence[jax.Array],
                           scores=jnp.where(out_valid, top_scores, 0.0),
                           classes=jnp.zeros((post_topk,), jnp.int32),
                           valid=out_valid)
-    return nms_padded(boxes, scores, valid, nms_thresh, post_topk)
+    return nms_padded(boxes, scores, valid, nms_thresh, post_topk,
+                      ml_nms_semantics=True)

@@ -503,7 +503,7 @@ class EmbodiedDetector(nn.Module):
         is applied per cascade stage.
         """
         from .losses import image_label_loss
-        from ..structures import clip_boxes as _clip
+        from ..structures import clip_boxes as _clip, nonempty as _nonempty
         cfg = self.cfg
         h, w = cfg.input.height, cfg.input.width
         # train=True activates swin drop-path — the reference trains with
@@ -526,11 +526,25 @@ class EmbodiedDetector(nn.Module):
 
         losses = {}
         num_stages = len(cfg.roi.cascade_ious)
+
+        def grad_scale(x, s):
+            # ref: _ScaleGradient 1/num_stages applies in _run_stage for
+            # EVERY ann_type (detic_roi_heads.py:333) — without it the weak
+            # losses backprop num_stages x the reference gradient into the
+            # FPN/backbone
+            return x * s + jax.lax.stop_gradient(x) * (1.0 - s)
+
         cur = boxes
         image_box_emb = None
         for s in range(num_stages):
+            if s > 0:
+                # the reference drops empty boxes in every TRAINING forward,
+                # weak ann_types included (_create_proposals_from_boxes
+                # nonempty filter, detic_roi_heads.py:314-318)
+                valid = valid & _nonempty(cur)
             pooled = self.roi_heads._pool((p3, p4, p5), cur,
                                           cfg.roi.pooler_resolution)
+            pooled = grad_scale(pooled, 1.0 / num_stages)
             x = self.roi_heads.box_heads[s](pooled)
             logits, deltas, clip_feats = self.roi_heads.predictors[s](
                 x, zs_weight)

@@ -31,3 +31,17 @@ class GroupNorm(nn.Module):
         xn = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         xn = xn.reshape(orig_shape)
         return xn * scale + bias
+
+
+# detectron2/caffe2 weight-init fills (fvcore.nn.weight_init) so
+# from-scratch training starts from the reference's weight distribution —
+# flax's lecun_normal default is ~2x wider than e.g. normal(std=0.01)
+# tower fills and would diverge early-training dynamics.
+# c2_xavier_fill = kaiming_uniform_(w, a=1): bound = sqrt(3 / fan_in)
+c2_xavier_init = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
+# c2_msra_fill = kaiming_normal_(w, mode=fan_out, nonlinearity=relu)
+c2_msra_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+# torch nn.Linear default = kaiming_uniform_(w, a=sqrt(5)):
+# bound = sqrt(1 / fan_in)
+torch_linear_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
+                                                     "uniform")

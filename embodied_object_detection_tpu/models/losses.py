@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CenterNetConfig, ROIHeadsConfig
-from ..structures import Detections, GroundTruth, pairwise_iou
+from ..structures import Detections, GroundTruth, giou_xyxy, pairwise_iou
 from .centernet import level_grids
 from .roi_heads import apply_deltas, get_deltas
 
@@ -34,7 +34,11 @@ INF = 1e8
 class CenterNetTargets(NamedTuple):
     agn_heatmap: jax.Array     # [M] gaussian-ish heatmap
     reg_targets: jax.Array     # [M, 4] ltrb in stride units; -INF where invalid
-    pos_mask: jax.Array        # [M] bool — peak-positive locations
+    pos_count: jax.Array       # [M] int32 — peak-positive multiplicity
+                               # (two GTs sharing a cell count twice:
+                               # _get_label_inds concatenates one index
+                               # per cared (gt,level) pair with no
+                               # unique(), centernet.py:483-491)
 
 
 def centernet_targets(gt: GroundTruth, shapes: Sequence[Tuple[int, int]],
@@ -108,7 +112,7 @@ def centernet_targets(gt: GroundTruth, shapes: Sequence[Tuple[int, int]],
         level_bases.append(base)
         base += n
     diag = jnp.sqrt(jnp.sum((boxes[:, 2:] - boxes[:, :2]) ** 2, -1)) / 2  # [G]
-    pos_mask = jnp.zeros((m,), bool)
+    pos_count = jnp.zeros((m,), jnp.int32)
     for lvl, ((h, w), stride, rng_) in enumerate(
             zip(shapes, cfg.strides, cfg.sizes_of_interest)):
         cx = (centers[:, 0] / stride).astype(jnp.int32)
@@ -116,13 +120,13 @@ def centernet_targets(gt: GroundTruth, shapes: Sequence[Tuple[int, int]],
         inside = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
         cared = (diag >= rng_[0]) & (diag <= rng_[1]) & valid & inside
         flat = level_bases[lvl] + jnp.clip(cy, 0, h - 1) * w + jnp.clip(cx, 0, w - 1)
-        pos_mask = pos_mask.at[flat].max(cared)
+        pos_count = pos_count.at[flat].add(cared.astype(jnp.int32))
     return CenterNetTargets(agn_heatmap=hm, reg_targets=reg_targets,
-                            pos_mask=pos_mask)
+                            pos_count=pos_count)
 
 
 def binary_heatmap_focal_loss(logits: jax.Array, targets: jax.Array,
-                              pos_mask: jax.Array, cfg: CenterNetConfig
+                              pos_count: jax.Array, cfg: CenterNetConfig
                               ) -> Tuple[jax.Array, jax.Array]:
     """ref: layers/heatmap_focal_loss.py:51-85 (binary variant).
 
@@ -132,7 +136,9 @@ def binary_heatmap_focal_loss(logits: jax.Array, targets: jax.Array,
                     1 - cfg.sigmoid_clamp)
     neg_weights = jnp.power(1 - targets, cfg.hm_focal_beta)
     pos_loss = jnp.log(pred) * jnp.power(1 - pred, cfg.loss_gamma)
-    pos_loss = jnp.sum(jnp.where(pos_mask, pos_loss, 0.0))
+    # duplicates contribute once per (gt,level) assignment — weight by
+    # multiplicity, matching pred[pos_inds] gathering repeated indices
+    pos_loss = jnp.sum(pos_loss * pos_count.astype(pos_loss.dtype))
     neg_loss = jnp.log(1 - pred) * jnp.power(pred, cfg.loss_gamma) * neg_weights
     if cfg.ignore_high_fp > 0:
         neg_loss = neg_loss * (pred < cfg.ignore_high_fp)
@@ -298,7 +304,7 @@ def centernet_raw_losses(agn_logits_flat: jax.Array, reg_pred_flat: jax.Array,
 
     agn_logits_flat [M], reg_pred_flat [M, 4] (stride-normalized, relu'd).
     With `more_pos`, the positive set comes from the MORE_POS assignment
-    (centernet.py:203-208) instead of targets.pos_mask."""
+    (centernet.py:203-208) instead of targets.pos_count."""
     if more_pos is not None:
         pos_loss, neg_loss = binary_heatmap_focal_loss_indexed(
             agn_logits_flat, targets.agn_heatmap, more_pos.pos_inds,
@@ -306,8 +312,8 @@ def centernet_raw_losses(agn_logits_flat: jax.Array, reg_pred_flat: jax.Array,
         num_pos = jnp.sum(more_pos.pos_valid.astype(jnp.float32))
     else:
         pos_loss, neg_loss = binary_heatmap_focal_loss(
-            agn_logits_flat, targets.agn_heatmap, targets.pos_mask, cfg)
-        num_pos = jnp.sum(targets.pos_mask.astype(jnp.float32))
+            agn_logits_flat, targets.agn_heatmap, targets.pos_count, cfg)
+        num_pos = jnp.sum(targets.pos_count.astype(jnp.float32))
     reg_valid = jnp.max(targets.reg_targets, axis=1) >= 0
     reg_cnt = jnp.sum(reg_valid.astype(jnp.float32))
     per_loc = giou_loss_ltrb(reg_pred_flat,
@@ -346,7 +352,7 @@ def centernet_losses(agn_logits_flat: jax.Array, reg_pred_flat: jax.Array,
     on one device — or use centernet_raw_losses + centernet_normalize at the
     batch level for the reference's cross-device semantics). With `more_pos`,
     the positive set comes from the MORE_POS assignment (centernet.py:203-208)
-    instead of targets.pos_mask."""
+    instead of targets.pos_count."""
     raw = centernet_raw_losses(agn_logits_flat, reg_pred_flat, targets, cfg,
                                more_pos=more_pos)
     return centernet_normalize(raw, num_pos_avg, raw.reg_cnt)
@@ -419,7 +425,10 @@ def sample_proposals(valid: jax.Array, fg: jax.Array, batch_size: int,
     neg_key = jnp.where(valid & ~pos, r, -1.0)
     final_key = jnp.where(pos_sel, 2.0 + r, neg_key)
     _, idx = jax.lax.top_k(final_key, min(batch_size, n))
-    keep_valid = jnp.take(final_key, idx) > 0.0
+    # >= 0: a negative whose uniform key is exactly 0.0 is still a sampled
+    # row (invalid slots sit at -1.0); a strict > would drop it, training
+    # on batch_size-1 rows where subsample_labels never drops an index
+    keep_valid = jnp.take(final_key, idx) >= 0.0
     return idx, keep_valid
 
 
@@ -642,7 +651,6 @@ def stage_losses(logits: jax.Array, deltas: jax.Array,
     fg = (matched.gt_classes < c) & matched.valid
     pred_boxes = apply_deltas(deltas, matched.boxes, reg_weights)
     # giou on xyxy (ref: fvcore giou_loss via box_reg_loss :293-297)
-    from ..structures import giou_xyxy
     giou = giou_xyxy(pred_boxes, matched.gt_boxes)
     loss_box = jnp.sum(jnp.where(fg, 1 - giou, 0.0)) / b
     return {"loss_cls": loss_cls, "loss_box_reg": loss_box}

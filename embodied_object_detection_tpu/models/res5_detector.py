@@ -127,7 +127,7 @@ class Res5Detector(nn.Module):
         targets = centernet_targets(gt, ((c4.shape[0], c4.shape[1]),), ccfg)
         agn_flat = jnp.concatenate([x.reshape(-1) for x in agn_hms])
         reg_flat = jnp.concatenate([x.reshape(-1, 4) for x in regs])
-        num_pos = jnp.sum(targets.pos_mask.astype(jnp.float32))
+        num_pos = jnp.sum(targets.pos_count.astype(jnp.float32))
         # per-frame local normalization (world-size-1 semantics); the
         # flagship batch step defers to batch-global counts
         # (parallel/train_step.py, ref centernet.py:258-265) — the Res5

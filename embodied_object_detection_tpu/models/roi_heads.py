@@ -25,6 +25,7 @@ from flax import linen as nn
 from ..config import ROIHeadsConfig
 from ..ops.roi_align import multilevel_roi_align
 from ..structures import Detections, clip_boxes
+from .layers import c2_msra_init, c2_xavier_init, torch_linear_init
 
 
 def apply_deltas(deltas: jax.Array, boxes: jax.Array,
@@ -80,7 +81,9 @@ class BoxHead(nn.Module):
     def __call__(self, x):
         x = x.reshape(x.shape[0], -1).astype(self.dtype)
         for i in range(self.num_fc):
-            x = nn.Dense(self.fc_dim, dtype=self.dtype, name=f"fc{i + 1}")(x)
+            # c2_xavier_fill on every fc (FastRCNNConvFCHead)
+            x = nn.Dense(self.fc_dim, dtype=self.dtype,
+                         kernel_init=c2_xavier_init, name=f"fc{i + 1}")(x)
             x = nn.relu(x)
         return x
 
@@ -101,7 +104,10 @@ class ZeroShotPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, x, zs_weight: jax.Array):
-        feat = nn.Dense(self.zs_dim, dtype=jnp.float32, name="cls_linear")(
+        # cls_score.linear keeps the torch nn.Linear default init
+        # (zero_shot_classifier.py never re-initializes it)
+        feat = nn.Dense(self.zs_dim, dtype=jnp.float32,
+                        kernel_init=torch_linear_init, name="cls_linear")(
             x.astype(jnp.float32))
         norm = jnp.linalg.norm(feat, axis=-1, keepdims=True)
         feat_n = self.norm_temperature * feat / jnp.maximum(norm, 1e-12)
@@ -109,7 +115,10 @@ class ZeroShotPredictor(nn.Module):
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
 
-        d = nn.Dense(x.shape[-1], dtype=jnp.float32, name="bbox_fc1")(
+        # bbox_pred[0] c2_xavier, bbox_pred[-1] normal(0.001)
+        # (detic_fast_rcnn.py:114-116)
+        d = nn.Dense(x.shape[-1], dtype=jnp.float32,
+                     kernel_init=c2_xavier_init, name="bbox_fc1")(
             x.astype(jnp.float32))
         d = nn.relu(d)
         deltas = nn.Dense(4, dtype=jnp.float32,
@@ -129,15 +138,16 @@ class MaskHead(nn.Module):
     def __call__(self, x):
         x = x.astype(self.dtype)
         for i in range(self.num_convs):
+            # c2_msra_fill (MaskRCNNConvUpsampleHead convs)
             x = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
-                        name=f"mask_fcn{i + 1}")(x)
+                        kernel_init=c2_msra_init, name=f"mask_fcn{i + 1}")(x)
             x = nn.relu(x)
         # 2x2 stride-2 deconv, written as an einsum + pixel-shuffle: with
         # kernel==stride there is no overlap, so
         # y[2i+a, 2j+b, d] = sum_c x[i, j, c] W[a, b, c, d] — exactly torch
         # ConvTranspose2d semantics, with no kernel-flip ambiguity (keeps the
         # torch->jax weight conversion a pure transpose).
-        w_dc = self.param("deconv_kernel", nn.initializers.he_normal(),
+        w_dc = self.param("deconv_kernel", c2_msra_init,
                           (2, 2, self.channels, self.channels))
         b_dc = self.param("deconv_bias", nn.initializers.zeros,
                           (self.channels,))
@@ -146,7 +156,10 @@ class MaskHead(nn.Module):
                        w_dc.astype(jnp.float32))
         x = (y.reshape(r, hh * 2, ww * 2, self.channels) + b_dc).astype(self.dtype)
         x = nn.relu(x)
-        logits = nn.Conv(1, (1, 1), dtype=jnp.float32, name="predictor")(
+        # predictor init normal(0.001) (detectron2 MaskRCNNConvUpsampleHead)
+        logits = nn.Conv(1, (1, 1), dtype=jnp.float32,
+                         kernel_init=nn.initializers.normal(0.001),
+                         name="predictor")(
             x.astype(jnp.float32))
         return logits[..., 0]                       # [R, 28, 28]
 
@@ -159,7 +172,8 @@ class SoftmaxPropHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Dense(x.shape[-1], dtype=jnp.float32, name="fc1")(
+        y = nn.Dense(x.shape[-1], dtype=jnp.float32,
+                     kernel_init=c2_xavier_init, name="fc1")(
             x.astype(jnp.float32))
         y = nn.relu(y)
         return nn.Dense(self.num_classes + 1, dtype=jnp.float32,

@@ -66,7 +66,8 @@ def _greedy_keep(iou_mask: jax.Array, valid: jax.Array, max_iters: int) -> jax.A
     return active
 
 
-def _nms_core(boxes, scores, valid, classes, iou_threshold, max_iters):
+def _nms_core(boxes, scores, valid, classes, iou_threshold, max_iters,
+              ml_nms_semantics=False):
     # greedy suppression-DAG depth is bounded by the candidate count, so
     # max_iters <= 0 (the default) means "run to convergence": the
     # while_loop exits as soon as the mask stops changing, so the bound
@@ -85,26 +86,37 @@ def _nms_core(boxes, scores, valid, classes, iou_threshold, max_iters):
     same_class = classes_s[:, None] == classes_s[None, :]
     upper = jnp.triu(jnp.ones((n, n), bool), k=1)      # i < j strictly (i higher score)
     iou_mask = (iou > iou_threshold) & same_class & upper & valid_s[:, None] & valid_s[None, :]
+    if ml_nms_semantics:
+        # ml_nms treats nms_thresh <= 0 as "NMS disabled" (ml_nms.py:16-17
+        # returns the boxlist untouched) — without this, thresh 0 would
+        # suppress every overlapping pair, the exact opposite. detectron2's
+        # batched_nms (fast_rcnn_inference) has NO such bypass, so this is
+        # opt-in for the proposal-NMS path only.
+        iou_mask = iou_mask & jnp.asarray(iou_threshold > 0)
     iters = max_iters if max_iters and max_iters > 0 else boxes.shape[0]
     keep = _greedy_keep(iou_mask, valid_s, iters)
     return order, keep, boxes_s, scores_s, classes_s
 
 
-@partial(jax.jit, static_argnames=("topk", "max_iters"))
+@partial(jax.jit, static_argnames=("topk", "max_iters", "ml_nms_semantics"))
 def nms_padded(boxes: jax.Array, scores: jax.Array, valid: jax.Array,
                iou_threshold: float, topk: int,
                classes: Optional[jax.Array] = None,
-               max_iters: int = 0) -> Detections:
+               max_iters: int = 0,
+               ml_nms_semantics: bool = False) -> Detections:
     """Greedy NMS over padded candidates; returns top-`topk` by score.
 
     If `classes` is given, suppression only happens within a class
     (ml_nms / batched_nms semantics). Padded rows have valid=False.
+    `ml_nms_semantics=True` additionally disables suppression entirely when
+    iou_threshold <= 0 (the ml_nms convention for proposal NMS).
     """
     n = boxes.shape[0]
     if classes is None:
         classes = jnp.zeros((n,), jnp.int32)
     _, keep, boxes_s, scores_s, classes_s = _nms_core(
-        boxes, scores, valid, classes, iou_threshold, max_iters)
+        boxes, scores, valid, classes, iou_threshold, max_iters,
+        ml_nms_semantics=ml_nms_semantics)
 
     kept_scores = jnp.where(keep, scores_s, NEG_INF)
     top_scores, out_valid, (top_boxes, top_classes) = topk_padded(

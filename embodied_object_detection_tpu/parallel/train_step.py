@@ -148,8 +148,11 @@ def make_caption_train_step(model: EmbodiedDetector, cfg: DetectorConfig,
                                 cfg.roi.norm_temperature, neg_cap_weight,
                                 caption_valid=weight > 0)
         losses = jax.vmap(per_frame)(jnp.arange(b))
-        wsum = jnp.maximum(jnp.sum(weight), 1.0)
-        total = caption_weight * jnp.sum(losses * weight) / wsum
+        # normalize by the FULL batch size B, not the count of images that
+        # have a caption — the reference accumulates per image and divides
+        # by B at the end (detic_fast_rcnn.py:418-422), so caption-less
+        # rows (weight 0) still count in the denominator
+        total = caption_weight * jnp.sum(losses * weight) / float(b)
         return total, {"caption_loss": total}
 
     return loss_fn
@@ -204,16 +207,20 @@ def make_captiontag_train_step(model: EmbodiedDetector, cfg: DetectorConfig,
                                 caption_valid=cap_valid)
         cap_losses = jax.vmap(per_frame)(jnp.arange(b))
         cw = weight * fv
-        cap_total = caption_weight * jnp.sum(cap_losses * cw) \
-            / jnp.maximum(jnp.sum(cw), 1.0)
+        # both losses normalize by the FULL batch size B — the reference
+        # divides the accumulated sums by B regardless of how many images
+        # actually contributed (detic_fast_rcnn.py:418-422). Only
+        # batch-divisibility padding rows (frame_valid False) are excluded
+        # from B; they are synthetic duplicates, not batch images.
+        b_real = jnp.maximum(jnp.sum(fv), 1.0)
+        cap_total = caption_weight * jnp.sum(cap_losses * cw) / b_real
 
         # tag supervision applies to every VALID captiontag image with
         # labels, even ones whose caption list was empty (weight==0): the
         # reference skips the tag loop only for ann_type=='caption'
         # (detic_fast_rcnn.py:370-375), not for caption-less images.
-        # Padding rows (frame_valid False) are excluded from both losses.
         tag_w = jnp.any(labels_valid, axis=1).astype(tags.dtype) * fv
-        tag_total = jnp.sum(tags * tag_w) / jnp.maximum(jnp.sum(tag_w), 1.0)
+        tag_total = jnp.sum(tags * tag_w) / b_real
         total = cap_total + tag_total
         return total, {"caption_loss": cap_total, "tag_loss": tag_total}
 

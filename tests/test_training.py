@@ -40,13 +40,13 @@ def test_centernet_targets_peak_and_heatmap():
     assert tg.reg_targets.shape == (m, 4)
     # the discretized center cell at level 0: center (52,52)//8 = (6,6)
     flat = 6 * 20 + 6
-    assert bool(tg.pos_mask[flat])
+    assert int(tg.pos_count[flat]) == 1
     assert float(tg.agn_heatmap[flat]) == 1.0       # peak -> exp(0)
     # its reg target: grid center (52, 52) -> l=t=20, r=b=20, /stride 8
     np.testing.assert_allclose(np.asarray(tg.reg_targets[flat]),
                                [20 / 8] * 4, atol=1e-5)
     # positives only at one level for this size
-    assert int(jnp.sum(tg.pos_mask)) == 1
+    assert int(jnp.sum(tg.pos_count)) == 1
 
 
 def test_centernet_targets_empty_gt():
@@ -55,7 +55,7 @@ def test_centernet_targets_empty_gt():
     gt = _gt(np.zeros((0, 4)), np.zeros(0))
     tg = centernet_targets(gt, shapes, cfg)
     assert float(jnp.sum(tg.agn_heatmap)) == 0.0
-    assert int(jnp.sum(tg.pos_mask)) == 0
+    assert int(jnp.sum(tg.pos_count)) == 0
     assert bool(jnp.all(tg.reg_targets < -1e7))
 
 

@@ -753,7 +753,10 @@ def torch_centernet_targets(boxes, shapes, strides, sizes_of_interest,
         flat = level_bases[li] + ci[:, 1].clamp(0, h - 1) * w + \
             ci[:, 0].clamp(0, w - 1)
         pos.append(flat[cared_l])
-    pos_inds = torch.unique(torch.cat(pos)) if pos else torch.zeros(0).long()
+    # NO unique(): the reference concatenates one index per cared
+    # (gt,level) pair, so a shared center cell counts with multiplicity
+    # in both the focal pos sum and num_pos (centernet.py:483-491)
+    pos_inds = torch.cat(pos) if pos else torch.zeros(0).long()
     return hm, reg_t, pos_inds
 
 
