@@ -33,6 +33,10 @@ except ImportError:  # pragma: no cover
 # ref: loader.py:134 — classes included for detections
 CLASS_IDS = [0, 2, 3, 4, 5, 6, 7, 9, 12, 13, 14, 15, 16, 17, 19]
 
+# object_lvis -> SMNet class-id row remap for the map_gt baseline when the
+# GT semmap (13 SMNet classes) indexes the CLIP table (loader.py:136, :245)
+SMNET_CLASS_MAPPING = [0, 11, 17, 1, 14, 4, 13, 10, 16, 6, 0, 0, 18]
+
 # ref: custom_rcnn.py:988-989 / loader.py:132 — the 20-class mp3d vocabulary
 OBJECT_LVIS = ['bed', 'stool', 'towel', 'fireplace', 'picture', 'cabinet',
                'toilet', 'curtain', 'lighting', 'table', 'shelving', 'mirror',
@@ -155,9 +159,12 @@ class EpisodeDataset:
         path = os.path.join(self.image_root, file_name)
         if not os.path.exists(path):
             return np.asarray(fallback())
-        from PIL import Image
+        from PIL import Image, ImageOps
         with open(path, "rb") as f:
             img = Image.open(f)
+            # _apply_exif_orientation (loader.py:282-284): an EXIF-tagged
+            # JPEG must be rotated to match the GT boxes' orientation
+            img = ImageOps.exif_transpose(img)
             img = img.convert("RGB")
             return np.asarray(img)
 
@@ -168,22 +175,34 @@ class EpisodeDataset:
         with h5py.File(os.path.join(self.memory_path, file), "r") as h5:
             # only the ROW COUNT of the (zero-filled) memory template is
             # needed (ARCHITECTURE.md: "the h5 is only a cell-count
-            # template") — .shape reads no data, vs tens of MB per chunk
+            # template") — .shape reads no data, vs tens of MB per chunk.
+            # EXCEPT explicit_map: its external memory IS these values
+            # (loader.py:204 + :296-302 when no semmap snapshot exists)
             num_cells = int(h5["memory_features"].shape[0])
             proj = np.array(h5["proj_indices"])
             semmap_gt = np.array(h5["semmap_gt"]) \
                 if "semmap_gt" in h5 else None
+            mem_h5_values = (np.array(h5["memory_features"], np.float32)
+                             if self.memory_type == "explicit_map" else None)
         if proj.ndim == 4:
             proj = proj[..., 0]
 
         mem_features = observations = None
+        semmap_real = None
         if self.semmap_path:
             snap = os.path.join(self.semmap_path, file)
             if os.path.exists(snap):
                 with h5py.File(snap, "r") as h5:
                     mem_features = np.array(h5["impicit_memory"], np.float32)
                     observations = np.array(h5["observations"], np.float32)
+                    if "semmap" in h5:
+                        # +1: empty space shifts -1 -> 0 (loader.py:221-223)
+                        semmap_real = np.array(h5["semmap"]) + 1
                 num_cells = int(mem_features.shape[0])
+        if self.memory_type == "explicit_map" and mem_features is None:
+            mem_features = mem_h5_values
+            observations = np.ones((mem_features.shape[0],), np.float32)
+            num_cells = int(mem_features.shape[0])
 
         with h5py.File(os.path.join(self.sensor_path, file), "r") as h5:
             rgb = h5["rgb"]  # lazy handle; rows read only as JPEG fallback
@@ -193,8 +212,12 @@ class EpisodeDataset:
                 if (self.memory_type == "semantic_gt" and
                     "segmentation_data" in h5) else None
 
-            # GT-memory remapping (ref: loader.py:233-246, 269-273)
-            if self.clip_embeddings is not None:
+            # GT-memory remapping (ref: loader.py:233-246, 269-273). The
+            # CLIP table applies to semantic_gt/map_gt ONLY — explicit_map's
+            # memory is the h5/snapshot values with raw map-cell proj
+            # (train_mp3d.py wires CLIP_PATH only for those two baselines)
+            if self.clip_embeddings is not None and \
+                    self.memory_type in ("semantic_gt", "map_gt"):
                 mem_features = self.clip_embeddings
                 observations = np.ones((mem_features.shape[0],), np.float32)
                 num_cells = mem_features.shape[0]
@@ -209,11 +232,25 @@ class EpisodeDataset:
                     # table
                     proj = segmentation.astype(np.int64)
                 elif self.memory_type == "map_gt":
-                    if semmap_gt is None:
+                    if semmap_real is not None:
+                        # generated-semmap route (loader.py:239-242): the
+                        # eval-pass snapshot's class map (already +1) indexes
+                        # the UNMAPPED table
+                        proj = semmap_real[proj]
+                    elif semmap_gt is not None:
+                        # GT-semmap route (loader.py:243-246): SMNet 13-class
+                        # ids index a ROW-REMAPPED table — without the remap
+                        # nearly every cell reads the wrong class embedding
+                        mem_features = mem_features[SMNET_CLASS_MAPPING]
+                        observations = np.ones((mem_features.shape[0],),
+                                               np.float32)
+                        num_cells = mem_features.shape[0]
+                        proj = semmap_gt[proj]
+                    else:
                         raise ValueError(
                             f"memory_type=map_gt needs semmap_gt in the "
-                            f"memory h5 for {file}")
-                    proj = semmap_gt[proj]
+                            f"memory h5 (or a semmap snapshot via "
+                            f"semmap_path) for {file}")
 
             t = len(det_records)
             h, w = rgb.shape[1], rgb.shape[2]
@@ -234,6 +271,13 @@ class EpisodeDataset:
                 images[i] = self._load_image(file_name, lambda i=i: rgb[i])
                 proj_out[i] = proj[i]
                 g = min(len(b), self.max_gt)
+                if g < len(b):
+                    # the reference keeps every annotation
+                    # (train_mp3d.py:235-238); silently dropping GT turns
+                    # detections on the dropped objects into false positives
+                    print(f"WARNING: {file} frame {i}: {len(b)} GT boxes "
+                          f"exceed max_gt={self.max_gt}; {len(b) - g} "
+                          "dropped — raise input.max_gt_boxes for parity")
                 boxes[i, :g] = b[:g]
                 classes[i, :g] = c[:g]
                 gt_valid[i, :g] = True

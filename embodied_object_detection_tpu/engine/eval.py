@@ -127,7 +127,9 @@ def _score_chunk_frames(evaluator, quartile_ids: List[List[int]],
     (ref: train_mp3d.py:187-239): quartile bucket by the chunk's SERIAL
     index (:210-217); GT written integer-truncated in xywh space with
     area=0 (:237 — truncation in xywh, NOT per xyxy corner). det_* are
-    this chunk's [T, ...] host arrays. Returns the next im_id. Shared by
+    this chunk's host arrays PRE-SLICED to the scored frames (row j =
+    frame j*score_every) — callers slice on device so only the scored
+    frames' bytes cross the tunnel. Returns the next im_id. Shared by
     the serial and sharded paths — the sharded path's bit-exactness claim
     depends on this logic staying identical between them."""
     t_len = chunk.images.shape[0]
@@ -146,9 +148,10 @@ def _score_chunk_frames(evaluator, quartile_ids: List[List[int]],
         gb = np.stack([gx, gy, gx + gw, gy + gh], axis=1) if len(b) else b
         evaluator.add_ground_truth(im_id, gb, chunk.gt_classes[i][gv],
                                    areas=np.zeros(int(gv.sum())))
-        v = det_valid[i]
-        evaluator.add_detections(im_id, det_boxes[i][v], det_scores[i][v],
-                                 det_classes[i][v])
+        j = i // score_every
+        v = det_valid[j]
+        evaluator.add_detections(im_id, det_boxes[j][v], det_scores[j][v],
+                                 det_classes[j][v])
         im_id += 1
     return im_id
 
@@ -165,8 +168,13 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
         # segmentation (train_mp3d.py:136-284), but producing a real trace
         jax.profiler.start_trace(profile_dir)
 
+    # first_ann_id=0: the reference's on-the-fly GT starts annotation ids
+    # at 0 (train_mp3d.py:149), which makes pycocotools score the det
+    # matched to annotation 0 as a false positive — reproduced so reported
+    # numbers match the reference protocol bit-for-bit
     evaluator = COCOEvaluator(list(range(cfg.roi.num_classes)),
-                              OBJECT_LVIS[:cfg.roi.num_classes])
+                              OBJECT_LVIS[:cfg.roi.num_classes],
+                              first_ann_id=0)
     quartile_ids: List[List[int]] = [[], [], [], []]
     score_every = cfg.input.score_every
 
@@ -190,6 +198,20 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
 
     chunk_iter = prefetch_iterator(_fetch, range(n_chunks),
                                    num_workers=num_workers)
+    # warmup exclusion (train_mp3d.py:135, 179-183): the reference resets
+    # the data/compute/eval accumulators after num_warmup chunks so the
+    # first iterations' compile doesn't pollute the reported rates — on a
+    # tunneled backend the first runner() call can hide minutes of
+    # server-side compile.
+    num_warmup = min(5, n_chunks - 1)
+    warm_chunks = warm_frames = 0
+    # the external table is chunk-invariant for semantic_gt/map_gt — cache
+    # the padded device upload by source-array identity (re-uploading
+    # [max_cells, D] ~17 MB per chunk would dominate t_data on the tunnel).
+    # Distinct sentinel: a None key would alias a MISSING table and skip
+    # the fail-loud check in external_memory_state.
+    _unset = object()
+    ext_cache = (_unset, None)
     for idx in range(n_chunks):
         t0 = time.perf_counter()
         chunk, frames = next(chunk_iter)
@@ -199,7 +221,10 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
             # never zeros. A dataset built without memory_type=/clip_path=
             # has no table, and running anyway would score an all-zero
             # memory as if it were the baseline.
-            memory = external_memory_state(chunk, cfg)
+            if ext_cache[0] is not chunk.memory_features:
+                ext_cache = (chunk.memory_features,
+                             external_memory_state(chunk, cfg))
+            memory = ext_cache[1]
         t_data += time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -210,18 +235,27 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
         float(jnp.sum(out.detections.scores[-1, :1]))
         t_compute += time.perf_counter() - t0
 
+        if idx + 1 == num_warmup:
+            t_data = t_compute = t_eval = 0.0
+            t_total0 = time.perf_counter()
+            warm_chunks = idx + 1
+            warm_frames = total_frames + int(chunk.frame_valid.sum())
+
         if cfg.memory.save_semmap:
             _save_memory_snapshot(cfg, zs, out.first_memory.features,
                                   out.first_memory.obs_count, chunk)
 
         t0 = time.perf_counter()
-        # every-5th-frame scoring (ref: train_mp3d.py:187-188)
+        # every-5th-frame scoring (ref: train_mp3d.py:187-188); detections
+        # sliced to the scored frames ON DEVICE — pulling all T frames
+        # would move ~score_every x the needed bytes over the tunnel
+        sl = slice(0, None, score_every)
         new_im_id = _score_chunk_frames(
             evaluator, quartile_ids, chunk, idx,
-            np.asarray(out.detections.boxes),
-            np.asarray(out.detections.scores),
-            np.asarray(out.detections.classes),
-            np.asarray(out.detections.valid),
+            np.asarray(out.detections.boxes[sl]),
+            np.asarray(out.detections.scores[sl]),
+            np.asarray(out.detections.classes[sl]),
+            np.asarray(out.detections.valid[sl]),
             im_id, score_every)
         frames_scored += new_im_id - im_id
         im_id = new_im_id
@@ -236,15 +270,19 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
     if profile_dir:
         jax.profiler.stop_trace()
     t_total = time.perf_counter() - t_total0
+    # rates exclude the first num_warmup chunks (compile), like the
+    # reference's accumulator reset at idx == num_warmup
+    # (train_mp3d.py:135, 179-183, 271-284)
+    n_timed = max(n_chunks - warm_chunks, 1)
     results = EvalResults(
         overall=evaluator.evaluate(),
         quartiles=[evaluator.evaluate(q) if q else {} for q in quartile_ids],
         timing=dict(
-            data_s_per_chunk=t_data / max(n_chunks, 1),
-            compute_s_per_chunk=t_compute / max(n_chunks, 1),
-            eval_s_per_chunk=t_eval / max(n_chunks, 1),
+            data_s_per_chunk=t_data / n_timed,
+            compute_s_per_chunk=t_compute / n_timed,
+            eval_s_per_chunk=t_eval / n_timed,
             total_s=t_total,
-            frames_per_s=total_frames / max(t_compute, 1e-9),
+            frames_per_s=(total_frames - warm_frames) / max(t_compute, 1e-9),
         ),
         num_images=im_id,
     )
@@ -315,8 +353,13 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
     runner = make_sharded_episode_runner(model, cfg, mesh,
                                          data_axis=cfg.parallel.data_axis)
     zs = jnp.asarray(zs_weight, jnp.float32)
+    # first_ann_id=0: the reference's on-the-fly GT starts annotation ids
+    # at 0 (train_mp3d.py:149), which makes pycocotools score the det
+    # matched to annotation 0 as a false positive — reproduced so reported
+    # numbers match the reference protocol bit-for-bit
     evaluator = COCOEvaluator(list(range(cfg.roi.num_classes)),
-                              OBJECT_LVIS[:cfg.roi.num_classes])
+                              OBJECT_LVIS[:cfg.roi.num_classes],
+                              first_ann_id=0)
     quartile_ids: List[List[int]] = [[], [], [], []]
     score_every = cfg.input.score_every
 
@@ -357,6 +400,9 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
 
     fetch_iter = prefetch_iterator(_fetch, range(n_steps),
                                    num_workers=num_workers)
+    # warmup exclusion like the serial path (train_mp3d.py:135, 179-183)
+    num_warmup = min(5, n_steps - 1)
+    warm_steps = warm_frames = 0
     with mesh:
         for j in range(n_steps):
             t0 = time.perf_counter()
@@ -371,6 +417,13 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
             float(jnp.sum(out.detections.scores[:, -1, :1]))
             t_compute += time.perf_counter() - t0
 
+            if j + 1 == num_warmup:
+                t_data = t_compute = t_eval = 0.0
+                t_total0 = time.perf_counter()
+                warm_steps = j + 1
+                warm_frames = total_frames + sum(
+                    int(c.frame_valid.sum()) for c in metas if c is not None)
+
             if cfg.memory.save_semmap:
                 # per-sequence memory snapshot, as in the serial path;
                 # first_memory carries per-stream post-frame-0 state
@@ -382,10 +435,14 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
                         out.first_memory.obs_count[lane_i], chunk)
 
             t0 = time.perf_counter()
-            det_boxes = np.asarray(out.detections.boxes)
-            det_scores = np.asarray(out.detections.scores)
-            det_classes = np.asarray(out.detections.classes)
-            det_valid = np.asarray(out.detections.valid)
+            # slice to the scored frames ON DEVICE before the host pull
+            # (the lane axis stays; _score_chunk_frames takes pre-sliced
+            # rows, row j = frame j*score_every)
+            sl = (slice(None), slice(0, None, score_every))
+            det_boxes = np.asarray(out.detections.boxes[sl])
+            det_scores = np.asarray(out.detections.scores[sl])
+            det_classes = np.asarray(out.detections.classes[sl])
+            det_valid = np.asarray(out.detections.valid[sl])
             for lane_i, chunk in enumerate(metas):
                 if chunk is None:
                     continue
@@ -398,15 +455,16 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
             t_eval += time.perf_counter() - t0
 
     t_total = time.perf_counter() - t_total0
+    n_timed = max(n_steps - warm_steps, 1)
     results = EvalResults(
         overall=evaluator.evaluate(),
         quartiles=[evaluator.evaluate(q) if q else {} for q in quartile_ids],
         timing=dict(
-            data_s_per_chunk=t_data / max(n_steps, 1),
-            compute_s_per_chunk=t_compute / max(n_steps, 1),
-            eval_s_per_chunk=t_eval / max(n_steps, 1),
+            data_s_per_chunk=t_data / n_timed,
+            compute_s_per_chunk=t_compute / n_timed,
+            eval_s_per_chunk=t_eval / n_timed,
             total_s=t_total,
-            frames_per_s=total_frames / max(t_compute, 1e-9),
+            frames_per_s=(total_frames - warm_frames) / max(t_compute, 1e-9),
             streams=float(s),
         ),
         num_images=im_id,

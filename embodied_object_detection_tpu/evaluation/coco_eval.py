@@ -74,7 +74,8 @@ class COCOEvaluator:
 
     def __init__(self, category_ids: Sequence[int],
                  category_names: Optional[Sequence[str]] = None,
-                 max_dets: int = 100, federated: bool = False):
+                 max_dets: int = 100, federated: bool = False,
+                 first_ann_id: int = 1):
         """federated=True gives LVIS-style evaluation (detectron2
         LVISEvaluator analog, ref: train_mp3d.py:423): detections for
         categories that are neither positively annotated nor in an image's
@@ -91,12 +92,22 @@ class COCOEvaluator:
         self._gt: Dict[int, Dict[int, list]] = defaultdict(lambda: defaultdict(list))
         self._dt: Dict[int, Dict[int, list]] = defaultdict(lambda: defaultdict(list))
         self._img_ids: List[int] = []
+        # global annotation id counter. pycocotools stores gt['id'] in
+        # dtm, where 0 doubles as "unmatched" — so when ids start at 0 the
+        # detection matched to annotation 0 accumulates as a false
+        # positive. Standard COCO jsons are 1-based (no quirk, the
+        # default); the mp3d embodied protocol assembles GT with ids from
+        # 0 (train_mp3d.py:149) and passes first_ann_id=0 so its reported
+        # numbers keep the reference quirk.
+        self._first_ann_id = int(first_ann_id)
+        self._next_ann_id = self._first_ann_id
 
     def reset(self):
         self._gt.clear()
         self._dt.clear()
         self._img_ids = []
         self._seen_ids.clear()
+        self._next_ann_id = self._first_ann_id
         self._pos.clear()
         self._neg.clear()
         self._last_precisions = None
@@ -120,7 +131,8 @@ class COCOEvaluator:
             area = float(areas[i]) if areas is not None else \
                 float((x2 - x1) * (y2 - y1))
             self._gt[image_id][int(classes[i])].append(
-                ((x1, y1, x2 - x1, y2 - y1), area))
+                ((x1, y1, x2 - x1, y2 - y1), area, self._next_ann_id))
+            self._next_ann_id += 1
             if self.federated:
                 self._pos.setdefault(image_id, set()).add(int(classes[i]))
 
@@ -159,11 +171,13 @@ class COCOEvaluator:
             return None
         g_boxes = np.array([e[0] for e in gt_entries], np.float64).reshape(-1, 4)
         g_areas = np.array([e[1] for e in gt_entries], np.float64)
+        g_ids = np.array([e[2] for e in gt_entries], np.int64)
         g_ignore = (g_areas < area_rng[0]) | (g_areas > area_rng[1])
         # sort gts: non-ignored first (COCOeval gtind)
         gt_order = np.argsort(g_ignore, kind="stable")
         g_boxes = g_boxes[gt_order]
         g_ignore = g_ignore[gt_order]
+        g_ids = g_ids[gt_order]
 
         d_boxes = np.array([e[0] for e in dt_entries], np.float64).reshape(-1, 4)
         d_scores = np.array([e[1] for e in dt_entries], np.float64)
@@ -174,7 +188,11 @@ class COCOEvaluator:
         # when the native core is absent, so no core.greedy_match branch here
         # (the native greedy_match is exercised inside evaluate_category and
         # directly by tests/test_native_eval.py)
-        dt_m = np.zeros((n_thrs, nd), np.int64)    # matched gt idx + 1
+        # dt_m stores the matched gt's GLOBAL annotation id, exactly like
+        # pycocotools (dtm[t,d] = gt['id']); 0 doubles as "unmatched", so
+        # with ids starting at 0 (train_mp3d.py:149) the det matched to
+        # annotation 0 accumulates as FP — quirk kept for number parity
+        dt_m = np.zeros((n_thrs, nd), np.int64)
         gt_m = np.zeros((n_thrs, ng), np.int64)
         dt_ig = np.zeros((n_thrs, nd), bool)
         for t, thr in enumerate(IOU_THRS[:n_thrs]):
@@ -194,7 +212,7 @@ class COCOEvaluator:
                 if best_g == -1:
                     continue
                 dt_ig[t, d] = g_ignore[best_g]
-                dt_m[t, d] = best_g + 1
+                dt_m[t, d] = g_ids[best_g]
                 gt_m[t, best_g] = d + 1
         # unmatched detections outside the area range are ignored
         d_areas = d_boxes[:, 2] * d_boxes[:, 3]
@@ -207,11 +225,12 @@ class COCOEvaluator:
                  area: str = "all") -> Dict[str, float]:
         """Returns {'AP', 'AP50', 'AP75', 'AP-<cat>': ...} (percentages,
         detectron2-style)."""
-        # dedup like COCOeval's p.imgIds = np.unique(...) — duplicates would
-        # double-count GT and detections (insertion order kept; order does
-        # not affect the globally score-sorted accumulate)
-        ids = list(dict.fromkeys(img_ids)) if img_ids is not None \
-            else list(self._img_ids)
+        # dedup AND sort like COCOeval's p.imgIds = np.unique(...):
+        # mergesort breaks exact score ties by evaluation order, so image
+        # order must be deterministic for the serial and sharded paths to
+        # produce identical AP under bit-equal scores
+        ids = sorted(set(img_ids)) if img_ids is not None \
+            else sorted(self._seen_ids)
         area_rng = AREA_RNGS[area]
         n_thrs = len(IOU_THRS)
         ap_per_cat = {}
@@ -222,13 +241,14 @@ class COCOEvaluator:
             if core is not None:
                 # whole-category sweep in one native call (one ctypes
                 # round-trip per category, not per image)
-                g_boxes, g_areas, g_off = [], [], [0]
+                g_boxes, g_areas, g_ids, g_off = [], [], [], [0]
                 d_boxes, d_scores, d_off = [], [], [0]
                 any_entries = False
                 for i in ids:
-                    for box, ar in self._gt.get(i, {}).get(cat, []):
+                    for box, ar, gid in self._gt.get(i, {}).get(cat, []):
                         g_boxes.append(box)
                         g_areas.append(ar)
+                        g_ids.append(gid)
                         any_entries = True
                     g_off.append(len(g_boxes))
                     if not self._federated_drop(i, cat):
@@ -242,6 +262,7 @@ class COCOEvaluator:
                 scores, dt_m, dt_ig, n_gt = core.evaluate_category(
                     np.asarray(g_boxes, np.float64).reshape(-1, 4),
                     np.asarray(g_areas, np.float64),
+                    np.asarray(g_ids, np.int64),
                     np.asarray(g_off, np.int64),
                     np.asarray(d_boxes, np.float64).reshape(-1, 4),
                     np.asarray(d_scores, np.float64),

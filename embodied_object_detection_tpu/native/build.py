@@ -50,7 +50,7 @@ class EvalCore:
                                             ctypes.c_double, _f64,
                                             ctypes.c_int64, _f64]
         lib.evaluate_category.argtypes = [
-            _f64, _f64, _i64, _f64, _f64, _i64, ctypes.c_int64,
+            _f64, _f64, _i64, _i64, _f64, _f64, _i64, ctypes.c_int64,
             _f64, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
             ctypes.c_int64, ctypes.c_int64, _f64, _i64, _u8, _i64]
         lib.evaluate_category.restype = ctypes.c_int64
@@ -77,17 +77,20 @@ class EvalCore:
                                dt_m, gt_m, dt_ig)
         return dt_m, gt_m, dt_ig.astype(bool)
 
-    def evaluate_category(self, g_boxes, g_areas, g_off, d_boxes, d_scores,
-                          d_off, thrs, area_rng, max_dets: int):
+    def evaluate_category(self, g_boxes, g_areas, g_ids, g_off, d_boxes,
+                          d_scores, d_off, thrs, area_rng, max_dets: int):
         """Full per-category COCOeval.evaluateImg sweep in one call.
 
-        Concatenated per-image inputs (xywh boxes) with prefix offsets;
-        returns (scores [N], dt_m [T,N], dt_ig [T,N], n_gt) where N is the
-        max_dets-capped detection total in image order, dets sorted
-        score-descending within each image.
+        Concatenated per-image inputs (xywh boxes + global annotation ids)
+        with prefix offsets; returns (scores [N], dt_m [T,N], dt_ig [T,N],
+        n_gt) where N is the max_dets-capped detection total in image
+        order, dets sorted score-descending within each image. dt_m holds
+        the matched gt's global ann id (0 = unmatched — deliberately
+        aliasing ann id 0, the pycocotools quirk).
         """
         g_boxes = np.ascontiguousarray(g_boxes, np.float64).reshape(-1, 4)
         g_areas = np.ascontiguousarray(g_areas, np.float64).reshape(-1)
+        g_ids = np.ascontiguousarray(g_ids, np.int64).reshape(-1)
         g_off = np.ascontiguousarray(g_off, np.int64)
         d_boxes = np.ascontiguousarray(d_boxes, np.float64).reshape(-1, 4)
         d_scores = np.ascontiguousarray(d_scores, np.float64).reshape(-1)
@@ -102,7 +105,8 @@ class EvalCore:
         dt_ig = np.zeros((nt, nd_cap), np.uint8)
         n_gt = np.zeros(1, np.int64)
         written = self._lib.evaluate_category(
-            g_boxes, g_areas, g_off, d_boxes, d_scores, d_off, n_imgs,
+            g_boxes, g_areas, g_ids, g_off, d_boxes, d_scores, d_off,
+            n_imgs,
             thrs, nt, float(area_rng[0]), float(area_rng[1]),
             int(max_dets), nd_cap, scores, dt_m, dt_ig, n_gt)
         assert written == nd_cap, (written, nd_cap)

@@ -86,14 +86,20 @@ void greedy_match(const double* ious, int64_t nd, int64_t ng,
 // overhead is per-category, not per-(image,category).
 //
 // Inputs are concatenated over images with prefix offsets:
-//   g_boxes [NG*4] xywh, g_areas [NG], g_off [n_imgs+1]
-//   d_boxes [ND*4] xywh, d_scores [ND], d_off [n_imgs+1]
+//   g_boxes [NG*4] xywh, g_areas [NG], g_ids [NG] global annotation ids,
+//   g_off [n_imgs+1]; d_boxes [ND*4] xywh, d_scores [ND], d_off [n_imgs+1]
 // Outputs (capped at max_dets per image, concatenated in image order):
 //   out_scores [<=ND], out_dtm/out_dtig [nt, <=ND] (row stride = the
 //   caller-computed capped total `nd_cap`), out_ngt = #non-ignored gts.
+// out_dtm stores the matched gt's GLOBAL annotation id (pycocotools
+// evaluateImg stores gt['id']); 0 doubles as "unmatched", so when ids
+// start at 0 (the reference protocol, train_mp3d.py:149) the detection
+// matched to annotation 0 accumulates as a false positive — the
+// pycocotools quirk, reproduced deliberately for golden-number parity.
 // Returns the number of detections written (== nd_cap).
 int64_t evaluate_category(
-    const double* g_boxes, const double* g_areas, const int64_t* g_off,
+    const double* g_boxes, const double* g_areas, const int64_t* g_ids,
+    const int64_t* g_off,
     const double* d_boxes, const double* d_scores, const int64_t* d_off,
     int64_t n_imgs, const double* thrs, int64_t nt,
     double area_lo, double area_hi, int64_t max_dets, int64_t nd_cap,
@@ -181,8 +187,12 @@ int64_t evaluate_category(
           continue;
         }
         dtig_row[d] = g_ig[gt_order[best_g]];
-        dtm_row[d] = best_g + 1;
+        dtm_row[d] = g_ids[g0 + gt_order[best_g]];
         gtm[best_g] = d + 1;
+        // pycocotools applies the unmatched-out-of-range ignore on
+        // dtm == 0 AFTER matching — a det matched to annotation id 0
+        // (the quirk) is included by that test
+        if (dtm_row[d] == 0 && out_of_rng) dtig_row[d] = 1;
       }
     }
     for (int64_t d = 0; d < nd; ++d)

@@ -366,11 +366,12 @@ def main(argv=None):
     if args.eval_only:
         from .engine.eval import evaluate_dataset, evaluate_dataset_sharded
         clip_path = ""
-        if cfg.memory.external_memory():
-            # GT-memory baselines read a fixed CLIP class table through the
-            # dataset (loader.py:139-142, 233-246) — without clip_path the
-            # model would gather an all-zero table and silently score as
-            # image-only-with-bias
+        if cfg.memory.memory_type in ("semantic_gt", "map_gt"):
+            # these two GT baselines read a fixed CLIP class table through
+            # the dataset (loader.py:139-142, 233-246) — without clip_path
+            # the model would gather an all-zero table and silently score
+            # as image-only-with-bias. explicit_map instead reads the
+            # memory h5 / snapshot VALUES (loader.py:204, :296-302).
             clip_path = find_clip_table_path(args, cfg)
             print(f"GT-memory table from {clip_path}")
         dataset = EpisodeDataset(cfg.test_data_path,

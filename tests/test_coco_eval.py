@@ -220,3 +220,22 @@ def test_evaluate_does_not_mutate_state_on_reads():
     ev.add_ground_truth(1, np.array([[0, 0, 10, 10]], float), np.array([0]))
     ev.evaluate(img_ids=[1, 7, 8, 9])
     assert set(ev._gt) == {1} and set(ev._dt) == set()
+
+
+def test_first_ann_id_zero_reproduces_pycocotools_quirk():
+    """pycocotools stores gt['id'] in dtm where 0 doubles as 'unmatched':
+    with annotation ids from 0 (the mp3d protocol, train_mp3d.py:149) the
+    det matched to annotation 0 counts as a false positive. The default
+    (1-based, standard COCO) has no quirk."""
+    gt = np.array([_box(10, 10, 50, 50)], float)
+    cls = np.array([0])
+
+    def run(first_ann_id):
+        ev = COCOEvaluator([0], first_ann_id=first_ann_id)
+        ev.add_image(0)
+        ev.add_ground_truth(0, gt, cls)
+        ev.add_detections(0, gt, np.array([0.9]), cls)
+        return ev.evaluate()["AP"]
+
+    assert abs(run(1) - 100.0) < 1e-6      # standard COCO: perfect TP
+    assert run(0) == 0.0                   # quirk: the only det reads FP

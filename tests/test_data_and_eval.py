@@ -224,3 +224,24 @@ def test_semantic_gt_baseline_eval(synth_root, tmp_path):
     ds_plain = EpisodeDataset(synth_root, max_sequence_length=4, max_gt=8)
     with pytest.raises(ValueError, match="external table"):
         evaluate_dataset(model, params, cfg, ds_plain, zs, verbose=False)
+
+
+def test_map_gt_remaps_clip_table_rows(synth_root, tmp_path):
+    """map_gt with the GT semmap must row-remap the CLIP table through
+    SMNET_CLASS_MAPPING (loader.py:243-246) — SMNet 13-class ids indexing
+    the unmapped 21-row table would read the wrong class embedding for
+    nearly every cell."""
+    from embodied_object_detection_tpu.data.episode_dataset import (
+        SMNET_CLASS_MAPPING)
+
+    rng = np.random.RandomState(5)
+    table = rng.randn(20, 512).astype(np.float32)
+    clip_path = str(tmp_path / "t.npy")
+    np.save(clip_path, table)
+    ds = EpisodeDataset(synth_root, max_sequence_length=4, max_gt=8,
+                        memory_type="map_gt", clip_path=clip_path)
+    chunk = ds[0]
+    full = np.concatenate([np.zeros((1, 512), np.float32), table])
+    np.testing.assert_allclose(chunk.memory_features,
+                               full[SMNET_CLASS_MAPPING])
+    assert chunk.num_cells == len(SMNET_CLASS_MAPPING)
