@@ -265,7 +265,11 @@ class SolverConfig:
     custom_multiplier: float = 10.0             # SOLVER.CUSTOM_MULTIPLIER (mp3d yaml)
     custom_multiplier_name: Tuple[str, ...] = ("map_merge",)  # CUSTOM_MULTIPLIER_NAME
     clip_gradients: bool = True                 # SOLVER.CLIP_GRADIENTS.ENABLED
-    clip_value: float = 1.0                     # full-model clip norm (custom_solver.py:60-66)
+    # CLIP_TYPE: 'value' (the detectron2 default every C2 config runs —
+    # elementwise clip_grad_value_) or 'full_model' (global-norm,
+    # custom_solver.py:46-62). CLIP_VALUE <= 0 disables clipping.
+    clip_type: str = "value"
+    clip_value: float = 1.0                     # SOLVER.CLIP_GRADIENTS.CLIP_VALUE
     ims_per_batch: int = 2                      # mp3d yaml IMS_PER_BATCH
     checkpoint_period: int = 1000
     freeze_backbone: bool = False               # MODEL.FREEZE_BACKBONE

@@ -94,10 +94,9 @@ _RULES = [
      "fpn/map_merge_projection{0}/kernel", _conv),
     (r"backbone\.map_merge_projection(\d)\.bias",
      "fpn/map_merge_projection{0}/bias", None),
-    # ---- CenterNet head (centernet_head.py): tower convs at indices 0,3,6,9
-    # (conv, GN, relu triplets), GN at 1,4,7,10
-    (r"proposal_generator\.centernet_head\.bbox_tower\.(\d+)\.weight",
-     None, None),   # handled specially below
+    # ---- CenterNet head (centernet_head.py): the bbox_tower conv/GN
+    # triplets are handled by the dedicated branch in convert_state_dict
+    # (indices 0,3,6,9 convs / 1,4,7,10 GNs) — no rule here
     (r"proposal_generator\.centernet_head\.agn_hm\.weight",
      "centernet/agn_hm/kernel", _conv),
     (r"proposal_generator\.centernet_head\.agn_hm\.bias",

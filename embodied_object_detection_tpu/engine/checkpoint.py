@@ -17,11 +17,14 @@ import numpy as np
 
 
 def save_checkpoint(directory: str, step: int, state: Any) -> str:
-    """Save a pytree (params / TrainState) with orbax."""
+    """Save a pytree (params / TrainState) with orbax. Overwrites an
+    existing checkpoint of the same step like fvcore's Checkpointer —
+    re-running training into the same output_dir must not crash at the
+    first checkpoint_period (orbax raises on existing destinations)."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(directory, f"ckpt_{step:07d}"))
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state)
+        ckptr.save(path, state, force=True)
     return path
 
 

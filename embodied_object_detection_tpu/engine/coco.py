@@ -57,10 +57,15 @@ def coco_train_batches(sampler: MultiDatasetSampler,
                        datasets: List[CocoDetectionDataset],
                        cfg: DetectorConfig, batch_size: int):
     """Infinite batch generator for the vanilla trainer (pair with
-    engine.train's step function or parallel.train_step directly)."""
+    engine.train's step function or parallel.train_step directly).
+
+    Each batch is SINGLE-SOURCE: the reference's MultiDatasetSampler +
+    MDAspectRatioGroupedDataset group items per dataset so every batch
+    carries one ann_type (custom_rcnn.py:203-206 asserts it) — mixing
+    sources per batch would change the per-source training statistics."""
     while True:
-        picks = sampler.sample(batch_size)
-        items = [datasets[d][i] for d, i in picks]
+        d = sampler.sample_source()
+        items = [datasets[d][i] for i in sampler.sample_items(d, batch_size)]
         yield items_to_train_batch(items, cfg)
 
 
@@ -155,11 +160,16 @@ def multi_source_train_batches(sampler: MultiDatasetSampler,
 def evaluate_coco(model: EmbodiedDetector, params, cfg: DetectorConfig,
                   dataset: CocoDetectionDataset, zs_weight: np.ndarray,
                   batch: int = 8, max_images: Optional[int] = None,
-                  verbose: bool = True) -> Dict[str, float]:
+                  verbose: bool = True,
+                  federated: bool = False) -> Dict[str, float]:
     """Single-frame inference + COCO bbox AP (inference_on_dataset analog).
 
     Images are letterboxed by the dataset; predictions are rescaled back to
-    original coordinates (detector_postprocess analog)."""
+    original coordinates (detector_postprocess analog). federated=True
+    selects the LVIS protocol (LVISEvaluator analog: federated category
+    drop + maxDets 300) — scoring an LVIS-vocabulary dataset with the COCO
+    protocol penalizes detections of unannotated categories and caps at
+    100 dets, producing numbers incomparable to the reference."""
     zs = jnp.asarray(zs_weight, jnp.float32)
     h, w = cfg.input.height, cfg.input.width
     dummy_proj = jnp.zeros((h, w), jnp.int32)
@@ -185,7 +195,9 @@ def evaluate_coco(model: EmbodiedDetector, params, cfg: DetectorConfig,
 
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     ev = COCOEvaluator(list(range(cfg.roi.num_classes)),
-                       dataset.entry.thing_classes or None)
+                       dataset.entry.thing_classes or None,
+                       max_dets=300 if federated else 100,
+                       federated=federated)
     t0 = time.perf_counter()
     items_iter = prefetch_iterator(dataset.__getitem__, range(n))
     done = 0
@@ -201,7 +213,7 @@ def evaluate_coco(model: EmbodiedDetector, params, cfg: DetectorConfig,
         valid = np.asarray(dets.valid)
         for k, it in enumerate(items):
             img_id = it["image_id"]
-            ev.add_image(img_id)
+            ev.add_image(img_id, it.get("neg_category_ids", ()))
             gv = it["gt_valid"]
             s = it["scale"]
             oh, ow = it["orig_hw"]

@@ -51,7 +51,11 @@ def param_labels(params, cfg: SolverConfig) -> Any:
             # FrozenBN affine: also frozen (converted FrozenBatchNorm2d)
             if "/bn" in name or "downsample_bn" in name:
                 return "frozen"
-        if cfg.freeze_backbone:
+        # freeze only when UNFROZEN_LAYERS is non-empty: the reference's
+        # freezing loop body never executes for an empty list
+        # (train_mp3d.py:704-710), so FREEZE_BACKBONE + [] freezes NOTHING
+        # — freezing everything would silently flatline training
+        if cfg.freeze_backbone and cfg.unfrozen_layers:
             if not any(l in name for l in cfg.unfrozen_layers):
                 # map our module names onto the reference's UNFROZEN_LAYERS
                 # vocabulary: 'roi' -> roi_heads, 'proposal_generator' ->
@@ -152,15 +156,28 @@ def build_optimizer(params, cfg: SolverConfig) -> optax.GradientTransformation:
             "frozen": optax.set_to_zero(),
         },
         labels)
-    if cfg.clip_gradients:
-        # Clip over TRAINABLE grads only: the reference's
-        # FullModelGradientClippingOptimizer chains param_groups that hold
+    # reference semantics: clipping is active only when clip_norm_val > 0
+    # (custom_solver.py:49-53) — CLIP_VALUE 0.0 with ENABLED True disables
+    # it; clip_by_global_norm(0.0) would zero every update instead
+    if cfg.clip_gradients and cfg.clip_value > 0:
+        # Clip over TRAINABLE grads only: the reference's param_groups hold
         # requires_grad params exclusively (custom_solver.py:27-31, 56-58);
         # FrozenBN stats are torch buffers with no grad at all. Our
         # value_and_grad produces real grads for frozen leaves — zero them
-        # BEFORE the norm so they can't inflate it and shrink every
-        # trainable update.
+        # BEFORE clipping so they can't inflate a norm.
         frozen = jax.tree_util.tree_map(lambda l: l == "frozen", labels)
+        if cfg.clip_type == "value":
+            # detectron2's DEFAULT CLIP_TYPE — every C2 config (incl. the
+            # flagship mp3d yaml) sets only ENABLED: True, so the reference
+            # runs elementwise clip_grad_value_(1.0), NOT a full-model norm
+            clip = optax.clip(cfg.clip_value)
+        elif cfg.clip_type == "full_model":
+            # custom_solver.py:46-62 FullModelGradientClippingOptimizer
+            # (only active when a config sets CLIP_TYPE 'full_model')
+            clip = optax.clip_by_global_norm(cfg.clip_value)
+        else:
+            raise NotImplementedError(
+                f"no gradient clip type {cfg.clip_type!r}")
         tx = optax.chain(optax.masked(optax.set_to_zero(), frozen),
-                         optax.clip_by_global_norm(cfg.clip_value), tx)
+                         clip, tx)
     return tx

@@ -37,10 +37,14 @@ from .checkpoint import PeriodicCheckpointer, latest_checkpoint, restore_checkpo
 def chunks_to_train_batch(chunks: List[EpisodeChunk], cfg: DetectorConfig,
                           frames_per_chunk: Optional[int] = None,
                           rng: Optional[np.random.RandomState] = None,
-                          pad_to_multiple: int = 1) -> TrainBatch:
+                          pad_to_multiple: int = 1,
+                          pad_to_total: Optional[int] = None) -> TrainBatch:
     """Flatten chunks into a frame batch with padded precomputed memory.
     Pads with zero-weight frames up to a multiple of `pad_to_multiple`
-    (the mesh data-axis size)."""
+    (the mesh data-axis size), and up to `pad_to_total` when given — the
+    train loop passes ims_per_batch * t_max so the jitted step sees ONE
+    batch shape regardless of ragged chunks (every distinct total would
+    otherwise recompile, minutes per shape on a tunneled backend)."""
     cells = cfg.memory.max_cells
     d = cfg.memory.memory_dim
     images, projs, memfs, memos, gbs, gcs, gvs = [], [], [], [], [], [], []
@@ -50,12 +54,26 @@ def chunks_to_train_batch(chunks: List[EpisodeChunk], cfg: DetectorConfig,
         if frames_per_chunk is not None and frames_per_chunk < t:
             r = rng or np.random
             ids = sorted(r.choice(t, frames_per_chunk, replace=False))
+        # fail loudly like the eval path (chunk_to_frame_inputs): a scene
+        # bigger than memory.max_cells would train on silently truncated
+        # memory with gather-clamped proj indices — losses stay finite,
+        # the corruption is invisible
+        hi = int(ch.proj_indices.max())
+        if hi >= cells:
+            raise ValueError(
+                f"{ch.sequence_name}: proj index {hi} >= memory.max_cells="
+                f"{cells}; raise memory.max_cells")
         memf = np.zeros((cells, d), np.float32)
         memo = np.zeros((cells,), np.float32)
         if ch.memory_features is not None:
-            n = min(cells, ch.memory_features.shape[0])
-            dd = min(d, ch.memory_features.shape[1])
-            memf[:n, :dd] = ch.memory_features[:n, :dd]
+            if ch.memory_features.shape[0] > cells or \
+                    ch.memory_features.shape[1] != d:
+                raise ValueError(
+                    f"{ch.sequence_name}: memory snapshot "
+                    f"{ch.memory_features.shape} does not fit "
+                    f"[{cells}, {d}]")
+            n = ch.memory_features.shape[0]
+            memf[:n] = ch.memory_features
             if ch.observations is not None:
                 memo[:n] = ch.observations[:n]
         for i in ids:
@@ -73,8 +91,20 @@ def chunks_to_train_batch(chunks: List[EpisodeChunk], cfg: DetectorConfig,
             f"({[ch.sequence_name for ch in chunks]}) — a sensor h5 with an "
             "empty detection_data table yields frame_valid all-False; fix "
             "or exclude the file")
-    pad = (-b) % max(pad_to_multiple, 1)
+    target = b + (-b) % max(pad_to_multiple, 1)
+    if pad_to_total is not None:
+        if b > pad_to_total:
+            raise ValueError(f"{b} frames exceed pad_to_total={pad_to_total}")
+        target = max(target,
+                     pad_to_total + (-pad_to_total) % max(pad_to_multiple, 1))
+    pad = target - b
     weight = [1.0] * b + [0.0] * pad
+    # reference normalizer: n_chunks * frames-in-FIRST-chunk
+    # (custom_rcnn.py:541-544); equals b when every chunk is full
+    t_first = int(chunks[0].frame_valid.sum())
+    if frames_per_chunk is not None:
+        t_first = min(t_first, frames_per_chunk)
+    loss_norm = float(len(chunks) * t_first)
     for _ in range(pad):
         images.append(np.zeros_like(images[0]))
         projs.append(np.zeros_like(projs[0]))
@@ -87,7 +117,8 @@ def chunks_to_train_batch(chunks: List[EpisodeChunk], cfg: DetectorConfig,
         image=np.stack(images), proj_indices=np.stack(projs),
         mem_features=np.stack(memfs), mem_obs=np.stack(memos),
         gt_boxes=np.stack(gbs), gt_classes=np.stack(gcs),
-        gt_valid=np.stack(gvs), weight=np.asarray(weight, np.float32))
+        gt_valid=np.stack(gvs), weight=np.asarray(weight, np.float32),
+        loss_norm=np.full(len(weight), loss_norm, np.float32))
 
 
 class MetricsWriter:
@@ -191,13 +222,19 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
         data_t = step_t = 0.0
         dp = mesh.shape[cfg.parallel.data_axis]
 
+        # ONE static batch shape across iterations: ragged final chunks
+        # would otherwise retrace the step per distinct frame total
+        total = solver.ims_per_batch * (
+            frames_per_chunk or cfg.input.max_sequence_length)
+
         def load_batch(it):
             r = iter_rng(it)
             idx = r.choice(len(dataset), solver.ims_per_batch,
                            replace=len(dataset) < solver.ims_per_batch)
             chunks = [dataset[int(i)] for i in idx]
             return chunks_to_train_batch(chunks, cfg, frames_per_chunk, r,
-                                         pad_to_multiple=dp)
+                                         pad_to_multiple=dp,
+                                         pad_to_total=total)
 
         # one-batch lookahead: host h5 reads overlap the device step (the
         # DataLoader-workers analog, train_mp3d.py:564-573). try/finally:
@@ -205,6 +242,10 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
         # non-daemon worker thread loading a batch nobody will consume.
         from concurrent.futures import ThreadPoolExecutor
         pool = ThreadPoolExecutor(max_workers=1)
+        from .solver import lr_schedule
+        sched = lr_schedule(solver)
+        window: List[Dict[str, float]] = []
+        last_log = start_iter
         try:
             pending = pool.submit(load_batch, start_iter)
             for it in range(start_iter, max_iter):
@@ -224,10 +265,19 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
                 assert math.isfinite(total), \
                     {k: float(v) for k, v in losses.items()}
 
+                window.append({k: float(v) for k, v in losses.items()})
                 if (it + 1) % log_period == 0:
-                    scalars = {k: float(v) for k, v in losses.items()}
-                    scalars["data_time"] = data_t / log_period
-                    scalars["time"] = step_t / log_period
+                    # window MEDIANS like detectron2's JSONWriter (a spike
+                    # in one iteration shouldn't define the logged curve),
+                    # plus the per-iteration 'lr' scalar the reference logs
+                    n_win = it + 1 - last_log  # < log_period right after
+                    #                            an unaligned resume
+                    scalars = {
+                        k: float(np.median([w[k] for w in window]))
+                        for k in window[-1]}
+                    scalars["lr"] = float(sched(it))
+                    scalars["data_time"] = data_t / n_win
+                    scalars["time"] = step_t / n_win
                     writer.write(it + 1, scalars)
                     if verbose:
                         eta = (max_iter - it - 1) * \
@@ -235,11 +285,17 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
                             / max(it + 1 - start_iter, 1)
                         print(f"iter {it + 1}/{max_iter} "
                               f"total_loss {total:.4f} "
-                              f"step {step_t / log_period:.3f}s "
+                              f"step {step_t / n_win:.3f}s "
                               f"eta {eta/60:.1f}m")
                     data_t = step_t = 0.0
+                    window.clear()
+                    last_log = it + 1
                 checkpointer.step(it, state)
-                if eval_period > 0 and (it + 1) % eval_period == 0 and eval_fn:
+                # no in-loop eval at the final iteration — the reference
+                # guards with `iteration != max_iter` because do_test runs
+                # after training (a duplicate final eval costs minutes)
+                if eval_period > 0 and (it + 1) % eval_period == 0 \
+                        and it + 1 != max_iter and eval_fn:
                     eval_fn(state)
         finally:
             pool.shutdown(wait=False, cancel_futures=True)

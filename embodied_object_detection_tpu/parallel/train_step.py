@@ -42,6 +42,11 @@ class TrainBatch(NamedTuple):
     # per-frame loss weight: 0 marks padding rows added to make B divisible
     # by the mesh data axis (the DDP analog requires divisible batches too)
     weight: jax.Array         # [B]
+    # reference loss normalizer, broadcast per row: the reference divides
+    # summed losses by n_chunks * frames-in-FIRST-chunk
+    # (custom_rcnn.py:541-544), which differs from the valid-frame count
+    # when sampled chunks are ragged. None -> normalize by sum(weight).
+    loss_norm: "jax.Array | None" = None
 
 
 def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None,
@@ -74,9 +79,13 @@ def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None,
                                      batch.mem_features, batch.mem_obs,
                                      batch.gt_boxes, batch.gt_classes,
                                      batch.gt_valid, keys)
-        # weighted average over frames (ref: custom_rcnn.py:541-544);
-        # padding rows carry weight 0
+        # summed losses divide by the reference normalizer when provided
+        # (n_chunks * first-chunk frames, custom_rcnn.py:541-544 — equal to
+        # the valid-frame count except for ragged chunks); padding rows
+        # carry weight 0 either way
         wsum = jnp.maximum(jnp.sum(batch.weight), 1.0)
+        norm = wsum if batch.loss_norm is None else \
+            jnp.maximum(jnp.mean(batch.loss_norm), 1.0)
         # CenterNet focal/reg losses are normalized by the batch-GLOBAL mean
         # positive/regression counts — the reference's cross-GPU reduce_sum
         # semantics (centernet.py:258-265, 291-293). Under jit over the
@@ -86,7 +95,7 @@ def make_train_step(model: EmbodiedDetector, cfg: DetectorConfig, tx=None,
             jnp.sum(losses.pop("_centernet_num_pos") * batch.weight) / wsum, 1.0)
         reg_norm = jnp.maximum(
             jnp.sum(losses.pop("_centernet_reg_cnt") * batch.weight) / wsum, 1.0)
-        losses = {k: jnp.sum(v * batch.weight) / wsum for k, v in losses.items()}
+        losses = {k: jnp.sum(v * batch.weight) / norm for k, v in losses.items()}
         losses["loss_centernet_agn_pos"] /= num_pos_avg
         losses["loss_centernet_agn_neg"] /= num_pos_avg
         losses["loss_centernet_loc"] /= reg_norm

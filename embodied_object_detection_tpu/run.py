@@ -78,6 +78,10 @@ def argument_parser():
                         "instead of the embodied protocol (train_net analog)")
     p.add_argument("--image-root", default="",
                    help="image root for --coco-json")
+    p.add_argument("--lvis-eval", action="store_true",
+                   help="score --coco-json with the LVIS federated "
+                        "protocol (LVISEvaluator analog: unannotated-"
+                        "category drop + maxDets 300)")
     p.add_argument("--opts", nargs="*", default=[],
                    help="config overrides: section.field=value")
     return p
@@ -358,7 +362,8 @@ def main(argv=None):
             DatasetEntry(args.coco_json, args.image_root or args.data_path),
             height=cfg.input.height, width=cfg.input.width,
             max_gt=cfg.input.max_gt_boxes, remap_ids=False)
-        res = evaluate_coco(model, params, cfg, ds, zs_weight)
+        res = evaluate_coco(model, params, cfg, ds, zs_weight,
+                            federated=args.lvis_eval)
         print("coco:", {k: round(v, 3) for k, v in res.items()
                         if not k.startswith("AP-")})
         return res
