@@ -115,27 +115,44 @@ class MultiSourceMapper:
         if "image" in record:
             img = np.asarray(record["image"], np.uint8)
         elif "file_name" in record:
-            from PIL import Image
-            img = np.asarray(Image.open(record["file_name"]).convert("RGB"))
+            from PIL import Image, ImageOps
+            # EXIF orientation like detectron2's read_image — web-sourced
+            # jpegs are annotated on the rotated image
+            img = np.asarray(ImageOps.exif_transpose(
+                Image.open(record["file_name"])).convert("RGB"))
         else:
             assert self.tar_dataset is not None, "tar source needs a dataset"
-            pil, label, _ = self.tar_dataset[record["tar_index"]]
+            # the reference mapper DISCARDS the tar label ('ori_image, _, _',
+            # custom_dataset_mapper.py:93) — pos_category_ids come only from
+            # the dataset record; the tar synset index is in a different
+            # label space (tar-file order, not LVIS contiguous ids)
+            pil, _, _ = self.tar_dataset[record["tar_index"]]
             img = np.asarray(pil)
-            record = dict(record)
-            record.setdefault("pos_category_ids", [label] if label >= 0 else [])
 
         p = sample_efficientdet_resize_crop(
             img.shape[:2], size, self.dataset_scales[source], self.rng)
         out_img = apply_resize_crop_image(img, p)
+        # RandomFlip: build_custom_augmentation appends a 50% horizontal
+        # flip to EVERY train pipeline (custom_build_augmentation.py:43-44)
+        flip = bool(self.rng.rand() < 0.5)
+        if flip:
+            out_img = out_img[:, ::-1]
         canvas = np.zeros((size, size, 3), np.uint8)
         canvas[: out_img.shape[0], : out_img.shape[1]] = out_img
 
         out = dict(image=canvas, dataset_source=source,
-                   ann_type=self.dataset_ann[source], transform=p)
+                   ann_type=self.dataset_ann[source], transform=p,
+                   flipped=flip)
         if self.dataset_ann[source] == "box":
             boxes = apply_resize_crop_boxes(
                 np.asarray(record.get("gt_boxes",
                                       np.zeros((0, 4), np.float32))), p)
+            if flip and len(boxes):
+                # mirror x within the resized-crop region (the flip applies
+                # before canvas padding, like the d2 transform chain)
+                ow = out_img.shape[1]
+                boxes = np.stack([ow - boxes[:, 2], boxes[:, 1],
+                                  ow - boxes[:, 0], boxes[:, 3]], axis=1)
             classes = np.asarray(record.get("gt_classes",
                                             np.zeros((0,), np.int64)))
             gt_boxes = np.zeros((self.max_gt, 4), np.float32)

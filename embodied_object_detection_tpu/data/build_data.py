@@ -4,9 +4,11 @@ format the loader consumes (the build_data.py analog).
 ref: Detic/SMNet/build_data.py:56-292 — drives a habitat-sim renderer over
 precomputed agent paths (paths.json), renders rgb / depth / semantic /
 GT boxes per frame, projects depth to per-pixel world xyz + outlier masks,
-and writes one h5 per 20-frame sample with keys rgb / depth / positions /
-orientations / projection_indices / masks_outliers / detection_data
-(stringified dicts) / segmentation_data (:220-286).
+and writes one h5 per 20-frame sample with keys rgb / depth /
+sensor_positions / sensor_rotations (quaternions) / projection_indices /
+masks_outliers / detection_data (stringified dicts) / segmentation_data
+(:220-286). This builder writes those keys plus agent-pose
+positions/orientations for its own fallback reader.
 
 The renderer is a pluggable host-side interface (`Renderer`): habitat-sim is
 external C++ outside this environment (SURVEY §7.8), so the default backend
@@ -57,15 +59,24 @@ def _default_jpeg_dir(out_h5: str) -> str:
 
 
 def build_sample_h5(renderer: Renderer, positions: np.ndarray,
-                    rotations_euler: np.ndarray, out_h5: str,
-                    vfov_deg: float = 67.5, z_clip: float = 0.5,
+                    rotations: np.ndarray, out_h5: str,
+                    vfov_deg: float = 67.5,
                     min_box_edge: int = 15,
                     jpeg_dir: "Optional[str]" = None) -> dict:
     """Render one multi-frame sample and write the sensor h5 + the
     per-frame JPEGs its detection records reference (the reference keeps
     the JPEGs; CocoDetectionDataset opens them unconditionally).
 
-    positions [T, 3], rotations_euler [T, 3] (agent states along the path);
+    positions [T, 3], rotations [T, 3] euler or [T, 4] quaternion xyzw
+    (agent states along the path — the reference's paths.json carries
+    quaternions; see geometry.projector.pose_to_xyzhe for the dialects).
+    The projection uses the SENSOR pose when the renderer exposes
+    get_sensor_pos/get_sensor_ori (the reference does, SMNet
+    build_data.py:179-190 — the sensor sits ~1.25 m above the agent),
+    else the agent pose. Depth is scaled by `renderer.depth_scale` for
+    projection (habitat depth buffers are [0,1]-normalized over
+    MAX_DEPTH=10, so the reference multiplies by 10.0, :205-206) while the
+    h5 'depth' key stores the raw render like the reference schema.
     GT boxes below `min_box_edge` px are dropped (habitat_utils.py:12, 273).
     jpeg_dir defaults to the dataset's JPEGImages/ (see _default_jpeg_dir);
     pass jpeg_dir="" to skip writing images. Returns summary stats."""
@@ -73,28 +84,35 @@ def build_sample_h5(renderer: Renderer, positions: np.ndarray,
 
     import h5py
     import jax.numpy as jnp
-    from ..geometry.projector import (camera_to_world, depth_to_point_cloud,
+    from ..geometry.projector import (pixel_to_world, pose_to_xyzhe,
                                       transform3d)
 
     vfov = math.radians(vfov_deg)
+    depth_scale = float(getattr(renderer, "depth_scale", 1.0))
     t = len(positions)
     rgb_all, depth_all, xyz_all, outlier_all = [], [], [], []
+    sensor_pos_all, sensor_rot_all = [], []
     det_strs, seg_all = [], []
     for i in range(t):
-        renderer.set_agent_state(positions[i], rotations_euler[i])
+        renderer.set_agent_state(positions[i], rotations[i])
         rgb = renderer.render_rgb()
         depth = renderer.render_depth()
-        # camera-to-world from position + heading/elevation
-        # (ref: build_data.py:116-160 via _transform3D)
-        xyzhe = np.asarray([[positions[i][0], positions[i][1], positions[i][2],
-                             rotations_euler[i][1], rotations_euler[i][0]]],
-                           np.float32)
-        cam2world = transform3d(jnp.asarray(xyzhe))[0]
-        xyz1 = depth_to_point_cloud(jnp.asarray(depth), vfov)
-        world = camera_to_world(xyz1, cam2world)[..., :3]
+        # camera-to-world from the SENSOR pose when available
+        # (ref: build_data.py:179-194 via _transform3D)
+        if hasattr(renderer, "get_sensor_pos"):
+            s_pos = np.asarray(renderer.get_sensor_pos(), np.float64)
+            s_rot = np.asarray(renderer.get_sensor_ori(), np.float64)
+        else:
+            s_pos = np.asarray(positions[i], np.float64)
+            s_rot = np.asarray(rotations[i], np.float64)
+        sensor_pos_all.append(s_pos)
+        sensor_rot_all.append(s_rot)
+        cam2world = transform3d(jnp.asarray(pose_to_xyzhe(s_pos, s_rot)))[0]
+        world = pixel_to_world(
+            jnp.asarray(np.asarray(depth, np.float32) * depth_scale),
+            cam2world, vfov, jnp.zeros((3,), jnp.float32))
         # invalid-depth pixels are the outliers at this stage
-        # (ref: projector/point_cloud.py:8-56 no_depth mask; the z-clip
-        # against camera height happens downstream in build_memory)
+        # (ref: projector/point_cloud.py:8-56 no_depth mask)
         outliers = np.asarray(depth) <= 0.0
         boxes_recs = renderer.render_boxes()
         boxes, classes = [], []
@@ -125,9 +143,17 @@ def build_sample_h5(renderer: Renderer, positions: np.ndarray,
     with h5py.File(out_h5, "w") as f:
         f.create_dataset("rgb", data=np.stack(rgb_all).astype(np.uint8))
         f.create_dataset("depth", data=np.stack(depth_all).astype(np.float32))
+        # reference schema keys (build_memory_data.py:125 reads
+        # sensor_positions; its try/except silently SKIPS files without
+        # them) — the SENSOR pose actually used for the projection
+        f.create_dataset("sensor_positions",
+                         data=np.asarray(sensor_pos_all, np.float32))
+        f.create_dataset("sensor_rotations",
+                         data=np.asarray(sensor_rot_all, np.float32))
+        # agent pose (our fallback-reader keys, kept for compatibility)
         f.create_dataset("positions", data=np.asarray(positions, np.float32))
         f.create_dataset("orientations",
-                         data=np.asarray(rotations_euler, np.float32))
+                         data=np.asarray(rotations, np.float32))
         f.create_dataset("projection_indices",
                          data=np.stack(xyz_all).astype(np.float32))
         f.create_dataset("masks_outliers",

@@ -17,6 +17,7 @@ generator.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Optional, Tuple
 
@@ -43,28 +44,36 @@ def _world_xyz_from_sensor(f, vfov_deg: float = 67.5) -> np.ndarray:
     falls back to recomputing on device from depth + pose via
     geometry/projector.py (the robot pipeline's input shape,
     robot_demo.py:500-534)."""
-    import math
-
     if "projection_indices" in f:
         return np.array(f["projection_indices"])
-    if not all(k in f for k in ("depth", "positions", "orientations")):
+    if "depth" not in f:
         raise KeyError(
-            "sensor h5 lacks projection_indices AND the depth/positions/"
-            "orientations needed to recompute them")
+            "sensor h5 lacks projection_indices AND the depth/pose keys "
+            "needed to recompute them")
     import jax.numpy as jnp
-    from ..geometry.projector import (camera_to_world, depth_to_point_cloud,
+    from ..geometry.projector import (pixel_to_world, pose_to_xyzhe,
                                       transform3d)
     depth = np.array(f["depth"])                    # [T, H, W] meters
-    pos = np.array(f["positions"])                  # [T, 3]
-    rot = np.array(f["orientations"])               # [T, 3] euler
+    # prefer the reference schema's sensor pose (quaternions); fall back
+    # to the agent-pose keys (euler) — pose_to_xyzhe handles both dialects
+    if "sensor_positions" in f:
+        pos = np.array(f["sensor_positions"])
+        rot = np.array(f["sensor_rotations"])
+    elif all(k in f for k in ("positions", "orientations")):
+        pos = np.array(f["positions"])
+        rot = np.array(f["orientations"])
+    else:
+        raise KeyError("sensor h5 lacks pose keys "
+                       "(sensor_positions/sensor_rotations or "
+                       "positions/orientations)")
     vfov = math.radians(vfov_deg)
+    shift = jnp.zeros((3,), jnp.float32)
     out = []
     for i in range(depth.shape[0]):
-        xyzhe = np.asarray([[pos[i][0], pos[i][1], pos[i][2],
-                             rot[i][1], rot[i][0]]], np.float32)
-        cam2world = transform3d(jnp.asarray(xyzhe))[0]
-        xyz1 = depth_to_point_cloud(jnp.asarray(depth[i]), vfov)
-        out.append(np.asarray(camera_to_world(xyz1, cam2world)[..., :3]))
+        cam2world = transform3d(
+            jnp.asarray(pose_to_xyzhe(pos[i], rot[i])))[0]
+        out.append(np.asarray(pixel_to_world(jnp.asarray(depth[i]),
+                                             cam2world, vfov, shift)))
     return np.stack(out)
 
 
@@ -72,7 +81,8 @@ def build_memory_file(sensor_h5: str, out_h5: str,
                       map_world_shift: Optional[np.ndarray] = None,
                       resolution: float = 0.2,
                       map_dims: Optional[Tuple[int, int]] = None,
-                      memory_dim: int = 512) -> Tuple[int, int]:
+                      memory_dim: int = 512,
+                      world: Optional[np.ndarray] = None) -> Tuple[int, int]:
     """Convert one sensor h5 (with `projection_indices` world coords, or
     depth+pose to recompute them) into the memory h5 schema. Returns
     (map_w, map_h).
@@ -86,7 +96,8 @@ def build_memory_file(sensor_h5: str, out_h5: str,
     non-parity deployments."""
     import h5py
     with h5py.File(sensor_h5, "r") as f:
-        world = _world_xyz_from_sensor(f)              # [T, H, W, 3]
+        if world is None:
+            world = _world_xyz_from_sensor(f)          # [T, H, W, 3]
         semmap_gt = np.array(f["segmentation_data"]) if "segmentation_data" in f \
             else None
 
@@ -162,9 +173,14 @@ def map_dims_from_info(env: str, info: dict, dataset: str,
     (custom_rcnn.py:362-364 `downsample = 10` at 0.2 m)."""
     entry = info[env]
     if dataset == "replica" and "x_max" in entry:
-        w = int(np.ceil((entry["x_max"] - entry["x_min"] + 2) / resolution)) + 1
-        h = int(np.ceil((entry["y_max"] - entry["y_min"] + 2) / resolution)) + 1
-        return w, h
+        # EXACT reference arithmetic (build_replica_memory_data.py:132-146):
+        # dims in 0.02 m cells, then ONE ceil after the /downsample — a +1
+        # or an extra ceil shifts every flat index with z >= 1 (flat =
+        # z*map_w + x), silently desyncing from reference-built grids
+        ds = resolution / 0.02
+        w = math.ceil(((2 + entry["x_max"] - entry["x_min"]) / 0.02) / ds)
+        h = math.ceil(((2 + entry["y_max"] - entry["y_min"]) / 0.02) / ds)
+        return int(w), int(h)
     if "dim" in entry:
         ds = resolution / 0.02
         return (int(np.ceil(entry["dim"][0] / ds)),
@@ -214,13 +230,18 @@ def build_dataset_memories(sensor_dir: str, out_dir: str,
     files = [f for f in sorted(os.listdir(sensor_dir)) if f.endswith(".h5")]
 
     scene_shift, scene_dims = {}, {}
+    worlds: dict = {}
     if info is None:
-        # first pass: per-scene union extents -> one grid per scene
+        # first pass: per-scene union extents -> one grid per scene; the
+        # projections are CACHED for the second pass (recomputing the full
+        # [T,H,W,3] world per file would double the builder's dominant
+        # cost on depth+pose inputs)
         lo: dict = {}
         hi: dict = {}
         for f in files:
             with h5py.File(os.path.join(sensor_dir, f), "r") as h:
-                world = _world_xyz_from_sensor(h).reshape(-1, 3)
+                worlds[f] = _world_xyz_from_sensor(h)
+            world = worlds[f].reshape(-1, 3)
             s = _scene_stem(f)
             lo[s] = np.minimum(lo[s], world.min(axis=0)) if s in lo \
                 else world.min(axis=0)
@@ -250,7 +271,8 @@ def build_dataset_memories(sensor_dir: str, out_dir: str,
                                     os.path.join(out_dir, f),
                                     map_world_shift=shift,
                                     map_dims=mdims,
-                                    resolution=resolution)
+                                    resolution=resolution,
+                                    world=worlds.get(f))
     return dims
 
 

@@ -179,9 +179,17 @@ def register_builtin_datasets(root: str = "datasets"):
     register_dataset("coco_zeroshot_val", entry(
         "coco/zero-shot/instances_val2017_unseen_2.json", "coco/val2017",
         zs["unseen"], extras={"split": "unseen"}))
-    register_dataset("coco_zeroshot_val_all", entry(
-        "coco/zero-shot/instances_val2017_all_2.json", "coco/val2017",
-        zs["seen"] + zs["unseen"], extras={"split": "all"}))
+    # generalized zeroshot eval: the reference registers the ORIORDER json
+    # (full original-order 80-class COCO table, produced by
+    # tools/get_coco_zeroshot_oriorder.py) with plain COCO metadata —
+    # a seen+unseen 65-class list would align zs_weight columns to a
+    # different label space (coco_zeroshot.py:95-110). Categories are
+    # enriched from the json itself at load (the oriorder table IS the
+    # label space).
+    for name in ("coco_generalized_zeroshot_val", "coco_zeroshot_val_all"):
+        register_dataset(name, entry(
+            "coco/zero-shot/instances_val2017_all_2_oriorder.json",
+            "coco/val2017", [], extras={"split": "all"}))
 
     register_dataset("imagenet_lvis_v1", entry(
         "imagenet/annotations/imagenet_lvis_image_info.json",
@@ -275,8 +283,28 @@ class CocoDetectionDataset:
     def class_repeat_factors(self, repeat_thresh: float) -> np.ndarray:
         """RepeatFactorTrainingSampler factors (detectron2 / ref yaml
         REPEAT_THRESHOLD): r(img) = max over categories in img of
-        max(1, sqrt(t / f_c))."""
+        max(1, sqrt(t / f_c)). For image-info datasets (no box annotations
+        — tag/caption sources) the frequencies come from pos_category_ids
+        like the reference's repeat_factors_from_tag_frequency
+        (custom_dataset_dataloader.py:233-239, :308-330) — the box-count
+        variant would silently degenerate to uniform sampling there."""
         n = max(len(self.ids), 1)
+        if not self.anns_by_image or not any(self.anns_by_image.values()):
+            from collections import defaultdict
+            tag_freq: Dict[int, int] = defaultdict(int)
+            per_img_tags = []
+            for img_id in self.ids:
+                tags = [int(c)
+                        for c in self.images[img_id].get("pos_category_ids",
+                                                         [])]
+                per_img_tags.append(tags)
+                for c in set(tags):
+                    tag_freq[c] += 1
+            cat_rep = {c: max(1.0, np.sqrt(repeat_thresh / (cnt / n)))
+                       for c, cnt in tag_freq.items()}
+            return np.asarray([
+                max([cat_rep.get(c, 1.0) for c in tags], default=1.0)
+                for tags in per_img_tags])
         freq = {c: cnt / n for c, cnt in self.entry.class_image_count.items()}
         cat_rep = {c: max(1.0, np.sqrt(repeat_thresh / max(f, 1e-12)))
                    for c, f in freq.items()}
@@ -291,9 +319,12 @@ class CocoDetectionDataset:
         img_id = self.ids[index]
         info = self.images[img_id]
         path = os.path.join(self.entry.image_root, info["file_name"])
-        from PIL import Image
+        from PIL import Image, ImageOps
         with open(path, "rb") as f:
-            img = np.asarray(Image.open(f).convert("RGB"))
+            # EXIF orientation like detectron2's read_image — web-sourced
+            # jpegs (cc3m) are annotated on the ROTATED image
+            img = np.asarray(ImageOps.exif_transpose(
+                Image.open(f)).convert("RGB"))
         h0, w0 = img.shape[:2]
         scale = min(self.height / h0, self.width / w0)
         nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
@@ -308,6 +339,13 @@ class CocoDetectionDataset:
         boxes = np.zeros((self.max_gt, 4), np.float32)
         classes = np.zeros((self.max_gt,), np.int32)
         valid = np.zeros((self.max_gt,), bool)
+        anns = self.anns_by_image.get(img_id, [])
+        if len(anns) > self.max_gt:
+            # the reference keeps every annotation; silent truncation turns
+            # detections on the dropped objects into false positives
+            print(f"WARNING: image {img_id}: {len(anns)} annotations exceed "
+                  f"max_gt={self.max_gt}; {len(anns) - self.max_gt} dropped "
+                  "— raise input.max_gt_boxes")
         for i, ann in enumerate(self.anns_by_image.get(img_id, [])[: self.max_gt]):
             x, y, w, h = ann["bbox"]
             boxes[i] = np.array([x, y, x + w, y + h]) * scale
@@ -318,11 +356,17 @@ class CocoDetectionDataset:
                    file_name=info["file_name"], scale=scale,
                    orig_hw=(h0, w0))
         # caption / image-label co-training fields riding on the image dict
-        # (ref: custom_load_lvis_json, lvis_v1.py:84-96)
-        for k in ("captions", "caption_features", "pos_category_ids",
-                  "neg_category_ids"):
+        # (ref: custom_load_lvis_json, lvis_v1.py:84-96). pos/neg category
+        # ids are REMAPPED to contiguous [0, C) at load time like the
+        # reference (lvis_v1.py:83-88) — raw 1-based LVIS ids fed straight
+        # into the tag loss would train the class AFTER the true one
+        for k in ("captions", "caption_features"):
             if k in info:
                 out[k] = info[k]
+        for k in ("pos_category_ids", "neg_category_ids"):
+            if k in info:
+                out[k] = [self.entry.id_map.get(int(c), int(c))
+                          if self.remap_ids else int(c) for c in info[k]]
         return out
 
 

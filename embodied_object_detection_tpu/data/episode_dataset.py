@@ -238,13 +238,18 @@ class EpisodeDataset:
                         # the UNMAPPED table
                         proj = semmap_real[proj]
                     elif semmap_gt is not None:
-                        # GT-semmap route (loader.py:243-246): SMNet 13-class
-                        # ids index a ROW-REMAPPED table — without the remap
-                        # nearly every cell reads the wrong class embedding
-                        mem_features = mem_features[SMNET_CLASS_MAPPING]
-                        observations = np.ones((mem_features.shape[0],),
-                                               np.float32)
-                        num_cells = mem_features.shape[0]
+                        # GT-semmap route (loader.py:243-246). Two dialects:
+                        # reference-built grids carry SMNet 13-class ids and
+                        # index a ROW-REMAPPED table; repo-built grids
+                        # (build_memory/synthetic) carry lvis-20+1 ids that
+                        # index the zero-prepended table DIRECTLY — applying
+                        # the 13-row remap to those would gather-clamp to
+                        # wrong class rows silently.
+                        if int(np.max(semmap_gt)) < len(SMNET_CLASS_MAPPING):
+                            mem_features = mem_features[SMNET_CLASS_MAPPING]
+                            observations = np.ones((mem_features.shape[0],),
+                                                   np.float32)
+                            num_cells = mem_features.shape[0]
                         proj = semmap_gt[proj]
                     else:
                         raise ValueError(

@@ -86,6 +86,13 @@ class HabitatRenderer:
         config.freeze()
 
         self.scene = scene
+        # habitat DEPTH_SENSOR buffers are [0,1]-normalized over MAX_DEPTH
+        # (default 10 m) — the reference multiplies by 10.0 before
+        # projecting (SMNet build_data.py:205-206); build_sample_h5 reads
+        # this attribute to scale the projection while the h5 'depth' key
+        # keeps the raw normalized render (the reference schema)
+        self.depth_scale = float(
+            getattr(config.SIMULATOR.DEPTH_SENSOR, "MAX_DEPTH", 10.0))
         self.sim = make_sim(id_sim=config.SIMULATOR.TYPE,
                             config=config.SIMULATOR)
         self.semantic_annotations = self.sim.semantic_annotations()
@@ -108,6 +115,21 @@ class HabitatRenderer:
             rotation = heading_to_quaternion(rotation[1])
         self.sim.set_agent_state(list(np.asarray(position, np.float64)),
                                  rotation)
+
+    def get_sensor_pos(self) -> np.ndarray:
+        """Depth-sensor world position — the POSE THE PROJECTION NEEDS
+        (the sensor sits ~1.25 m above the agent; ref:
+        habitat_utils.py get_sensor_pos via SMNet build_data.py:179)."""
+        state = self.sim.get_agent_state()
+        s = state.sensor_states["depth"]
+        return np.asarray(s.position, np.float64)
+
+    def get_sensor_ori(self) -> np.ndarray:
+        """Depth-sensor orientation quaternion [x, y, z, w]
+        (ref: build_data.py:180-186)."""
+        state = self.sim.get_agent_state()
+        q = state.sensor_states["depth"].rotation
+        return np.asarray([q.x, q.y, q.z, q.w], np.float64)
 
     def render_rgb(self) -> np.ndarray:
         # habitat rgb buffers may carry an alpha channel; drop it

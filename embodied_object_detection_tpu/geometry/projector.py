@@ -39,6 +39,28 @@ def transform3d(xyzhe: jax.Array) -> jax.Array:
     return jnp.stack(rows, axis=-2)
 
 
+def pose_to_xyzhe(position, rotation) -> "np.ndarray":
+    """(position [3], rotation) -> [1, 5] xyzhe row for transform3d.
+
+    rotation dialects (ONE shared definition for build_data/build_memory):
+      * quaternion [x, y, z, w] — the reference's habitat convention:
+        rotvec -> (elevation, heading, bank), and xyzhe takes
+        `elevation + pi` ("in Habitat y is up", SMNet build_data.py:186-194)
+      * euler [elevation, heading, bank] — the synthetic renderer's
+        dialect: heading = rot[1], elevation = rot[0], no offset
+    """
+    import numpy as np
+    rotation = np.asarray(rotation, np.float64).reshape(-1)
+    if rotation.shape[0] == 4:
+        from scipy.spatial.transform import Rotation as R
+        elevation, heading, _bank = R.from_quat(rotation).as_rotvec()
+        elevation = elevation + math.pi
+    else:
+        heading, elevation = float(rotation[1]), float(rotation[0])
+    p = np.asarray(position, np.float64).reshape(3)
+    return np.asarray([[p[0], p[1], p[2], heading, elevation]], np.float32)
+
+
 def intrinsic_matrix(width: int, height: int, vfov: float) -> jnp.ndarray:
     """Pinhole K from vertical field of view (radians).
 

@@ -82,6 +82,22 @@ class FakeSim:
         assert len(position) == 3 and len(rotation) == 4
         self.states.append((list(position), list(rotation)))
 
+    def get_agent_state(self):
+        """habitat AgentState surface: sensor_states['depth'] carries the
+        SENSOR pose (~1.25 m above the agent) the projection needs."""
+        pos, rot = self.states[-1]
+
+        class _Q:
+            x, y, z, w = rot
+
+        class _Sensor:
+            position = np.asarray(pos) + np.asarray([0.0, 1.25, 0.0])
+            rotation = _Q
+
+        class _State:
+            sensor_states = {"depth": _Sensor}
+        return _State
+
     def render(self, mode="rgb"):
         if mode == "rgb":
             rgba = np.zeros((self.h, self.w, 4), np.uint8)

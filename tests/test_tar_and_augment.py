@@ -107,11 +107,17 @@ def test_multi_source_mapper_box_and_image(tar_fixture, rng):
     assert out["gt_classes"][0] == 3
     assert out["ann_type"] == "box"
 
-    out2 = mapper(dict(tar_index=2), source=1)
+    # labels come from the dataset RECORD only — the reference mapper
+    # discards the tar synset index ('ori_image, _, _',
+    # custom_dataset_mapper.py:93), which lives in a different label space
+    out2 = mapper(dict(tar_index=2, pos_category_ids=[1]), source=1)
     assert out2["image"].shape == (64, 64, 3)
     assert out2["labels_valid"].sum() == 1
-    assert out2["labels"][0] == 1          # synset label from the tar routing
+    assert out2["labels"][0] == 1
     assert out2["ann_type"] == "image"
+    # a record without pos_category_ids trains with NO tag labels
+    out3 = mapper(dict(tar_index=2), source=1)
+    assert out3["labels_valid"].sum() == 0
 
 
 def test_mapper_feeds_weak_trainer(tar_fixture, rng):
