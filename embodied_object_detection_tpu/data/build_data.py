@@ -201,22 +201,40 @@ def main(argv: Optional[list] = None):  # pragma: no cover
                    help="env -> {positions, orientations} trajectories")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--renderer", default="synthetic",
-                   choices=["synthetic"],
-                   help="habitat-sim is external C++; plug a Renderer "
-                        "implementation for real scenes")
+                   choices=["synthetic", "habitat"],
+                   help="'habitat' drives habitat-sim (external C++; needs "
+                        "habitat-api installed) through "
+                        "data.habitat_renderer; 'synthetic' needs nothing")
+    p.add_argument("--scene-data-path", default="",
+                   help="Matterport root for --renderer habitat; scenes "
+                        "resolve to <root>/habitat_data/v1/tasks/mp3d/"
+                        "<house>/<house>.glb like the reference "
+                        "(SMNet/build_data.py:132)")
     p.add_argument("--samples-per-env", type=int, default=50)
     p.add_argument("--frames-per-sample", type=int, default=20)
     args = p.parse_args(argv)
     with open(args.paths_json) as f:
         paths = json.load(f)
-    from .synthetic import SyntheticRenderer
     for env, path in paths.items():
-        import zlib
-        renderer = SyntheticRenderer(
-            seed=zlib.crc32(env.encode()) % (2 ** 31))
-        files = build_env_samples(renderer, env, path, args.output_dir,
-                                  args.samples_per_env,
-                                  args.frames_per_sample)
+        if args.renderer == "habitat":
+            from .habitat_renderer import HabitatRenderer
+            # env names are '<house>_<level>' (envs_splits.json); the scene
+            # .glb is per-house (ref: build_data.py:128-133)
+            house = env.rsplit("_", 1)[0]
+            scene = os.path.join(args.scene_data_path, "habitat_data", "v1",
+                                 "tasks", "mp3d", house, house + ".glb")
+            renderer = HabitatRenderer(scene)
+        else:
+            import zlib
+            from .synthetic import SyntheticRenderer
+            renderer = SyntheticRenderer(
+                seed=zlib.crc32(env.encode()) % (2 ** 31))
+        try:
+            files = build_env_samples(renderer, env, path, args.output_dir,
+                                      args.samples_per_env,
+                                      args.frames_per_sample)
+        finally:
+            getattr(renderer, "close", lambda: None)()
         print(f"{env}: {len(files)} samples")
 
 

@@ -211,3 +211,31 @@ def test_build_data_runs_unchanged_with_habitat_renderer(fake_habitat,
         dets = [eval(s) for s in f["detection_data"][()]]
     assert sorted(dets[0]["gt_classes"]) == [0, 10]
     assert len(dets[0]["gt_boxes"]) == 2
+
+
+def test_build_data_cli_habitat_backend(fake_habitat, tmp_path):
+    """`build_data.main --renderer habitat` resolves the reference's
+    <root>/habitat_data/v1/tasks/mp3d/<house>/<house>.glb scene layout
+    (SMNet/build_data.py:132) from the '<house>_<level>' env name and
+    drives the adapter end-to-end."""
+    import json
+    import os
+    from embodied_object_detection_tpu.data.build_data import main
+
+    paths = {"houseA_0": {
+        "positions": [[0.0, 1.0, 0.0]] * 4,
+        "orientations": [[0.0, 0.2 * i, 0.0] for i in range(4)],
+    }}
+    pj = tmp_path / "paths.json"
+    pj.write_text(json.dumps(paths))
+    out = tmp_path / "out"
+    out.mkdir()
+    main(["--paths-json", str(pj), "--output-dir", str(out),
+          "--renderer", "habitat", "--scene-data-path", str(tmp_path),
+          "--samples-per-env", "1", "--frames-per-sample", "3"])
+
+    sim = fake_habitat["sim"]
+    assert sim.config.SCENE == str(
+        tmp_path / "habitat_data" / "v1" / "tasks" / "mp3d" / "houseA" /
+        "houseA.glb")
+    assert os.path.exists(out / "houseA_0_0.h5")
