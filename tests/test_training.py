@@ -529,3 +529,52 @@ def test_remat_knobs_are_identity(rng):
         for k in ga:
             np.testing.assert_allclose(np.asarray(gb[k]), np.asarray(ga[k]),
                                        rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+@pytest.mark.slow
+def test_train_resume_equivalence(tmp_path):
+    """4 straight iterations == 2 iterations + checkpoint-resume + 2 more.
+
+    The resume contract (DetectionCheckpointer.resume_or_load,
+    train_mp3d.py:524-527): optimizer moments, iteration counter,
+    scheduler phase and the (seed, iteration)-keyed data stream all
+    continue exactly where the interrupted run stopped — same op
+    sequence on the same batches, so the final states must match
+    bitwise-close."""
+    import jax
+    from embodied_object_detection_tpu.data import (
+        EpisodeDataset, generate_synthetic_dataset)
+    from embodied_object_detection_tpu.engine.train import train
+    from embodied_object_detection_tpu.models.detector import build_detector
+
+    root = str(tmp_path / "synth")
+    generate_synthetic_dataset(root, num_scenes=1, chunks_per_scene=2,
+                               frames=4, height=128, width=160,
+                               map_h=8, map_w=8, seed=0)
+
+    base = tiny_config()
+    base = base.replace(
+        input=dataclasses.replace(base.input, max_sequence_length=4,
+                                  score_every=2),
+        solver=dataclasses.replace(base.solver, ims_per_batch=1,
+                                   checkpoint_period=2))
+    model, params = build_detector(base, jax.random.PRNGKey(0))
+    ds = EpisodeDataset(root, max_sequence_length=4, max_gt=8)
+    zs = np.random.RandomState(0).randn(
+        base.roi.zs_weight_dim, base.roi.num_classes + 1).astype(np.float32)
+
+    cfg_a = base.replace(output_dir=str(tmp_path / "a"))
+    state_a = train(model, params, cfg_a, ds, zs, max_iter=4, verbose=False)
+
+    cfg_b = base.replace(output_dir=str(tmp_path / "b"))
+    train(model, params, cfg_b, ds, zs, max_iter=2, verbose=False)
+    state_b = train(model, params, cfg_b, ds, zs, max_iter=4, resume=True,
+                    verbose=False)
+
+    assert int(state_a.step) == int(state_b.step) == 4
+    flat_a, tree_a = jax.tree_util.tree_flatten(state_a)
+    flat_b, tree_b = jax.tree_util.tree_flatten(state_b)
+    assert tree_a == tree_b
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=0, atol=0)
