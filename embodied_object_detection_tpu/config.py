@@ -214,6 +214,14 @@ class MemoryConfig:
     # statistically identical means, ~2x faster write path.
     exact_write_subsample: bool = False
     save_semmap: bool = False                   # MODEL.TEST_SAVE_SEMMAP
+    # class-id space of memory_data semmap_gt for the map_gt baseline:
+    # 'smnet' = reference-built 13-class SMNet ids (rows remapped through
+    # SMNET_CLASS_MAPPING, loader.py:136/245), 'lvis' = repo-built
+    # lvis-20+1 ids indexing the zero-prepended table directly, 'auto' =
+    # trust the h5 attr written by build_memory/synthetic, else fall back
+    # to a max-id heuristic (ambiguous for low-id-only scenes — pin
+    # explicitly when eval-ing map_gt on attr-less grids)
+    semmap_dialect: str = "auto"
     # run the memory write at eval time (the reference always does,
     # custom_rcnn.py:515 — disable to skip dead work for image_only evals
     # that don't snapshot semmaps)

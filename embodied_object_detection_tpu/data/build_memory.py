@@ -143,7 +143,11 @@ def build_memory_file(sensor_h5: str, out_h5: str,
         f.create_dataset("memory_features",
                          data=np.zeros((map_h * map_w, memory_dim), np.float16))
         f.create_dataset("proj_indices", data=proj.astype(np.int64))
-        f.create_dataset("semmap_gt", data=cell_gt)
+        d = f.create_dataset("semmap_gt", data=cell_gt)
+        # class-space marker: these ids are lvis-20+1 (0 = void), NOT the
+        # reference's SMNet 13-class ids — the loader's map_gt baseline
+        # must not row-remap them (episode_dataset.py semmap_dialect)
+        d.attrs["class_space"] = "lvis21"
     return map_w, map_h
 
 
@@ -229,33 +233,9 @@ def build_dataset_memories(sensor_dir: str, out_dir: str,
     info = json.load(open(map_info_json)) if map_info_json else None
     files = [f for f in sorted(os.listdir(sensor_dir)) if f.endswith(".h5")]
 
-    scene_shift, scene_dims = {}, {}
-    worlds: dict = {}
-    if info is None:
-        # first pass: per-scene union extents -> one grid per scene; the
-        # projections are CACHED for the second pass (recomputing the full
-        # [T,H,W,3] world per file would double the builder's dominant
-        # cost on depth+pose inputs)
-        lo: dict = {}
-        hi: dict = {}
-        for f in files:
-            with h5py.File(os.path.join(sensor_dir, f), "r") as h:
-                worlds[f] = _world_xyz_from_sensor(h)
-            world = worlds[f].reshape(-1, 3)
-            s = _scene_stem(f)
-            lo[s] = np.minimum(lo[s], world.min(axis=0)) if s in lo \
-                else world.min(axis=0)
-            hi[s] = np.maximum(hi[s], world.max(axis=0)) if s in hi \
-                else world.max(axis=0)
-        for s in lo:
-            scene_shift[s] = lo[s]
-            extent = hi[s] - lo[s]
-            scene_dims[s] = (int(np.ceil(extent[0] / resolution)) + 1,
-                             int(np.ceil(extent[2] / resolution)) + 1)
-
     dims = {}
-    for f in files:
-        if info is not None:
+    if info is not None:
+        for f in files:
             env = _scene_of(f, info)
             if env is None:
                 raise ValueError(
@@ -264,15 +244,47 @@ def build_dataset_memories(sensor_dir: str, out_dir: str,
                     f"scene's carried memory")
             shift = map_shift_from_info(env, info, dataset)
             mdims = map_dims_from_info(env, info, dataset, resolution)
-        else:
-            s = _scene_stem(f)
-            shift, mdims = scene_shift[s], scene_dims[s]
-        dims[f] = build_memory_file(os.path.join(sensor_dir, f),
-                                    os.path.join(out_dir, f),
-                                    map_world_shift=shift,
-                                    map_dims=mdims,
-                                    resolution=resolution,
-                                    world=worlds.get(f))
+            dims[f] = build_memory_file(os.path.join(sensor_dir, f),
+                                        os.path.join(out_dir, f),
+                                        map_world_shift=shift,
+                                        map_dims=mdims,
+                                        resolution=resolution)
+        return dims
+
+    # No map-info json: one scene at a time — a first pass unions the
+    # scene's world extents into one grid, a second pass writes its chunks.
+    # Peak host memory is bounded by ONE scene, not the dataset: worlds are
+    # cached between the passes only when they were genuinely recomputed
+    # from depth+pose (device work worth saving); files carrying
+    # precomputed `projection_indices` are just re-read from h5 (caching
+    # those would hold every [T,H,W,3] float array of the run at once).
+    by_scene: dict = {}
+    for f in files:
+        by_scene.setdefault(_scene_stem(f), []).append(f)
+    for scene_files in by_scene.values():
+        worlds: dict = {}
+        lo = hi = None
+        for f in scene_files:
+            with h5py.File(os.path.join(sensor_dir, f), "r") as h:
+                cheap = "projection_indices" in h
+                world = _world_xyz_from_sensor(h)
+            if not cheap:
+                worlds[f] = world
+            flat = world.reshape(-1, 3)
+            lo = flat.min(axis=0) if lo is None \
+                else np.minimum(lo, flat.min(axis=0))
+            hi = flat.max(axis=0) if hi is None \
+                else np.maximum(hi, flat.max(axis=0))
+        extent = hi - lo
+        mdims = (int(np.ceil(extent[0] / resolution)) + 1,
+                 int(np.ceil(extent[2] / resolution)) + 1)
+        for f in scene_files:
+            dims[f] = build_memory_file(os.path.join(sensor_dir, f),
+                                        os.path.join(out_dir, f),
+                                        map_world_shift=lo,
+                                        map_dims=mdims,
+                                        resolution=resolution,
+                                        world=worlds.pop(f, None))
     return dims
 
 

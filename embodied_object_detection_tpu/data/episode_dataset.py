@@ -104,9 +104,16 @@ class EpisodeDataset:
     def __init__(self, data_path: str, test_type: str = "default",
                  max_sequence_length: int = 20, max_gt: int = 64,
                  load_jpeg: bool = True, semmap_path: str = "",
-                 clip_path: str = "", memory_type: str = ""):
+                 clip_path: str = "", memory_type: str = "",
+                 semmap_dialect: str = "auto"):
         if h5py is None:
             raise RuntimeError("h5py required for EpisodeDataset")
+        if semmap_dialect not in ("auto", "smnet", "lvis"):
+            raise ValueError(f"semmap_dialect={semmap_dialect!r} "
+                             "(expected auto|smnet|lvis)")
+        # class-id space of semmap_gt for map_gt (see MemoryConfig
+        # .semmap_dialect); resolved per file in __getitem__
+        self.semmap_dialect = semmap_dialect
         self.data_path = data_path
         self.memory_path = os.path.join(data_path, "memory_data")
         self.sensor_path = os.path.join(data_path, "sensor_data")
@@ -180,8 +187,14 @@ class EpisodeDataset:
             # (loader.py:204 + :296-302 when no semmap snapshot exists)
             num_cells = int(h5["memory_features"].shape[0])
             proj = np.array(h5["proj_indices"])
-            semmap_gt = np.array(h5["semmap_gt"]) \
-                if "semmap_gt" in h5 else None
+            semmap_gt = semmap_space = None
+            if "semmap_gt" in h5:
+                semmap_gt = np.array(h5["semmap_gt"])
+                # class-space marker written by build_memory/synthetic;
+                # reference-built files carry none
+                semmap_space = h5["semmap_gt"].attrs.get("class_space")
+                if isinstance(semmap_space, bytes):
+                    semmap_space = semmap_space.decode()
             mem_h5_values = (np.array(h5["memory_features"], np.float32)
                              if self.memory_type == "explicit_map" else None)
         if proj.ndim == 4:
@@ -244,8 +257,28 @@ class EpisodeDataset:
                         # (build_memory/synthetic) carry lvis-20+1 ids that
                         # index the zero-prepended table DIRECTLY — applying
                         # the 13-row remap to those would gather-clamp to
-                        # wrong class rows silently.
-                        if int(np.max(semmap_gt)) < len(SMNET_CLASS_MAPPING):
+                        # wrong class rows silently. Resolution order: the
+                        # explicit semmap_dialect override, the builders'
+                        # class_space h5 attr, then a max-id heuristic
+                        # (ambiguous when a 21-class scene only contains
+                        # low ids — hence the warning).
+                        dialect = self.semmap_dialect
+                        if dialect == "auto":
+                            if semmap_space is not None:
+                                dialect = ("lvis"
+                                           if semmap_space == "lvis21"
+                                           else "smnet")
+                            elif int(np.max(semmap_gt)) < \
+                                    len(SMNET_CLASS_MAPPING):
+                                dialect = "smnet"
+                                print(f"WARNING: {file}: semmap_gt has no "
+                                      "class_space attr and max id < 13 — "
+                                      "assuming reference SMNet 13-class "
+                                      "ids; pin memory.semmap_dialect if "
+                                      "this grid is lvis-20+1")
+                            else:
+                                dialect = "lvis"
+                        if dialect == "smnet":
                             mem_features = mem_features[SMNET_CLASS_MAPPING]
                             observations = np.ones((mem_features.shape[0],),
                                                    np.float32)

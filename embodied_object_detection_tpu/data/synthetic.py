@@ -171,5 +171,7 @@ def generate_synthetic_dataset(root: str, num_scenes: int = 1,
                 f.create_dataset("memory_features",
                                  data=np.zeros((num_cells, 512), np.float32))
                 f.create_dataset("proj_indices", data=proj)
-                f.create_dataset("semmap_gt",
-                                 data=np.zeros((num_cells,), np.int32))
+                d = f.create_dataset("semmap_gt",
+                                     data=np.zeros((num_cells,), np.int32))
+                # lvis-20+1 id space (all void here) — see build_memory.py
+                d.attrs["class_space"] = "lvis21"

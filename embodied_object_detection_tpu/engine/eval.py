@@ -213,6 +213,15 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
     _unset = object()
     ext_cache = (_unset, None)
     for idx in range(n_chunks):
+        if idx == num_warmup:
+            # accumulator reset at the TOP of iteration num_warmup, like
+            # the reference (train_mp3d.py:135, 179-183): the boundary
+            # chunk's data/compute/eval time all lands on the warmup side,
+            # so the timed sums cover exactly the n_timed counted chunks
+            t_data = t_compute = t_eval = 0.0
+            t_total0 = time.perf_counter()
+            warm_chunks = idx
+            warm_frames = total_frames
         t0 = time.perf_counter()
         chunk, frames = next(chunk_iter)
         if external:
@@ -235,12 +244,6 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
         float(jnp.sum(out.detections.scores[-1, :1]))
         t_compute += time.perf_counter() - t0
 
-        if idx + 1 == num_warmup:
-            t_data = t_compute = t_eval = 0.0
-            t_total0 = time.perf_counter()
-            warm_chunks = idx + 1
-            warm_frames = total_frames + int(chunk.frame_valid.sum())
-
         if cfg.memory.save_semmap:
             _save_memory_snapshot(cfg, zs, out.first_memory.features,
                                   out.first_memory.obs_count, chunk)
@@ -262,8 +265,10 @@ def evaluate_dataset(model: EmbodiedDetector, params, cfg: DetectorConfig,
         total_frames += int(chunk.frame_valid.sum())
         t_eval += time.perf_counter() - t0
         if verbose and (idx + 1) % 10 == 0:
-            done = idx + 1
-            print(f"inference {done}/{n_chunks} "
+            # rates over the chunks the accumulators actually cover (after
+            # the warmup reset that is idx+1-warm_chunks, NOT idx+1)
+            done = idx + 1 - warm_chunks
+            print(f"inference {idx + 1}/{n_chunks} "
                   f"data {t_data/done:.3f}s/it compute {t_compute/done:.3f}s/it "
                   f"eval {t_eval/done:.3f}s/it")
 
@@ -403,8 +408,25 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
     # warmup exclusion like the serial path (train_mp3d.py:135, 179-183)
     num_warmup = min(5, n_steps - 1)
     warm_steps = warm_frames = 0
+    # scoring payloads buffered per chunk and fed to the evaluator in
+    # SERIAL chunk order after the loop: the evaluator assigns image and
+    # annotation ids by insertion order, and the reference's 0-based
+    # annotation ids make the det matched to annotation 0 an FP
+    # (train_mp3d.py:149) — feeding in lane-completion order would pin
+    # that quirk (and equal-score tie order) to a DIFFERENT detection
+    # than the serial protocol. Buffered chunks drop their image/index
+    # arrays (only GT + the pulled detections are kept).
+    import dataclasses as _dc
+    pending: List[tuple] = []
     with mesh:
         for j in range(n_steps):
+            if j == num_warmup:
+                # reset at the TOP of step num_warmup (train_mp3d.py:135,
+                # 179-183) so timed sums cover exactly the counted steps
+                t_data = t_compute = t_eval = 0.0
+                t_total0 = time.perf_counter()
+                warm_steps = j
+                warm_frames = total_frames
             t0 = time.perf_counter()
             frames, metas = next(fetch_iter)
             t_data += time.perf_counter() - t0
@@ -416,13 +438,6 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
             memory = out.memory
             float(jnp.sum(out.detections.scores[:, -1, :1]))
             t_compute += time.perf_counter() - t0
-
-            if j + 1 == num_warmup:
-                t_data = t_compute = t_eval = 0.0
-                t_total0 = time.perf_counter()
-                warm_steps = j + 1
-                warm_frames = total_frames + sum(
-                    int(c.frame_valid.sum()) for c in metas if c is not None)
 
             if cfg.memory.save_semmap:
                 # per-sequence memory snapshot, as in the serial path;
@@ -446,14 +461,23 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
             for lane_i, chunk in enumerate(metas):
                 if chunk is None:
                     continue
-                im_id = _score_chunk_frames(
-                    evaluator, quartile_ids, chunk, lanes[lane_i][j],
-                    det_boxes[lane_i], det_scores[lane_i],
-                    det_classes[lane_i], det_valid[lane_i],
-                    im_id, score_every)
+                slim = _dc.replace(chunk,
+                                   images=chunk.images[:, :0, :0],
+                                   proj_indices=chunk.proj_indices[:, :0, :0],
+                                   memory_features=None, observations=None)
+                pending.append((lanes[lane_i][j], slim,
+                                det_boxes[lane_i], det_scores[lane_i],
+                                det_classes[lane_i], det_valid[lane_i]))
                 total_frames += int(chunk.frame_valid.sum())
             t_eval += time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    pending.sort(key=lambda rec: rec[0])
+    for serial_idx, slim, b, sc, cl, v in pending:
+        im_id = _score_chunk_frames(evaluator, quartile_ids, slim,
+                                    serial_idx, b, sc, cl, v,
+                                    im_id, score_every)
+    t_eval += time.perf_counter() - t0
     t_total = time.perf_counter() - t_total0
     n_timed = max(n_steps - warm_steps, 1)
     results = EvalResults(

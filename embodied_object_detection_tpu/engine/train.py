@@ -307,4 +307,11 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
                     eval_fn(state)
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
+        if eval_fn is not None:
+            # the do_test-after-do_train analog (train_mp3d.py:757-759:
+            # main always runs one full eval after training) — this is WHY
+            # the in-loop eval skips the final iteration; without it a
+            # caller whose max_iter aligns with eval_period would silently
+            # lose the final eval
+            eval_fn(state)
     return state

@@ -91,7 +91,6 @@ class COCOEvaluator:
         self._seen_ids: set = set()
         self._gt: Dict[int, Dict[int, list]] = defaultdict(lambda: defaultdict(list))
         self._dt: Dict[int, Dict[int, list]] = defaultdict(lambda: defaultdict(list))
-        self._img_ids: List[int] = []
         # global annotation id counter. pycocotools stores gt['id'] in
         # dtm, where 0 doubles as "unmatched" — so when ids start at 0 the
         # detection matched to annotation 0 accumulates as a false
@@ -105,7 +104,6 @@ class COCOEvaluator:
     def reset(self):
         self._gt.clear()
         self._dt.clear()
-        self._img_ids = []
         self._seen_ids.clear()
         self._next_ann_id = self._first_ann_id
         self._pos.clear()
@@ -114,9 +112,7 @@ class COCOEvaluator:
 
     def add_image(self, image_id: int,
                   neg_category_ids: Sequence[int] = ()):
-        if image_id not in self._seen_ids:
-            self._img_ids.append(image_id)
-            self._seen_ids.add(image_id)
+        self._seen_ids.add(image_id)
         if self.federated:
             self._pos.setdefault(image_id, set())
             self._neg.setdefault(image_id, set()).update(neg_category_ids)

@@ -33,6 +33,14 @@ from .resnet import ResNet50
 from .roi_heads import CascadeROIHeads, CascadeOutputs, apply_deltas
 
 
+def grad_scale(x, s):
+    """Forward identity, backward x s — the _ScaleGradient analog
+    (detic_roi_heads.py:333, 1/num_stages per cascade stage). ONE
+    definition shared by the strong and weak train paths: the scale
+    semantics are parity-load-bearing in both."""
+    return x * s + jax.lax.stop_gradient(x) * (1.0 - s)
+
+
 class FrameInputs(NamedTuple):
     """One frame of an episode (padded, fixed shapes).
 
@@ -378,10 +386,6 @@ class EmbodiedDetector(nn.Module):
             boxes = jnp.take(boxes, idx, axis=0)
             valid = jnp.take(valid, idx) & keep
 
-        def grad_scale(x, s):
-            # ref: _ScaleGradient 1/num_stages (detic_roi_heads.py:333)
-            return x * s + jax.lax.stop_gradient(x) * (1.0 - s)
-
         num_stages = len(cfg.roi.cascade_ious)
         matched = match_proposals(boxes, valid, gt, cfg.roi.cascade_ious[0],
                                   cfg.roi.num_classes)
@@ -526,13 +530,9 @@ class EmbodiedDetector(nn.Module):
 
         losses = {}
         num_stages = len(cfg.roi.cascade_ious)
-
-        def grad_scale(x, s):
-            # ref: _ScaleGradient 1/num_stages applies in _run_stage for
-            # EVERY ann_type (detic_roi_heads.py:333) — without it the weak
-            # losses backprop num_stages x the reference gradient into the
-            # FPN/backbone
-            return x * s + jax.lax.stop_gradient(x) * (1.0 - s)
+        # grad_scale applies in _run_stage for EVERY ann_type
+        # (detic_roi_heads.py:333) — without it the weak losses backprop
+        # num_stages x the reference gradient into the FPN/backbone
 
         cur = boxes
         image_box_emb = None

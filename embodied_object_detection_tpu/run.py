@@ -355,13 +355,18 @@ def main(argv=None):
         # vanilla single-frame evaluation (train_net.py analog)
         from .data.catalog import CocoDetectionDataset, DatasetEntry
         from .engine.coco import evaluate_coco
-        # raw-id label space: the mp3d jsons (create_coco.py) use vocabulary
-        # indices as category ids, which must match the model's zs_weight
-        # columns — contiguous remapping would scramble the comparison
+        # label space: mp3d jsons (create_coco.py) use vocabulary indices
+        # as category ids — keep them raw so they line up with the model's
+        # zs_weight columns. An LVIS json uses 1-based category ids, so the
+        # federated protocol needs the detectron2 contiguous remap
+        # (id -> sorted rank, lvis ids 1..C -> 0..C-1) or every detection
+        # of class c would be scored against GT class c+1;
+        # neg_category_ids are remapped through the same id_map
+        # (catalog.py get_weak_info).
         ds = CocoDetectionDataset(
             DatasetEntry(args.coco_json, args.image_root or args.data_path),
             height=cfg.input.height, width=cfg.input.width,
-            max_gt=cfg.input.max_gt_boxes, remap_ids=False)
+            max_gt=cfg.input.max_gt_boxes, remap_ids=args.lvis_eval)
         res = evaluate_coco(model, params, cfg, ds, zs_weight,
                             federated=args.lvis_eval)
         print("coco:", {k: round(v, 3) for k, v in res.items()
@@ -385,7 +390,8 @@ def main(argv=None):
                                  max_gt=cfg.input.max_gt_boxes,
                                  memory_type=cfg.memory.memory_type,
                                  clip_path=clip_path,
-                                 semmap_path=cfg.semmap_path)
+                                 semmap_path=cfg.semmap_path,
+                                 semmap_dialect=cfg.memory.semmap_dialect)
         if args.eval_streams > 1:
             # episode-parallel eval: scenes partitioned over mesh data
             # shards (the AsyncPredictor analog, parallel/eval_step.py)

@@ -179,7 +179,7 @@ def test_federated_reset_clears_label_sets():
     # duplicate registration counts the image once
     ev.add_image(5)
     ev.add_image(5)
-    assert ev._img_ids == [5]
+    assert ev._seen_ids == {5}
 
 
 def test_coco_ap_counts_fp_only_images():

@@ -227,10 +227,16 @@ def test_semantic_gt_baseline_eval(synth_root, tmp_path):
 
 
 def test_map_gt_remaps_clip_table_rows(synth_root, tmp_path):
-    """map_gt with the GT semmap must row-remap the CLIP table through
-    SMNET_CLASS_MAPPING (loader.py:243-246) — SMNet 13-class ids indexing
-    the unmapped 21-row table would read the wrong class embedding for
-    nearly every cell."""
+    """map_gt dialect resolution: reference-built (attr-less, low-id)
+    semmap_gt row-remaps the CLIP table through SMNET_CLASS_MAPPING
+    (loader.py:243-246); repo-built grids carry the class_space=lvis21 h5
+    attr and index the zero-prepended table DIRECTLY (remapping those
+    would read the wrong class embedding for nearly every cell); an
+    explicit semmap_dialect override beats the attr."""
+    import glob
+    import shutil
+
+    import h5py
     from embodied_object_detection_tpu.data.episode_dataset import (
         SMNET_CLASS_MAPPING)
 
@@ -238,10 +244,39 @@ def test_map_gt_remaps_clip_table_rows(synth_root, tmp_path):
     table = rng.randn(20, 512).astype(np.float32)
     clip_path = str(tmp_path / "t.npy")
     np.save(clip_path, table)
+    full = np.concatenate([np.zeros((1, 512), np.float32), table])
+
+    # 1) repo-built grid (synthetic writes class_space='lvis21'): even
+    # with all ids < 13 the table stays unmapped
     ds = EpisodeDataset(synth_root, max_sequence_length=4, max_gt=8,
                         memory_type="map_gt", clip_path=clip_path)
     chunk = ds[0]
-    full = np.concatenate([np.zeros((1, 512), np.float32), table])
+    np.testing.assert_allclose(chunk.memory_features, full)
+    assert chunk.num_cells == full.shape[0]
+
+    # 2) reference-built grid (no attr, ids < 13): the heuristic selects
+    # the SMNet 13-row remap
+    root = str(tmp_path / "refdata")
+    shutil.copytree(synth_root, root)
+    for p in glob.glob(os.path.join(root, "memory_data", "*.h5")):
+        with h5py.File(p, "r+") as f:
+            del f["semmap_gt"].attrs["class_space"]
+    ds_ref = EpisodeDataset(root, max_sequence_length=4, max_gt=8,
+                            memory_type="map_gt", clip_path=clip_path)
+    chunk = ds_ref[0]
     np.testing.assert_allclose(chunk.memory_features,
                                full[SMNET_CLASS_MAPPING])
     assert chunk.num_cells == len(SMNET_CLASS_MAPPING)
+
+    # 3) the explicit override beats the attr (both directions)
+    ds_force = EpisodeDataset(synth_root, max_sequence_length=4, max_gt=8,
+                              memory_type="map_gt", clip_path=clip_path,
+                              semmap_dialect="smnet")
+    np.testing.assert_allclose(ds_force[0].memory_features,
+                               full[SMNET_CLASS_MAPPING])
+    ds_force2 = EpisodeDataset(root, max_sequence_length=4, max_gt=8,
+                               memory_type="map_gt", clip_path=clip_path,
+                               semmap_dialect="lvis")
+    np.testing.assert_allclose(ds_force2[0].memory_features, full)
+    with pytest.raises(ValueError, match="semmap_dialect"):
+        EpisodeDataset(root, semmap_dialect="bogus")

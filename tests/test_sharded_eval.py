@@ -148,6 +148,14 @@ def test_engine_sharded_eval_matches_serial(tmp_path):
     root = str(tmp_path / "synth")
     generate_synthetic_dataset(root, num_scenes=2, chunks_per_scene=2,
                                frames=4, height=h, width=w, map_h=8, map_w=8)
+    # UNEQUAL scene lengths: drop scene_0's second chunk so the greedy
+    # lane balance puts scene_1 (2 chunks) in lane 0 while the serial
+    # order starts at scene_0_0 — this covers (a) exhausted-lane padding
+    # and (b) the evaluator-feed order: image/annotation ids (incl. the
+    # reference's annotation-id-0 FP quirk, train_mp3d.py:149) must follow
+    # SERIAL chunk order, not lane-completion order
+    for sub in ("memory_data", "sensor_data"):
+        os.remove(os.path.join(root, sub, "scene0000_lvl0_1.h5"))
     model, params = build_detector(cfg, jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     zs = rng.randn(cfg.roi.zs_weight_dim,

@@ -564,7 +564,16 @@ def test_train_resume_equivalence(tmp_path):
         base.roi.zs_weight_dim, base.roi.num_classes + 1).astype(np.float32)
 
     cfg_a = base.replace(output_dir=str(tmp_path / "a"))
-    state_a = train(model, params, cfg_a, ds, zs, max_iter=4, verbose=False)
+    # eval_fn schedule (reference semantics): periodic in-loop evals skip
+    # the final iteration because one full eval ALWAYS runs after the loop
+    # (train_mp3d.py:646-648 guard + :757-759 do_test after do_train) —
+    # callers aligning max_iter with eval_period must still get the final
+    # eval. eval_fn mutates nothing, so run A stays bitwise-comparable.
+    eval_steps = []
+    state_a = train(model, params, cfg_a, ds, zs, max_iter=4, verbose=False,
+                    eval_fn=lambda s: eval_steps.append(int(s.step)),
+                    eval_period=2)
+    assert eval_steps == [2, 4]
 
     cfg_b = base.replace(output_dir=str(tmp_path / "b"))
     train(model, params, cfg_b, ds, zs, max_iter=2, verbose=False)
