@@ -107,6 +107,12 @@ def decode_proposals(agn_hms: Sequence[jax.Array], regs: Sequence[jax.Array],
       * boxes = grid -/+ relu(reg) * stride, clamped to >= 0.01 extent
       * final score = sqrt(score) (with_agn_hm)
       * class-agnostic NMS at 0.9, keep top `post_nms_topk`
+
+    Known micro-divergence (fixed shapes): the reference's post-NMS filter
+    keeps scores >= kthvalue (:736-741), so EXACT score ties at the cut
+    can keep more than post_nms_topk proposals; the padded top-k here
+    keeps exactly post_nms_topk. Ties require bit-equal sigmoid outputs —
+    duplicate heatmap plateaus — and surface at most on the cut boundary.
     """
     pre_topk = cfg.pre_nms_topk_train if training else cfg.pre_nms_topk_test
     post_topk = cfg.post_nms_topk_train if training else cfg.post_nms_topk_test
