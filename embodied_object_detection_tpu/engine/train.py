@@ -183,7 +183,12 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
           frames_per_chunk: Optional[int] = None,
           eval_fn: Optional[Callable[[TrainState], None]] = None,
           eval_period: int = 0, log_period: int = 20,
-          seed: int = 0, verbose: bool = True) -> TrainState:
+          seed: int = 0, verbose: bool = True,
+          batch_fn: Optional[Callable] = None) -> TrainState:
+    """`batch_fn(it, rng, dp) -> TrainBatch` overrides the episode-chunk
+    loader (dataset may then be None) — the vanilla single-frame trainer
+    (train_net.py analog, engine/coco.py batches) shares this loop's
+    solver/resume/metrics/prefetch machinery instead of duplicating it."""
     solver = cfg.solver
     max_iter = max_iter if max_iter is not None else solver.max_iter
     mesh = make_mesh(cfg.parallel)
@@ -235,14 +240,18 @@ def train(model: EmbodiedDetector, params, cfg: DetectorConfig,
         pad_total_frames = solver.ims_per_batch * (
             frames_per_chunk or cfg.input.max_sequence_length)
 
-        def load_batch(it):
-            r = iter_rng(it)
-            idx = r.choice(len(dataset), solver.ims_per_batch,
-                           replace=len(dataset) < solver.ims_per_batch)
-            chunks = [dataset[int(i)] for i in idx]
-            return chunks_to_train_batch(chunks, cfg, frames_per_chunk, r,
-                                         pad_to_multiple=dp,
-                                         pad_to_total=pad_total_frames)
+        if batch_fn is not None:
+            def load_batch(it):
+                return batch_fn(it, iter_rng(it), dp)
+        else:
+            def load_batch(it):
+                r = iter_rng(it)
+                idx = r.choice(len(dataset), solver.ims_per_batch,
+                               replace=len(dataset) < solver.ims_per_batch)
+                chunks = [dataset[int(i)] for i in idx]
+                return chunks_to_train_batch(chunks, cfg, frames_per_chunk,
+                                             r, pad_to_multiple=dp,
+                                             pad_to_total=pad_total_frames)
 
         # one-batch lookahead: host h5 reads overlap the device step (the
         # DataLoader-workers analog, train_mp3d.py:564-573). try/finally:

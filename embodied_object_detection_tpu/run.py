@@ -74,8 +74,12 @@ def argument_parser():
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace of the eval here")
     p.add_argument("--coco-json", default="",
-                   help="evaluate single-frame on a COCO-format dataset "
-                        "instead of the embodied protocol (train_net analog)")
+                   help="single-frame COCO-format dataset instead of the "
+                        "embodied protocol (train_net.py analog): trains on "
+                        "it, or evaluates with --eval-only")
+    p.add_argument("--coco-json-test", default="",
+                   help="held-out COCO json for the final post-training "
+                        "eval (do_test after do_train); omit to skip it")
     p.add_argument("--image-root", default="",
                    help="image root for --coco-json")
     p.add_argument("--lvis-eval", action="store_true",
@@ -352,7 +356,7 @@ def main(argv=None):
                            cfg.zeroshot_weight_path)
 
     if args.coco_json:
-        # vanilla single-frame evaluation (train_net.py analog)
+        # vanilla single-frame path (train_net.py analog)
         from .data.catalog import CocoDetectionDataset, DatasetEntry
         from .engine.coco import evaluate_coco
         # label space: mp3d jsons (create_coco.py) use vocabulary indices
@@ -363,15 +367,51 @@ def main(argv=None):
         # of class c would be scored against GT class c+1;
         # neg_category_ids are remapped through the same id_map
         # (catalog.py get_weak_info).
-        ds = CocoDetectionDataset(
-            DatasetEntry(args.coco_json, args.image_root or args.data_path),
-            height=cfg.input.height, width=cfg.input.width,
-            max_gt=cfg.input.max_gt_boxes, remap_ids=args.lvis_eval)
-        res = evaluate_coco(model, params, cfg, ds, zs_weight,
-                            federated=args.lvis_eval)
-        print("coco:", {k: round(v, 3) for k, v in res.items()
-                        if not k.startswith("AP-")})
-        return res
+        def coco_ds(json_file):
+            return CocoDetectionDataset(
+                DatasetEntry(json_file, args.image_root or args.data_path),
+                height=cfg.input.height, width=cfg.input.width,
+                max_gt=cfg.input.max_gt_boxes, remap_ids=args.lvis_eval)
+
+        if args.eval_only:
+            res = evaluate_coco(model, params, cfg, coco_ds(args.coco_json),
+                                zs_weight, federated=args.lvis_eval)
+            print("coco:", {k: round(v, 3) for k, v in res.items()
+                            if not k.startswith("AP-")})
+            return res
+
+        # supervised single-frame training (train_net.py do_train: the
+        # TrainingSampler uniform infinite shuffle; multi-source weak
+        # co-training lives at engine level — multi_source_train_batches)
+        if getattr(cfg.roi, "head_type", "cascade") == "res5":
+            raise SystemExit(
+                "CLI training drives the cascade trainer "
+                "(parallel/train_step.py); the Res5 variant trains "
+                "per-frame via Res5Detector.frame_train (its documented "
+                "single-frame normalization) — use it from Python")
+        from .engine.coco import items_to_train_batch
+        from .engine.train import train
+        ds = coco_ds(args.coco_json)
+
+        def coco_batch(it, r, dp):
+            idx = r.choice(len(ds), cfg.solver.ims_per_batch,
+                           replace=len(ds) < cfg.solver.ims_per_batch)
+            return items_to_train_batch([ds[int(i)] for i in idx], cfg,
+                                        pad_to_multiple=dp)
+
+        state = train(model, params, cfg, dataset=None, zs_weight=zs_weight,
+                      max_iter=args.max_iter, resume=args.resume,
+                      batch_fn=coco_batch)
+        if args.coco_json_test:
+            # do_test after do_train (train_net.py main)
+            res = evaluate_coco(model, state.params, cfg,
+                                coco_ds(args.coco_json_test), zs_weight,
+                                federated=args.lvis_eval)
+            print("coco:", {k: round(v, 3) for k, v in res.items()
+                            if not k.startswith("AP-")})
+            return state, res
+        print("no --coco-json-test given; skipping the post-training eval")
+        return state
 
     if args.eval_only:
         from .engine.eval import evaluate_dataset, evaluate_dataset_sharded
@@ -416,10 +456,21 @@ def main(argv=None):
         return results
 
     from .engine.train import train
+    # the reference's TRAIN loader takes clip_path/memory_type exactly like
+    # eval (train_mp3d.py:555-559) — without them, training a GT-memory
+    # baseline would silently read zero memory and explicit_map would
+    # ignore the h5 values (the eval branch's garbage-AP hazard, in train)
+    clip_path = ""
+    if cfg.memory.memory_type in ("semantic_gt", "map_gt"):
+        clip_path = find_clip_table_path(args, cfg)
+        print(f"GT-memory table from {clip_path}")
     dataset = EpisodeDataset(cfg.train_data_path,
                              max_sequence_length=cfg.input.max_sequence_length,
                              max_gt=cfg.input.max_gt_boxes,
-                             semmap_path=cfg.semmap_path)
+                             memory_type=cfg.memory.memory_type,
+                             clip_path=clip_path,
+                             semmap_path=cfg.semmap_path,
+                             semmap_dialect=cfg.memory.semmap_dialect)
     return train(model, params, cfg, dataset, zs_weight,
                  max_iter=args.max_iter, resume=args.resume)
 
