@@ -323,10 +323,6 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
     from ..parallel.eval_step import make_sharded_episode_runner
     from ..parallel.mesh import make_mesh
 
-    if cfg.memory.external_memory():
-        raise NotImplementedError(
-            f"memory_type={cfg.memory.memory_type!r} (GT-memory baseline) "
-            "is wired on the serial path only — run without --eval-streams")
     if mesh is None:
         mesh = make_mesh(cfg.parallel)
     s = streams or mesh.shape[cfg.parallel.data_axis]
@@ -372,6 +368,16 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
         features=jnp.zeros((s, cfg.memory.max_cells, cfg.memory.memory_dim),
                            jnp.float32),
         obs_count=jnp.zeros((s, cfg.memory.max_cells), jnp.float32))
+    # GT-memory baselines (semantic_gt/map_gt/explicit_map): each lane
+    # carries ITS scene's fixed external table (ref: loader.py:233-246);
+    # the episode scan neither resets nor writes it (detector.py episode
+    # step, external_memory branch), and the carried out.memory is ignored.
+    # Per-lane identity cache: the table only changes at a lane's scene
+    # boundary, so the [s, max_cells, D] stack is rebuilt (and re-uploaded)
+    # only then — matching the serial path's upload-once-per-scene cache.
+    external = cfg.memory.external_memory()
+    _unset = object()
+    ext_rows: List[tuple] = [(_unset, None)] * s
     im_id = 0
     t_data = t_compute = t_eval = 0.0
     t_total0 = time.perf_counter()
@@ -418,6 +424,17 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
     # arrays (only GT + the pulled detections are kept).
     import dataclasses as _dc
     pending: List[tuple] = []
+    # multi-host: each process holds only its own lanes' output shards, but
+    # the host-side scoring below reads ALL lanes — re-shard the episode
+    # outputs to fully-replicated (one all-gather of the small detection
+    # payload per step; the analog of the reference AsyncPredictor's result
+    # queue drain, predictor.py:500-529). Every process then scores the
+    # full detection set identically.
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        _gather = jax.jit(lambda o: o,
+                          out_shardings=jax.sharding.NamedSharding(
+                              mesh, jax.sharding.PartitionSpec()))
     with mesh:
         for j in range(n_steps):
             if j == num_warmup:
@@ -429,13 +446,34 @@ def evaluate_dataset_sharded(model: EmbodiedDetector, params,
                 warm_frames = total_frames
             t0 = time.perf_counter()
             frames, metas = next(fetch_iter)
+            if external:
+                dirty = False
+                for lane_i, chunk in enumerate(metas):
+                    if chunk is None:
+                        continue
+                    if ext_rows[lane_i][0] is not chunk.memory_features:
+                        ext_rows[lane_i] = (
+                            chunk.memory_features,
+                            external_memory_state(chunk, cfg))
+                        dirty = True
+                if dirty:
+                    zero_row = MemoryState.zeros(cfg.memory.max_cells,
+                                                 cfg.memory.memory_dim)
+                    rows = [r[1] if r[1] is not None else zero_row
+                            for r in ext_rows]
+                    memory = MemoryState(
+                        features=jnp.stack([r.features for r in rows]),
+                        obs_count=jnp.stack([r.obs_count for r in rows]))
             t_data += time.perf_counter() - t0
 
             t0 = time.perf_counter()
             # runner device_puts params/zs/frames/memory with the right
             # shardings each call (no-op copies once they're committed)
             out = runner(params, frames, zs, memory)
-            memory = out.memory
+            if multiproc:
+                out = _gather(out)
+            if not external:
+                memory = out.memory
             float(jnp.sum(out.detections.scores[:, -1, :1]))
             t_compute += time.perf_counter() - t0
 

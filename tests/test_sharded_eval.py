@@ -259,13 +259,60 @@ def test_cli_eval_streams(tmp_path):
     assert "AP" in res.overall
 
 
-def test_sharded_eval_rejects_external_memory():
-    """GT-memory baselines are wired on the serial path only; the sharded
-    path must refuse rather than carry per-chunk tables incorrectly."""
+@pytest.mark.slow
+@pytest.mark.parametrize("memory_type", ["semantic_gt", "map_gt"])
+def test_sharded_eval_gt_memory_matches_serial(tmp_path, memory_type):
+    """GT-memory baselines under --eval-streams: each lane carries its
+    scene's FIXED external table (ref: loader.py:233-246) and the sharded
+    protocol reproduces the serial AP/quartiles/image count exactly
+    (VERDICT r4 #5 — replaces the former NotImplementedError rejection).
+    Unequal scene lengths cover exhausted-lane padding + the serial-order
+    evaluator feed, as in the implicit-memory equality test above."""
+    from embodied_object_detection_tpu.data import generate_synthetic_dataset
+    from embodied_object_detection_tpu.data.episode_dataset import (
+        EpisodeDataset)
     from embodied_object_detection_tpu.engine.eval import (
-        evaluate_dataset_sharded)
+        evaluate_dataset, evaluate_dataset_sharded)
+
     cfg = _mini_cfg()
-    cfg = cfg.replace(memory=dataclasses.replace(
-        cfg.memory, memory_type="semantic_gt"))
-    with pytest.raises(NotImplementedError, match="serial path"):
-        evaluate_dataset_sharded(None, None, cfg, None, None)
+    cfg = cfg.replace(
+        input=dataclasses.replace(cfg.input, max_sequence_length=4,
+                                  score_every=2, max_gt_boxes=8),
+        memory=dataclasses.replace(cfg.memory, memory_type=memory_type,
+                                   max_cells=64, write_topk=4,
+                                   cls_score_thresh=0.05),
+    )
+    h, w = cfg.input.height, cfg.input.width
+    root = str(tmp_path / "synth")
+    generate_synthetic_dataset(root, num_scenes=2, chunks_per_scene=2,
+                               frames=4, height=h, width=w, map_h=8, map_w=8)
+    for sub in ("memory_data", "sensor_data"):
+        os.remove(os.path.join(root, sub, "scene0000_lvl0_1.h5"))
+    rng = np.random.RandomState(3)
+    table = rng.randn(cfg.roi.num_classes, 512).astype(np.float32)
+    clip_path = str(tmp_path / "table.npy")
+    np.save(clip_path, table)
+
+    model, params = build_detector(cfg, jax.random.PRNGKey(0))
+    zs = rng.randn(cfg.roi.zs_weight_dim,
+                   cfg.roi.num_classes + 1).astype(np.float32)
+    ds = EpisodeDataset(root, max_sequence_length=4, max_gt=8,
+                        memory_type=memory_type, clip_path=clip_path)
+    assert ds[0].memory_features is not None
+
+    serial = evaluate_dataset(model, params, cfg, ds, zs, verbose=False,
+                              num_workers=0)
+    from embodied_object_detection_tpu.config import ParallelConfig
+    from embodied_object_detection_tpu.parallel.mesh import make_mesh
+    mesh2 = make_mesh(ParallelConfig(data_parallel=2, model_parallel=1),
+                      devices=jax.devices()[:2])
+    sharded = evaluate_dataset_sharded(model, params, cfg, ds, zs,
+                                       mesh=mesh2, streams=2, verbose=False,
+                                       num_workers=0)
+    assert sharded.num_images == serial.num_images > 0
+    for k, v in serial.overall.items():
+        assert sharded.overall[k] == pytest.approx(v, abs=1e-6), k
+    for qs, qq in zip(serial.quartiles, sharded.quartiles):
+        assert set(qs) == set(qq)
+        for k in qs:
+            assert qq[k] == pytest.approx(qs[k], abs=1e-6), k
