@@ -149,6 +149,38 @@ def _coco_fixture(tmp_path, one_based=False):
     return str(jf), str(img_dir)
 
 
+def test_cli_coco_train_label_space_guard(tmp_path):
+    """Training on a 1-based json WITHOUT --lvis-eval must fail loudly:
+    raw ids don't fit the model's 0-based zs_weight columns, and
+    out-of-range labels would silently vanish in one_hot (ADVICE r4 #2)."""
+    from embodied_object_detection_tpu.run import main
+
+    jf, img_dir = _coco_fixture(tmp_path, one_based=True)
+    with pytest.raises(SystemExit, match="roi.num_classes"):
+        main(["--coco-json", jf, "--image-root", img_dir,
+              "--max-iter", "1", "--zs-weight", "random",
+              "--output-dir", str(tmp_path / "out"),
+              "--opts"] + TRAIN_OPTS + ["solver.ims_per_batch=2"])
+
+
+def test_cli_coco_defaults_to_image_only(tmp_path, capsys):
+    """The --coco-json branch must default memory_type to image_only —
+    the reference's train_net.py path leaves MODEL.MEMORY_TYPE at '',
+    which skips the FPN memory merge (timm.py:142); our episode default
+    'implicit_memory' would run the merge against all-zero memory
+    (ADVICE r4 #1). Explicit --opts still wins."""
+    from embodied_object_detection_tpu.run import main
+
+    jf, img_dir = _coco_fixture(tmp_path)
+    res = main(["--eval-only", "--coco-json", jf, "--image-root", img_dir,
+                "--zs-weight", "random",
+                "--output-dir", str(tmp_path / "out"),
+                "--opts"] + TINY_OPTS)
+    assert "AP" in res
+    out = capsys.readouterr().out
+    assert "memory_type defaulted to image_only" in out
+
+
 @pytest.mark.slow
 def test_cli_coco_train_then_test(tmp_path):
     """`run.py --coco-json` WITHOUT --eval-only trains single-frame (the
