@@ -199,13 +199,16 @@ def main():
             params, frames, zs, init).compile()
         out = run_par(params, frames, zs, init)
         sync(out)
+        # identical protocol to the headline (5 chained chunks, one sync)
+        # so parity_exact_fps and the headline differ ONLY by the write
+        # path, not by dispatch amortization
         mem = init
         t0 = time.perf_counter()
-        for _ in range(3):
+        for _ in range(iters):
             out = run_par(params, frames, zs, mem)
             mem = out.memory
         sync(out)
-        par_s = (time.perf_counter() - t0) / 3
+        par_s = (time.perf_counter() - t0) / iters
         detail["parity_exact_fps"] = round(t / par_s, 3)
         detail["parity_exact_ms_per_frame"] = round(1000 * par_s / t, 3)
     except Exception as e:                                   # pragma: no cover

@@ -97,6 +97,57 @@ def _bilinear_flat(flat_table: jax.Array, x: jax.Array, y: jax.Array,
             tap(y1i, x1i, ly * lx * okf))
 
 
+def _bilinear_packed(flat4: jax.Array, x: jax.Array, y: jax.Array,
+                     h: jax.Array, w: jax.Array, base: jax.Array) -> jax.Array:
+    """Bilinear sample from a neighbor-packed [T, 4C] table (impl="v3"):
+    ONE row gather per sample instead of _bilinear_flat's four. Tap
+    weights and clamp semantics are identical to _bilinear_flat (see its
+    docstring); the four weighted adds are written out explicitly in the
+    same order, so under f32 inputs the result is bit-identical to v1.
+    Weights are cast to the table dtype like cast_weights=True (the bf16
+    TPU path)."""
+    hf = h.astype(x.dtype)
+    wf = w.astype(x.dtype)
+    valid = (x >= -1.0) & (x <= wf) & (y >= -1.0) & (y <= hf)
+    x = jnp.clip(x, 0.0, wf - 1.0)
+    y = jnp.clip(y, 0.0, hf - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = x - x0
+    ly = y - y0
+    okf = valid.astype(x.dtype)
+
+    c = flat4.shape[-1] // 4
+    rows = flat4[(base + y0.astype(jnp.int32) * w +
+                  x0.astype(jnp.int32)).astype(jnp.int32)]       # [..., 4C]
+    wdt = flat4.dtype
+
+    def wgt(v):
+        return (v * okf).astype(wdt)[..., None]
+
+    return (rows[..., 0 * c:1 * c] * wgt((1 - ly) * (1 - lx)) +
+            rows[..., 1 * c:2 * c] * wgt((1 - ly) * lx) +
+            rows[..., 2 * c:3 * c] * wgt(ly * (1 - lx)) +
+            rows[..., 3 * c:4 * c] * wgt(ly * lx))
+
+
+def _neighbor_packed(features: Sequence[jax.Array]) -> Sequence[jax.Array]:
+    """Pack each pixel's 2x2 bilinear neighborhood into one row:
+    out[y, x] = concat(f[y, x], f[y, x+1], f[y+1, x], f[y+1, x+1]) with
+    zero padding past the border. One [T, 4C] row gather then fetches all
+    four taps of a sample — gathers here are ROW-latency-bound, not
+    byte-bound, so quartering the row count at constant bytes is the win
+    (impl="v3"). Zero padding is EXACT: an out-of-range tap's bilinear
+    weight is exactly 0 (x clamps to w-1 => lx == 0), so the padded zeros
+    are multiplied by 0.0."""
+    packed = []
+    for f in features:
+        fp = jnp.pad(f, ((0, 1), (0, 1), (0, 0)))
+        packed.append(jnp.concatenate(
+            [fp[:-1, :-1], fp[:-1, 1:], fp[1:, :-1], fp[1:, 1:]], axis=-1))
+    return packed
+
+
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "strides",
                                    "canonical_box_size", "canonical_level",
                                    "impl"))
@@ -111,6 +162,9 @@ def multilevel_roi_align(features: Sequence[jax.Array], boxes: jax.Array,
     features: per-level [H_l, W_l, C] (NHWC, single image)
     boxes:    [R, 4] xyxy in image pixels
     strides:  per-level stride (e.g. (8, 16, 32))
+    impl:     "v1" reference math in f32; "v2" bf16 tap weights + strided
+              window pool; "v3" = v2 + neighbor-packed single-gather taps
+              (one [T, 4C] row per sample instead of four [T, C] rows)
     returns:  [R, output_size, output_size, C]
     """
     num_levels = len(features)
@@ -122,7 +176,12 @@ def multilevel_roi_align(features: Sequence[jax.Array], boxes: jax.Array,
     for s in sizes[:-1]:
         bases_list.append(bases_list[-1] + s)
     bases = jnp.array(bases_list, jnp.int32)
-    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+    if impl == "v3":
+        flat = jnp.concatenate(
+            [f.reshape(-1, 4 * c) for f in _neighbor_packed(features)],
+            axis=0)
+    else:
+        flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
 
     # levels are log2(stride): (8,16,32) -> (3,4,5). Level routing below
     # indexes feature maps by (assigned_level - lvls[0]), which is only
@@ -164,14 +223,15 @@ def multilevel_roi_align(features: Sequence[jax.Array], boxes: jax.Array,
     sxx = sxx - 0.5
     syy = syy - 0.5
 
-    bilinear = partial(_bilinear_flat, cast_weights=(impl == "v2"))
+    bilinear = _bilinear_packed if impl == "v3" else \
+        partial(_bilinear_flat, cast_weights=(impl == "v2"))
     vals = bilinear(
         flat, sxx, syy,
         jnp.broadcast_to(roi_h[:, None, None], sxx.shape),
         jnp.broadcast_to(roi_w[:, None, None], sxx.shape),
         jnp.broadcast_to(roi_base[:, None, None], sxx.shape))    # [R, P, P, C]
 
-    if impl == "v2":
+    if impl in ("v2", "v3"):
         # strided-slice window sum instead of a 6-D reshape+mean: the 6-D
         # view forces an XLA relayout (T(8,128)->T(2,128) copy); strided
         # slices fuse into the add. 1/s^2 is a power of two — exact in bf16.

@@ -89,6 +89,25 @@ def test_run_parity_dry_run(capsys):
     assert "models/detic_pretrained.pth" in text
 
 
+@pytest.mark.slow
+def test_run_full_dry_run_covers_all_surfaces(capsys):
+    """The FULL --dry-run (no --parity-config) additionally validates the
+    sharded runner and the three GT-memory baselines on synthetic
+    stand-ins (VERDICT r4 #8) — every CLI surface a golden run or its
+    sharded variant would touch."""
+    from embodied_object_detection_tpu.run import main
+    out = main(["--dry-run", "--data-path", "embodied_data/mp3d_example"])
+    for name in ("pretrained", "vanilla_training", "detic_finetuned",
+                 "implicit_object_memory"):
+        assert "AP" in out[name], name
+    surfaces = out["surfaces"]
+    for key in ("sharded", "semantic_gt", "map_gt", "explicit_map"):
+        assert "AP" in surfaces[key], key
+    text = capsys.readouterr().out
+    assert "sharded eval" in text
+    assert "semantic_gt baseline eval OK (serial + sharded)" in text
+
+
 def test_run_on_video_parallel_pipelines_in_order():
     """--parallel video inference must submit frames buffer_size ahead of
     results (the reference AsyncPredictor contract) — a synchronous

@@ -1,68 +1,70 @@
-"""Micro-bench ROIAlign variants on TPU.
+"""ROIAlign impl A/B on TPU (round 5, VERDICT r4 #4 / #7).
 
-Realistic flagship shapes: FPN p3-p5 at 480x640 (60x80, 30x40, 15x20),
-C=256; box pooler 256 ROIs 7x7 (x3 cascade stages) + mask pooler 100 ROIs
-14x14. Compares the current implementation against candidate
-optimizations. Run: python tools/bench_roi_align.py
+Times multilevel_roi_align fwd and fwd+bwd at flagship shapes
+(480x640 FPN p3-p5, C=256, R=512 ROIs — one cascade stage's pooling) for
+impl v2 (4 thin-row gathers per sample) vs v3 (neighbor-packed [T, 4C]
+single gather). Gathers here are row-latency-bound; v3 quarters the row
+count at constant bytes.
+
+Usage: python tools/bench_roi_align.py
 """
-import os
+
 import sys
 import time
+from functools import partial
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, ".")
 
-import numpy as np
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from embodied_object_detection_tpu.ops import roi_align as ra
+from embodied_object_detection_tpu.ops.roi_align import multilevel_roi_align
+
+C = 256
+SHAPES = [(60, 80), (30, 40), (15, 20)]
+STRIDES = (8, 16, 32)
+R = 512
 
 
-def timeit(fn, *args, iters=20):
+def bench(fn, *args, iters=30, label=""):
     out = fn(*args)
-    jax.tree_util.tree_map(lambda x: float(jnp.sum(x[..., :1, :1])), out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf[..., :1]))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    # axon: sync via scalar pull, not block_until_ready
-    jax.tree_util.tree_map(lambda x: float(jnp.sum(x[..., :1, :1])), out)
-    return (time.perf_counter() - t0) / iters * 1e3
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf[..., :1]))
+    dt = (time.perf_counter() - t0) / iters * 1000
+    print(f"{label:28s} {dt:8.3f} ms")
+    return dt
 
 
 def main():
     rng = np.random.RandomState(0)
-    dtype = jnp.bfloat16
-    shapes = [(60, 80), (30, 40), (15, 20)]
-    feats = [jnp.asarray(rng.randn(h, w, 256).astype(np.float32), dtype)
-             for h, w in shapes]
-    boxes256 = jnp.asarray(
-        np.stack([rng.uniform(0, 500, 256), rng.uniform(0, 400, 256),
-                  rng.uniform(100, 640, 256), rng.uniform(80, 480, 256)],
-                 axis=1).astype(np.float32))
-    boxes100 = boxes256[:100]
+    print("device:", jax.devices()[0])
+    for dtype in (jnp.bfloat16, jnp.float32):
+        feats = [jnp.asarray(rng.randn(h, w, C).astype(np.float32),
+                             dtype=dtype) for h, w in SHAPES]
+        boxes = np.zeros((R, 4), np.float32)
+        boxes[:, 0] = rng.uniform(0, 560, R)
+        boxes[:, 1] = rng.uniform(0, 400, R)
+        boxes[:, 2] = boxes[:, 0] + rng.uniform(8, 300, R)
+        boxes[:, 3] = boxes[:, 1] + rng.uniform(8, 300, R)
+        boxes = jnp.asarray(boxes)
 
-    for impl in ("v1", "v2"):
-        from functools import partial
+        for impl in ("v2", "v3"):
+            fwd = jax.jit(partial(multilevel_roi_align, strides=STRIDES,
+                                  output_size=7, impl=impl))
+            bench(fwd, feats, boxes, label=f"{dtype.__name__} {impl} fwd")
 
-        @partial(jax.jit, static_argnames=("which",))
-        def pipeline(feats, b256, b100, which=impl):
-            outs = []
-            cur = b256
-            for s in range(3):  # cascade stages
-                outs.append(ra.multilevel_roi_align(
-                    feats, cur, strides=(8, 16, 32), output_size=7,
-                    impl=which))
-                # real cascade stages pool DIFFERENT (refined) boxes —
-                # identical inputs would let XLA CSE collapse the three
-                # pools into one and the bench would measure 1/3 the work
-                cur = cur + jnp.float32(1.5) * (s + 1)
-            outs.append(ra.multilevel_roi_align(
-                feats, b100, strides=(8, 16, 32), output_size=14,
-                impl=which))
-            return outs
-
-        ms = timeit(pipeline, feats, boxes256, boxes100)
-        print(f"roi_align[{impl}] pipeline (3x256x7 + 1x100x14): {ms:.3f} ms")
+            def loss(fs, b, impl=impl):
+                pooled = multilevel_roi_align(fs, b, STRIDES, 7, impl=impl)
+                return jnp.sum(pooled.astype(jnp.float32) ** 2)
+            gfn = jax.jit(jax.grad(loss))
+            bench(gfn, feats, boxes,
+                  label=f"{dtype.__name__} {impl} fwd+bwd")
 
 
 if __name__ == "__main__":
