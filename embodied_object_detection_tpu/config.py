@@ -130,9 +130,13 @@ class ROIHeadsConfig:
     pooler_resolution: int = 7                  # ref: yaml POOLER_RESOLUTION: 7
     mask_pooler_resolution: int = 14            # ref: yaml ROI_MASK_HEAD POOLER_RESOLUTION
     sampling_ratio: int = 2                     # ROIAlignV2 sampling points per bin axis
-    align_impl: str = "v2"                      # "v2": bf16 tap weights + strided pool
-                                                # (f32-identical; ~1.3 ms/frame faster on
-                                                # v5e); "v1": f32-weight formulation
+    align_impl: str = "v4"                      # "v4": gather-free separable hat-weight
+                                                # matmuls (MXU; r5 A/B on v5e: fwd -42%,
+                                                # fwd+bwd -66% vs v2; f32 agrees with v1
+                                                # to ~1 ulp — re-associated taps, not
+                                                # bitwise). "v2": bf16 tap-weight gather
+                                                # formulation (f32-identical to v1);
+                                                # "v1": f32-weight reference formulation
     canonical_box_size: int = 224               # detectron2 pooler defaults
     canonical_level: int = 4
     fc_dim: int = 1024                          # FastRCNNConvFCHead 2xFC

@@ -57,7 +57,10 @@ def _bilinear_flat(flat_table: jax.Array, x: jax.Array, y: jax.Array,
     feature dtype so the gather->weight->sum chain stays bf16 on TPU — no
     f32 convert + T(8,128)->T(2,128) relayout between gather and reduce
     (trace-guided: the f32 path cost ~2.4 ms/frame at 480x640 flagship
-    shapes). Bit-identical under f32 inputs (CPU tests / parity oracles).
+    shapes). Tap values/weights are bit-identical to v1 under f32 inputs;
+    the downstream v2 window POOLING re-associates the 4-sample mean
+    (strided adds x 1/s^2 vs reshape-mean), so end results agree to ~1 ulp,
+    not bitwise (tests/test_roi_align.py::test_impl_variants_agree).
 
     Note: a pair-slab variant (one lax.gather of slice_sizes=(2, C)
     fetching both x-taps) was measured 25x SLOWER on v5e — TPU gathers
@@ -131,6 +134,78 @@ def _bilinear_packed(flat4: jax.Array, x: jax.Array, y: jax.Array,
             rows[..., 3 * c:4 * c] * wgt(ly * lx))
 
 
+def _hat_rows(coords: jax.Array, size: int) -> jax.Array:
+    """Dense bilinear tap weights along one axis with the CUDA ROIAlign
+    clamp semantics (see _bilinear_flat): coords [..., P] -> [..., P, size]
+    rows holding (1-l) at floor and l at floor+1 (clamped), zeroed where
+    the coord falls outside [-1, size]. Exactly two nonzeros per row (one
+    at the border), so contracting these rows against a feature axis IS
+    the bilinear sample — as a matmul instead of a gather."""
+    sf = float(size)
+    valid = (coords >= -1.0) & (coords <= sf)
+    c = jnp.clip(coords, 0.0, sf - 1.0)
+    c0 = jnp.floor(c)
+    l = c - c0
+    c0i = c0.astype(jnp.int32)
+    c1i = jnp.minimum(c0i + 1, size - 1)
+    k = jnp.arange(size, dtype=jnp.int32)
+    okf = valid.astype(jnp.float32)
+    return ((k == c0i[..., None]) * ((1.0 - l) * okf)[..., None] +
+            (k == c1i[..., None]) * (l * okf)[..., None])
+
+
+def _roi_align_matmul(features: Sequence[jax.Array], boxes: jax.Array,
+                      strides: Tuple[int, ...], output_size: int,
+                      sampling_ratio: int, lvl_of_roi: jax.Array
+                      ) -> jax.Array:
+    """ROIAlignV2 as separable hat-weight matmuls (impl="v4") — NO gathers.
+
+    The 2-D bilinear sample lattice of a ROI is the outer product of its
+    per-axis sample coords, and the s x s window mean is separable too, so
+        pooled = (Ry7 @ level @ Rx7^T)
+    with Ry7 [out, H_l] = the s-window mean of the per-sample hat rows.
+    Every ROI is contracted against every level and the assigned level's
+    result selected — 3x the minimal FLOPs, but ~57 GFLOP/frame total at
+    flagship shapes vs the gather path's ~680k 512-B row gathers at
+    ~5.3 ns/row (trace r5: 3.6 ms/frame; matmuls of the same pooling are
+    MXU work instead). Same trick as ops/mask_paste.py (its einsum
+    replaced 123M scalar gathers). Math: identical taps/weights/clamps to
+    _bilinear_flat, re-associated ((1-ly)*(x-interp) vs 4 expanded taps),
+    so f32 results agree to ~1 ulp, not bitwise.
+    """
+    r = boxes.shape[0]
+    s = sampling_ratio
+    grid = (jnp.arange(output_size * s, dtype=jnp.float32) + 0.5) / s
+    out = None
+    for li, f in enumerate(features):
+        h, w, c = f.shape
+        stride = float(strides[li])
+        x1 = boxes[:, 0] / stride
+        y1 = boxes[:, 1] / stride
+        bin_w = (boxes[:, 2] / stride - x1) / output_size
+        bin_h = (boxes[:, 3] / stride - y1) / output_size
+        sx = x1[:, None] + grid[None, :] * bin_w[:, None] - 0.5   # [R, P]
+        sy = y1[:, None] + grid[None, :] * bin_h[:, None] - 0.5
+        rx = _hat_rows(sx, w)                                     # [R, P, W]
+        ry = _hat_rows(sy, h)                                     # [R, P, H]
+        # fold the s x s window mean into the weight rows (exact: the mean
+        # of bilinear samples is the sample of mean weights)
+        rx = rx.reshape(r, output_size, s, w).mean(2)             # [R, out, W]
+        ry = ry.reshape(r, output_size, s, h).mean(2)
+        dt = f.dtype
+        # x-contraction first keeps the transient at [R, H, out, C]
+        tmpx = jnp.einsum("rtw,hwc->rhtc", rx.astype(dt), f,
+                          preferred_element_type=jnp.float32)
+        pooled = jnp.einsum("rsh,rhtc->rstc", ry.astype(dt),
+                            tmpx.astype(dt),
+                            preferred_element_type=jnp.float32).astype(dt)
+        # levels are disjoint per ROI, so masked sum == select
+        sel = (lvl_of_roi == li)[:, None, None, None]
+        pooled = jnp.where(sel, pooled, 0.0)
+        out = pooled if out is None else out + pooled
+    return out
+
+
 def _neighbor_packed(features: Sequence[jax.Array]) -> Sequence[jax.Array]:
     """Pack each pixel's 2x2 bilinear neighborhood into one row:
     out[y, x] = concat(f[y, x], f[y, x+1], f[y+1, x], f[y+1, x+1]) with
@@ -164,11 +239,30 @@ def multilevel_roi_align(features: Sequence[jax.Array], boxes: jax.Array,
     strides:  per-level stride (e.g. (8, 16, 32))
     impl:     "v1" reference math in f32; "v2" bf16 tap weights + strided
               window pool; "v3" = v2 + neighbor-packed single-gather taps
-              (one [T, 4C] row per sample instead of four [T, C] rows)
+              (one [T, 4C] row per sample instead of four [T, C] rows);
+              "v4" = gather-free separable hat-weight matmuls (MXU)
     returns:  [R, output_size, output_size, C]
     """
     num_levels = len(features)
     c = features[0].shape[-1]
+
+    # levels are log2(stride): (8,16,32) -> (3,4,5). Level routing below
+    # indexes feature maps by (assigned_level - lvls[0]), which is only
+    # correct for a contiguous power-of-two pyramid — guard loudly rather
+    # than silently pooling a mid-size box from the wrong level.
+    lvls = [int(math.log2(s)) for s in strides]
+    if tuple(2 ** l for l in lvls) != tuple(strides) or \
+            lvls != list(range(lvls[0], lvls[0] + num_levels)):
+        raise ValueError(
+            f"multilevel_roi_align needs contiguous power-of-two strides "
+            f"(e.g. (8, 16, 32)); got {strides}")
+
+    if impl == "v4":
+        lvl4 = assign_levels(boxes, lvls[0], lvls[-1], canonical_box_size,
+                             canonical_level) - lvls[0]
+        return _roi_align_matmul(features, boxes, strides, output_size,
+                                 sampling_ratio, lvl4)
+
     hs = jnp.array([f.shape[0] for f in features], jnp.int32)
     ws = jnp.array([f.shape[1] for f in features], jnp.int32)
     sizes = [f.shape[0] * f.shape[1] for f in features]
@@ -182,17 +276,6 @@ def multilevel_roi_align(features: Sequence[jax.Array], boxes: jax.Array,
             axis=0)
     else:
         flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
-
-    # levels are log2(stride): (8,16,32) -> (3,4,5). Level routing below
-    # indexes feature maps by (assigned_level - lvls[0]), which is only
-    # correct for a contiguous power-of-two pyramid — guard loudly rather
-    # than silently pooling a mid-size box from the wrong level.
-    lvls = [int(math.log2(s)) for s in strides]
-    if tuple(2 ** l for l in lvls) != tuple(strides) or \
-            lvls != list(range(lvls[0], lvls[0] + num_levels)):
-        raise ValueError(
-            f"multilevel_roi_align needs contiguous power-of-two strides "
-            f"(e.g. (8, 16, 32)); got {strides}")
     lvl_of_roi = assign_levels(boxes, lvls[0], lvls[-1], canonical_box_size,
                                canonical_level) - lvls[0]        # [R] in [0, L)
 

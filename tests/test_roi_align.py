@@ -129,3 +129,48 @@ def test_multilevel_routing_uses_right_level():
     np.testing.assert_allclose(out[0], 3.0, atol=1e-5)
     np.testing.assert_allclose(out[1], 4.0, atol=1e-5)
     np.testing.assert_allclose(out[2], 5.0, atol=1e-5)
+
+
+def test_impl_variants_agree(rng=np.random.RandomState(3)):
+    """v2 (bf16-weight gather), v3 (neighbor-packed gather) and v4
+    (gather-free separable hat-weight matmuls, the default) must agree
+    with the v1 reference formulation under f32: v2/v3 bitwise, v4 to
+    float re-association (~1 ulp; it factors (1-ly)*x-interp instead of
+    expanding four taps). Covers 7x7 box pooling and 14x14 mask pooling,
+    boxes straddling borders/outside, and gradients."""
+    feats = [jnp.asarray(rng.randn(60, 80, 16).astype(np.float32)),
+             jnp.asarray(rng.randn(30, 40, 16).astype(np.float32)),
+             jnp.asarray(rng.randn(15, 20, 16).astype(np.float32))]
+    boxes = np.zeros((48, 4), np.float32)
+    boxes[:, 0] = rng.uniform(-30, 620, 48)
+    boxes[:, 1] = rng.uniform(-30, 460, 48)
+    boxes[:, 2] = boxes[:, 0] + rng.uniform(1, 400, 48)
+    boxes[:, 3] = boxes[:, 1] + rng.uniform(1, 400, 48)
+    boxes = jnp.asarray(boxes)
+
+    for out_size in (7, 14):
+        v1 = multilevel_roi_align(feats, boxes, (8, 16, 32), out_size,
+                                  impl="v1")
+        v2 = multilevel_roi_align(feats, boxes, (8, 16, 32), out_size,
+                                  impl="v2")
+        v3 = multilevel_roi_align(feats, boxes, (8, 16, 32), out_size,
+                                  impl="v3")
+        v4 = multilevel_roi_align(feats, boxes, (8, 16, 32), out_size,
+                                  impl="v4")
+        # v3's explicit four weighted adds replicate v2's tap order exactly
+        assert (np.asarray(v3) == np.asarray(v2)).all()
+        for impl, v in (("v2", v2), ("v3", v3), ("v4", v4)):
+            np.testing.assert_allclose(np.asarray(v), np.asarray(v1),
+                                       rtol=1e-5, atol=1e-5, err_msg=impl)
+
+    def loss(fs, impl):
+        return jnp.sum(multilevel_roi_align(
+            fs, boxes, (8, 16, 32), 7, impl=impl) ** 2)
+
+    import jax
+    g1 = jax.grad(lambda fs: loss(fs, "v1"))(feats)
+    for impl in ("v3", "v4"):
+        g = jax.grad(lambda fs: loss(fs, impl))(feats)
+        for a, b in zip(g1, g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4, err_msg=impl)

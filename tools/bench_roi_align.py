@@ -54,7 +54,7 @@ def main():
         boxes[:, 3] = boxes[:, 1] + rng.uniform(8, 300, R)
         boxes = jnp.asarray(boxes)
 
-        for impl in ("v2", "v3"):
+        for impl in ("v2", "v3", "v4"):
             fwd = jax.jit(partial(multilevel_roi_align, strides=STRIDES,
                                   output_size=7, impl=impl))
             bench(fwd, feats, boxes, label=f"{dtype.__name__} {impl} fwd")

@@ -75,6 +75,9 @@ def main():
                     help="rematerialize trunk+FPN (byte diet experiment)")
     ap.add_argument("--remat-stages", action="store_true",
                     help="rematerialize each cascade stage")
+    ap.add_argument("--align-impl", default=None,
+                    help="override roi.align_impl (v1/v2/v3/v4) for the "
+                         "gather-vs-matmul ROIAlign A/B")
     ap.add_argument("--variants", action="store_true",
                     help="SMOKE-TEST ONLY: time all four remat combos in "
                          "one process. In-process coexistence inflates the "
@@ -91,8 +94,10 @@ def main():
         cfg = DetectorConfig()
         cfg = cfg.replace(backbone=dataclasses.replace(
             cfg.backbone, train_remat=remat_backbone))
-        return cfg.replace(roi=dataclasses.replace(
-            cfg.roi, train_stage_remat=remat_stages))
+        roi = dataclasses.replace(cfg.roi, train_stage_remat=remat_stages)
+        if args.align_impl:
+            roi = dataclasses.replace(roi, align_impl=args.align_impl)
+        return cfg.replace(roi=roi)
 
     combos = ([(False, False), (True, False), (False, True), (True, True)]
               if args.variants
