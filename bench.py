@@ -185,36 +185,41 @@ def main():
         "baseline_note": "reference publishes no numbers; 10 fps documented estimate (see bench.py docstring)",
     }
 
-    # parity-exact write path (exact_write_subsample=True, the preset the
-    # four golden parity configs pin — config.py parity_config) so the
-    # fast-path headline cannot be read as the parity number
-    # (VERDICT r3 weak #5). Best-effort: compile failures must not lose
-    # the headline.
+    # Since round 5 the DEFAULT write path is the parity-exact one (the
+    # per-row compacted ::8-of-compacted-observed selection the four golden
+    # parity configs need — it also measures FASTER than the legacy strided
+    # approximation, so divergence #1 is retired and the headline IS the
+    # parity number). parity_exact_fps is kept as an explicit alias so
+    # downstream comparisons with BENCH_r04 stay type-stable, and the
+    # legacy strided path is measured as the A/B detail. Best-effort:
+    # compile failures must not lose the headline.
+    assert cfg.memory.exact_write_subsample, \
+        "headline config must be the parity-exact write path"
+    detail["parity_exact_fps"] = round(fps, 3)
+    detail["parity_exact_ms_per_frame"] = round(1000 * per_frame_s, 3)
+    detail["parity_note"] = ("default == parity-exact write since r5; "
+                             "legacy_strided_fps is the retired fast path")
     try:
         import dataclasses as _dc
-        cfg_par = cfg.replace(memory=_dc.replace(
-            cfg.memory, exact_write_subsample=True))
-        model_par = type(model)(cfg_par)
-        run_par = jax.jit(make_episode_runner(model_par, cfg_par)).lower(
+        cfg_leg = cfg.replace(memory=_dc.replace(
+            cfg.memory, exact_write_subsample=False))
+        model_leg = type(model)(cfg_leg)
+        run_leg = jax.jit(make_episode_runner(model_leg, cfg_leg)).lower(
             params, frames, zs, init).compile()
-        out = run_par(params, frames, zs, init)
+        out = run_leg(params, frames, zs, init)
         sync(out)
-        # identical protocol to the headline (5 chained chunks, one sync)
-        # so parity_exact_fps and the headline differ ONLY by the write
-        # path, not by dispatch amortization
+        # identical protocol to the headline (chained chunks, one sync)
         mem = init
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = run_par(params, frames, zs, mem)
+            out = run_leg(params, frames, zs, mem)
             mem = out.memory
         sync(out)
-        par_s = (time.perf_counter() - t0) / iters
-        detail["parity_exact_fps"] = round(t / par_s, 3)
-        detail["parity_exact_ms_per_frame"] = round(1000 * par_s / t, 3)
+        leg_s = (time.perf_counter() - t0) / iters
+        detail["legacy_strided_fps"] = round(t / leg_s, 3)
     except Exception as e:                                   # pragma: no cover
-        # keep the numeric field type-stable for downstream comparisons
-        detail["parity_exact_fps"] = None
-        detail["parity_exact_error"] = repr(e)[:200]
+        detail["legacy_strided_fps"] = None
+        detail["legacy_strided_error"] = repr(e)[:200]
     if eval_flops > 0:
         fpf = eval_flops / t                     # flops per frame
         bpf = eval_bytes / t                     # HBM bytes per frame

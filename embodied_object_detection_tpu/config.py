@@ -212,11 +212,14 @@ class MemoryConfig:
     write_topk: int = 100
     mask_thresh: float = 0.5
     pixel_subsample: int = 8                    # proj = proj[::8] (custom_rcnn.py:913)
-    # True reproduces the reference's every-8th-of-*compacted*-observed-pixels
-    # selection bit-for-bit (full-res mask pasting + cumsum ranking). False
-    # (default) selects observed pixels on a static stride-8 column grid —
-    # statistically identical means, ~2x faster write path.
-    exact_write_subsample: bool = False
+    # True (default) reproduces the reference's every-8th-of-*compacted*-
+    # observed-pixels selection bit-for-bit; since round 5's per-row
+    # compare-reduce compaction it is also the FASTEST path (2.43 ms vs the
+    # strided approximation's 2.64 at flagship shapes — ARCHITECTURE.md
+    # write-path study). False selects observed pixels on a static stride-8
+    # column grid instead (statistically identical means; the legacy
+    # round-1..4 fast path, kept selectable for A/B).
+    exact_write_subsample: bool = True
     save_semmap: bool = False                   # MODEL.TEST_SAVE_SEMMAP
     # class-id space of memory_data semmap_gt for the map_gt baseline:
     # 'smnet' = reference-built 13-class SMNet ids (rows remapped through
@@ -442,9 +445,10 @@ def parity_config(name: str) -> DetectorConfig:
             exact_write_subsample=True))
     if name == "implicit_object_memory":
         # parity runs pin the reference-exact write subsample
-        # (custom_rcnn.py:913-914 compacted ::8); the fast static-stride
-        # path is the default for the throughput headline (ARCHITECTURE.md
-        # divergence #1)
+        # (custom_rcnn.py:913-914 compacted ::8) — since r5 it is also the
+        # default AND the fastest path (per-row compacted compaction,
+        # ARCHITECTURE.md write-path study); pinned here explicitly so the
+        # parity presets stay self-describing
         return base.replace(memory=dataclasses.replace(
             base.memory, memory_type="implicit_memory", feat_fusion="sum",
             map_feature_weight=5.0, exact_write_subsample=True))

@@ -271,12 +271,17 @@ class EmbodiedDetector(nn.Module):
 
         s = cfg.memory.pixel_subsample
         if cfg.memory.exact_write_subsample:
+            # pixel-major paste + per-row compacted exact write (bit-exact
+            # reference ::8-of-compacted-observed selection; r5 A/B measured
+            # this FASTER than the legacy strided approximation — see
+            # ops/memory_ops.py and the ARCHITECTURE.md write-path study)
             masks = paste_masks(mask_probs, wboxes, h, w,
-                                cfg.memory.mask_thresh)
+                                cfg.memory.mask_thresh, pixel_major=True)
             write = memory_write(wfeats, masks, wvalid, proj_indices,
                                  num_cells=cfg.memory.max_cells,
                                  subsample=s, exact_subsample=True,
-                                 obs_visibility=obs_visibility)
+                                 obs_visibility=obs_visibility,
+                                 pixel_major=True)
         else:
             # fast path: paste + scatter on the static stride-s column grid
             # (row-major flat stride s == column stride s when W % s == 0)

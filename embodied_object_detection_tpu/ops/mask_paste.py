@@ -33,16 +33,20 @@ def _hat_weights(src: jax.Array, m: int) -> jax.Array:
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[..., None] - taps))
 
 
-@partial(jax.jit, static_argnames=("height", "width", "threshold", "x_stride"))
+@partial(jax.jit, static_argnames=("height", "width", "threshold", "x_stride",
+                                   "pixel_major"))
 def paste_masks(masks: jax.Array, boxes: jax.Array, height: int, width: int,
-                threshold: float = 0.5, x_stride: int = 1) -> jax.Array:
+                threshold: float = 0.5, x_stride: int = 1,
+                pixel_major: bool = False) -> jax.Array:
     """masks [N, M, M] (probabilities), boxes [N, 4] xyxy -> [N, H, W//x_stride].
 
     threshold >= 0 returns booleans (mask >= threshold); threshold < 0
     returns the float mask values. x_stride > 1 evaluates only every
-    x_stride-th column (the memory write's 1/8 pixel subsample on a static
-    grid — pasting at full resolution just to discard 7/8 of the columns is
-    wasted bandwidth).
+    x_stride-th column (the legacy strided memory-write subsample).
+    pixel_major=True emits [H, W//x_stride, N] instead — the layout the
+    exact memory write's per-pixel compaction wants, produced free by
+    flipping the einsum output order (no [N, P] -> [P, N] relayout
+    downstream).
     """
     n, m, _ = masks.shape
     xs = jnp.arange(0, width, x_stride, dtype=jnp.float32) + 0.5  # pixel centers
@@ -66,7 +70,8 @@ def paste_masks(masks: jax.Array, boxes: jax.Array, height: int, width: int,
     tmp = jnp.einsum("nha,nab->nhb", ry, masks.astype(jnp.float32),
                      precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
-    out = jnp.einsum("nhb,nwb->nhw", tmp, rx,
+    out = jnp.einsum("nhb,nwb->hwn" if pixel_major else "nhb,nwb->nhw",
+                     tmp, rx,
                      precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
     if threshold >= 0:

@@ -92,19 +92,23 @@ class MemoryWriteResult(NamedTuple):
     any_detection: jax.Array     # scalar bool — reference skips update when no dets
 
 
-@partial(jax.jit, static_argnames=("num_cells", "subsample", "exact_subsample"))
+@partial(jax.jit, static_argnames=("num_cells", "subsample", "exact_subsample",
+                                   "pixel_major"))
 def memory_write(det_features: jax.Array, det_masks: jax.Array,
                  det_valid: jax.Array, proj_indices: jax.Array,
                  num_cells: int,
                  subsample: int = 8, exact_subsample: bool = True,
                  obs_proj_indices: "jax.Array | None" = None,
-                 obs_visibility: "jax.Array | None" = None
+                 obs_visibility: "jax.Array | None" = None,
+                 pixel_major: bool = False
                  ) -> MemoryWriteResult:
     """Scatter detection features into map cells.
 
     det_features: [N, D]   CLIP-space features (already 50 * l2-normalized,
                            ref: custom_rcnn.py:848)
-    det_masks:    [N, H, W] bool pasted instance masks
+    det_masks:    [N, H, W] bool pasted instance masks ([H, W, N] with
+                  pixel_major=True — the layout paste_masks(pixel_major=True)
+                  emits; saves the [N, P] -> [P, N] relayout on the exact path)
     det_valid:    [N] bool
     proj_indices: [H, W] int32 flattened cell ids. Outlier pixels (projection
                   outside the map / above z-clip) carry index 0 — faithful to
@@ -118,40 +122,77 @@ def memory_write(det_features: jax.Array, det_masks: jax.Array,
       * only every `subsample`-th *observed* pixel (row-major order over the
         compacted observed set) feeds the scatter (custom_rcnn.py:913-914);
         with exact_subsample=False a static every-`subsample`-th-pixel grid is
-        used instead (statistically identical, cheaper)
+        used instead (statistically identical; the legacy round-1..4 fast
+        path, kept selectable)
       * cell value = mean over contributing pixels, fp32 accumulation
         (custom_rcnn.py:917-934)
       * obs_update = 1 for every unique cell id in proj_indices
         (custom_rcnn.py:699-701); when the feature scatter runs on a
         subsampled grid, pass the full-resolution indices as
         `obs_proj_indices` to keep the visibility update exact
+
+    The exact path compacts the selected pixels with a PER-ROW dense
+    compare-reduce (no full-P gather/scatter/searchsorted — those were all
+    measured latency-bound, ARCHITECTURE.md write-path study): the position
+    of the (t+1)-th observed pixel in a row equals the COUNT of columns
+    whose inclusive observed-cumsum is <= t, so all selected positions come
+    from one [H, W, ceil(W/s)] broadcast-compare-sum (pure VPU work), after
+    which only the [H*ceil(W/s), N] selected mask rows are gathered and fed
+    to the same small segment-sum the strided path uses. Bit-exact vs the
+    full-P formulation (r5 A/B: 2.43 ms vs 6.37 at flagship shapes — faster
+    than the strided approximation itself).
     """
-    n, h, w = det_masks.shape
+    if pixel_major:
+        h, w, n = det_masks.shape
+    else:
+        n, h, w = det_masks.shape
     d = det_features.shape[-1]
     p = h * w
     idx = proj_indices.reshape(p)
-    masks = (det_masks & det_valid[:, None, None]).reshape(n, p)
-    masks_f = masks.astype(jnp.float32)
-
-    # per-pixel mask count and observed set
-    c = jnp.sum(masks_f, axis=0)                       # [P]
-    observed = c > 0
 
     if exact_subsample:
-        # every subsample-th pixel of the *compacted* observed list ==
-        # observed & (cumulative observed rank % subsample == 0)
-        rank = jnp.cumsum(observed.astype(jnp.int32)) - 1
-        sel = observed & (rank % subsample == 0)
+        masks_pm = det_masks if pixel_major else jnp.moveaxis(det_masks, 0, -1)
+        masks_pm = masks_pm & det_valid[None, None, :]          # [H, W, N]
+        s = subsample
+        j_cap = -(-w // s)                                      # slots per row
+        observed = jnp.any(masks_pm, axis=-1)                   # [H, W]
+        incl = jnp.cumsum(observed.astype(jnp.int32), axis=1)   # [H, W]
+        row_count = incl[:, -1]                                 # [H]
+        row_start = jnp.cumsum(row_count) - row_count           # exclusive
+        t0 = (-row_start) % s                 # first selected local rank
+        targets = (t0[:, None] +
+                   s * jnp.arange(j_cap, dtype=jnp.int32)[None, :])
+        slot_valid = (targets < row_count[:, None]).reshape(-1)  # [H*J]
+        # pos[r, j] = #{x : incl[r, x] <= t} = column of the (t+1)-th
+        # observed pixel in row r (W for t >= row_count; clamped, invalid)
+        pos = jnp.sum((incl[:, :, None] <=
+                       targets[:, None, :]).astype(jnp.int32), axis=1)
+        fp = (jnp.arange(h, dtype=jnp.int32)[:, None] * w +
+              jnp.minimum(pos, w - 1)).reshape(-1)              # [H*J]
+        m_sel = masks_pm.reshape(p, n)[fp].astype(jnp.float32)  # [S, N]
+        c_sel = jnp.sum(m_sel, axis=1)
+        seg_idx = jnp.where(slot_valid, idx[fp], 0)
+        sel_f = slot_valid.astype(jnp.float32)
+        pix_w = jnp.where(slot_valid[:, None],
+                          m_sel / jnp.maximum(c_sel, 1.0)[:, None], 0.0)
     else:
+        masks = det_masks if not pixel_major else jnp.moveaxis(det_masks, -1, 0)
+        masks = (masks & det_valid[:, None, None]).reshape(n, p)
+        masks_f = masks.astype(jnp.float32)
+        c = jnp.sum(masks_f, axis=0)                            # [P]
+        observed = c > 0
         stride_mask = (jnp.arange(p, dtype=jnp.int32) % subsample) == 0
         sel = observed & stride_mask
+        sel_f = sel.astype(jnp.float32)
+        seg_idx = idx
+        # weights w[p, i] = sel[p] * m_i[p] / c[p]; cell weight A[cell, i] =
+        # segment-sum over pixels. The P x N intermediate is the only large
+        # transient; the D-wide contraction below runs on the MXU.
+        pix_w = jnp.where(sel[:, None],
+                          masks_f.T / jnp.maximum(c, 1.0)[:, None], 0.0)
 
-    # weights w[p, i] = sel[p] * m_i[p] / c[p]; cell weight A[cell, i] =
-    # segment-sum over pixels. The P x N intermediate is the only large
-    # transient; the D-wide contraction below runs on the MXU.
-    pix_w = jnp.where(sel[:, None], masks_f.T / jnp.maximum(c, 1.0)[:, None], 0.0)
-    a = jax.ops.segment_sum(pix_w, idx, num_segments=num_cells)   # [cells, N]
-    cell_count = jax.ops.segment_sum(sel.astype(jnp.float32), idx,
+    a = jax.ops.segment_sum(pix_w, seg_idx, num_segments=num_cells)  # [cells, N]
+    cell_count = jax.ops.segment_sum(sel_f, seg_idx,
                                      num_segments=num_cells)      # [cells]
 
     # full-f32 MXU accumulation — the reference explicitly disables fp16

@@ -82,6 +82,34 @@ def test_memory_write_matches_oracle(rng):
     assert bool(res.any_detection)
 
 
+def test_memory_write_pixel_major_layout_bitexact(rng):
+    """pixel_major=True ([H, W, N] masks, the layout paste_masks emits for
+    the exact path) must be bit-identical to the [N, H, W] layout, and the
+    exact per-row-compacted path must stay bit-exact vs the oracle across
+    awkward shapes (W not divisible by subsample, sparse masks, an invalid
+    detection)."""
+    for n, h, w, d, cells, s in ((5, 16, 24, 6, 32, 8), (4, 11, 29, 5, 24, 8),
+                                 (6, 33, 41, 8, 64, 3)):
+        feats = rng.randn(n, d).astype(np.float32)
+        masks = rng.rand(n, h, w) > 0.8
+        idx = rng.randint(0, cells, (h, w)).astype(np.int32)
+        valid = np.ones(n, bool)
+        valid[-1] = False
+        res_nm = memory_write(jnp.asarray(feats), jnp.asarray(masks),
+                              jnp.asarray(valid), jnp.asarray(idx), cells,
+                              subsample=s)
+        res_pm = memory_write(jnp.asarray(feats),
+                              jnp.asarray(np.moveaxis(masks, 0, -1)),
+                              jnp.asarray(valid), jnp.asarray(idx), cells,
+                              subsample=s, pixel_major=True)
+        assert (np.asarray(res_nm.features_update) ==
+                np.asarray(res_pm.features_update)).all()
+        want_upd, _ = np_memory_write_oracle(feats, masks & valid[:, None, None],
+                                             idx, cells, subsample=s)
+        np.testing.assert_allclose(np.asarray(res_pm.features_update),
+                                   want_upd, rtol=1e-4, atol=1e-5)
+
+
 def test_memory_write_no_detections_is_noop():
     n, h, w, d, cells = 3, 8, 8, 4, 16
     res = memory_write(jnp.zeros((n, d)), jnp.zeros((n, h, w), bool),

@@ -202,6 +202,51 @@ def write_exact_v4(det_features, masks_pm_bool, det_valid, proj_indices,
     return features_update, obs_visibility
 
 
+@partial(jax.jit, static_argnames=("num_cells", "subsample"))
+def write_exact_v5(det_features, masks_pm_bool, det_valid, proj_indices,
+                   num_cells, subsample=8, obs_visibility=None):
+    """Exact compaction via PER-ROW dense compare-reduce — no full-P
+    gather/scatter/searchsorted at all. Key identity: the position of the
+    (t+1)-th observed pixel in a row equals the COUNT of columns whose
+    inclusive observed-cumsum is <= t, so every selected position is a
+    [H, W, J] broadcast-compare-sum (pure VPU work), with the per-row
+    selected local ranks derived from the rows' exclusive global rank
+    offsets. Then gather just the [H*J, N] selected mask rows and feed the
+    fast path's small segment-sum."""
+    h, w, n = masks_pm_bool.shape
+    s = subsample
+    j_cap = -(-w // s)                                  # slots per row
+    masks = masks_pm_bool & det_valid[None, None, :]
+    observed = jnp.any(masks, axis=-1)                  # [H, W]
+    incl = jnp.cumsum(observed.astype(jnp.int32), axis=1)   # [H, W]
+    row_count = incl[:, -1]                             # [H]
+    row_start = jnp.cumsum(row_count) - row_count       # exclusive [H]
+    t0 = (-row_start) % s                               # first selected local rank
+    targets = t0[:, None] + s * jnp.arange(j_cap, dtype=jnp.int32)[None, :]
+    slot_valid = targets < row_count[:, None]           # [H, J]
+    # pos[r, j] = #{x : incl[r, x] <= t} = column of the (t+1)-th observed
+    pos = jnp.sum((incl[:, :, None] <= targets[:, None, :]).astype(jnp.int32),
+                  axis=1)                               # [H, J]
+    fp = (jnp.arange(h, dtype=jnp.int32)[:, None] * w +
+          jnp.minimum(pos, w - 1)).reshape(-1)          # [H*J]
+    slot_valid = slot_valid.reshape(-1)
+    m_sel = masks.reshape(h * w, n)[fp].astype(jnp.float32)  # [S, N]
+    c_sel = jnp.sum(m_sel, axis=1)
+    seg_idx = jnp.where(slot_valid, proj_indices.reshape(-1)[fp], 0)
+    sel_f = slot_valid.astype(jnp.float32)
+    pix_w = jnp.where(slot_valid[:, None],
+                      m_sel / jnp.maximum(c_sel, 1.0)[:, None], 0.0)
+    a = jax.ops.segment_sum(pix_w, seg_idx, num_segments=num_cells)
+    cell_count = jax.ops.segment_sum(sel_f, seg_idx, num_segments=num_cells)
+    cell_sum = jnp.dot(a, det_features.astype(jnp.float32),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    features_update = jnp.where(cell_count[:, None] > 0,
+                                cell_sum / jnp.maximum(cell_count, 1.0)[:, None],
+                                0.0)
+    return features_update, obs_visibility
+
+
 def main():
     rng = np.random.RandomState(0)
     print("device:", jax.devices()[0])
@@ -261,18 +306,23 @@ def main():
     t_wv4 = bench(partial(write_exact_v4, num_cells=CELLS, subsample=S,
                           obs_visibility=vis),
                   feats, masks_pmb, valid, proj, label="write_exact_v4")
+    t_wv5 = bench(partial(write_exact_v5, num_cells=CELLS, subsample=S,
+                          obs_visibility=vis),
+                  feats, masks_pmb, valid, proj, label="write_exact_v5")
     # correctness cross-check vs old formulation
     ref, _ = write_exact_old(feats, jnp.moveaxis(masks_pmb, -1, 0), valid,
                              proj, num_cells=CELLS, subsample=S,
                              obs_visibility=vis)
-    v4, _ = write_exact_v4(feats, masks_pmb, valid, proj, num_cells=CELLS,
-                           subsample=S, obs_visibility=vis)
-    err = float(jnp.abs(ref - v4).max())
-    print(f"v4 vs old max abs diff: {err:.3e}")
+    for name, fn in (("v4", write_exact_v4), ("v5", write_exact_v5)):
+        got, _ = fn(feats, masks_pmb, valid, proj, num_cells=CELLS,
+                    subsample=S, obs_visibility=vis)
+        err = float(jnp.abs(ref - got).max())
+        print(f"{name} vs old max abs diff: {err:.3e}")
 
     print(f"\nchains: fast {t_ps + t_wfast:.3f}  old {t_pf + t_wold:.3f}  "
           f"new {t_pf + t_wnew:.3f}  old_pm {t_ppm + t_wpm_old:.3f}  "
-          f"v3_pm {t_ppm + t_wpm_v3:.3f}  v4_pm_bool {t_ppmb + t_wv4:.3f} ms")
+          f"v3_pm {t_ppm + t_wpm_v3:.3f}  v4_pm_bool {t_ppmb + t_wv4:.3f}  "
+          f"v5_pm_bool {t_ppmb + t_wv5:.3f} ms")
 
 
 if __name__ == "__main__":
