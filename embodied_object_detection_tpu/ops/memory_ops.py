@@ -132,16 +132,23 @@ def memory_write(det_features: jax.Array, det_masks: jax.Array,
         `obs_proj_indices` to keep the visibility update exact
 
     The exact path compacts the selected pixels with a PER-ROW dense
-    compare-reduce (no full-P gather/scatter/searchsorted — those were all
-    measured latency-bound, ARCHITECTURE.md write-path study): the position
-    of the (t+1)-th observed pixel in a row equals the COUNT of columns
-    whose inclusive observed-cumsum is <= t, so all selected positions come
-    from one [H, W, ceil(W/s)] broadcast-compare-sum (pure VPU work), after
-    which only the [H*ceil(W/s), N] selected mask rows are gathered and fed
-    to the same small segment-sum the strided path uses. Bit-exact vs the
-    full-P formulation (r5 A/B: 2.43 ms vs 6.37 at flagship shapes — faster
-    than the strided approximation itself).
+    one-hot built straight from the observed cumsum (no full-P
+    gather/scatter/searchsorted — those were all measured latency-bound,
+    ARCHITECTURE.md write-path study): the (t+1)-th observed pixel of a row
+    is the unique column with observed & incl == t+1, so the [H, J, W]
+    selection one-hot is one broadcast compare, the selected mask rows /
+    cell ids are batched matmuls against it (MXU work instead of 38k
+    latency-bound gather rows), and the result feeds the same small
+    [H*ceil(W/s), N] segment-sum the strided path uses — with the pixel
+    count folded in as lane N of the SAME scatter (the scatter is
+    latency-bound per row; two scatters cost double). Bit-exact vs the
+    full-P formulation (r5 A/B at flagship shapes: 2.20 ms vs 6.28 full-P,
+    vs the strided approximation's 2.41).
     """
+    if num_cells >= (1 << 24):
+        raise ValueError(
+            f"memory_write exact path contracts cell ids in f32 "
+            f"(exact below 2^24); num_cells={num_cells} is out of range")
     if pixel_major:
         h, w, n = det_masks.shape
     else:
@@ -163,15 +170,26 @@ def memory_write(det_features: jax.Array, det_masks: jax.Array,
         targets = (t0[:, None] +
                    s * jnp.arange(j_cap, dtype=jnp.int32)[None, :])
         slot_valid = (targets < row_count[:, None]).reshape(-1)  # [H*J]
-        # pos[r, j] = #{x : incl[r, x] <= t} = column of the (t+1)-th
-        # observed pixel in row r (W for t >= row_count; clamped, invalid)
-        pos = jnp.sum((incl[:, :, None] <=
-                       targets[:, None, :]).astype(jnp.int32), axis=1)
-        fp = (jnp.arange(h, dtype=jnp.int32)[:, None] * w +
-              jnp.minimum(pos, w - 1)).reshape(-1)              # [H*J]
-        m_sel = masks_pm.reshape(p, n)[fp].astype(jnp.float32)  # [S, N]
+        # the (t+1)-th observed pixel of row r is the UNIQUE column with
+        # observed & incl == t+1, so the selection one-hot comes straight
+        # from the cumsum, and the selected mask rows / cell ids are
+        # per-row MATMULS against it instead of gathers (r5 A/B: gathers
+        # 2.64 ms, one-hot matmuls 2.20 at flagship shapes — the 38k-row
+        # and 38k-element gathers were both latency-bound). Every sum has
+        # at most one nonzero term, so bf16 products stay exact 0/1 and
+        # the f32 idx contraction is exact for cell ids < 2^24.
+        onehot = ((incl[:, None, :] == (targets + 1)[:, :, None]) &
+                  observed[:, None, :])                         # [H, J, W]
+        m_sel = jnp.einsum("hjw,hwn->hjn", onehot.astype(jnp.bfloat16),
+                           masks_pm.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32
+                           ).reshape(h * j_cap, n)              # exact 0/1
         c_sel = jnp.sum(m_sel, axis=1)
-        seg_idx = jnp.where(slot_valid, idx[fp], 0)
+        seg_idx = jnp.einsum("hjw,hw->hj", onehot.astype(jnp.float32),
+                             proj_indices.astype(jnp.float32),
+                             preferred_element_type=jnp.float32
+                             ).reshape(-1).astype(jnp.int32)
+        seg_idx = jnp.where(slot_valid, seg_idx, 0)
         sel_f = slot_valid.astype(jnp.float32)
         pix_w = jnp.where(slot_valid[:, None],
                           m_sel / jnp.maximum(c_sel, 1.0)[:, None], 0.0)
@@ -191,9 +209,14 @@ def memory_write(det_features: jax.Array, det_masks: jax.Array,
         pix_w = jnp.where(sel[:, None],
                           masks_f.T / jnp.maximum(c, 1.0)[:, None], 0.0)
 
-    a = jax.ops.segment_sum(pix_w, seg_idx, num_segments=num_cells)  # [cells, N]
-    cell_count = jax.ops.segment_sum(sel_f, seg_idx,
-                                     num_segments=num_cells)      # [cells]
+    # ONE scatter for both the per-detection weights and the pixel count:
+    # the count rides as lane N of the same row (N=100 pads to 128 lanes
+    # anyway, so the extra column is free — and the segment-sum scatter is
+    # latency-bound per ROW, so folding halves its cost; r5 trace: the two
+    # separate scatters cost 0.40 + 0.35 ms/frame)
+    aug = jnp.concatenate([pix_w, sel_f[:, None]], axis=1)        # [S, N+1]
+    acc = jax.ops.segment_sum(aug, seg_idx, num_segments=num_cells)
+    a, cell_count = acc[:, :-1], acc[:, -1]                       # [cells, N], [cells]
 
     # full-f32 MXU accumulation — the reference explicitly disables fp16
     # autocast for this contraction because it overflows (custom_rcnn.py:929-931)

@@ -236,8 +236,57 @@ def write_exact_v5(det_features, masks_pm_bool, det_valid, proj_indices,
     sel_f = slot_valid.astype(jnp.float32)
     pix_w = jnp.where(slot_valid[:, None],
                       m_sel / jnp.maximum(c_sel, 1.0)[:, None], 0.0)
-    a = jax.ops.segment_sum(pix_w, seg_idx, num_segments=num_cells)
-    cell_count = jax.ops.segment_sum(sel_f, seg_idx, num_segments=num_cells)
+    # folded single scatter (count rides lane N) — matches the in-repo
+    # memory_write so v5 vs v6 differ only by gathers-vs-matmuls
+    aug = jnp.concatenate([pix_w, sel_f[:, None]], axis=1)
+    acc = jax.ops.segment_sum(aug, seg_idx, num_segments=num_cells)
+    a, cell_count = acc[:, :-1], acc[:, -1]
+    cell_sum = jnp.dot(a, det_features.astype(jnp.float32),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    features_update = jnp.where(cell_count[:, None] > 0,
+                                cell_sum / jnp.maximum(cell_count, 1.0)[:, None],
+                                0.0)
+    return features_update, obs_visibility
+
+
+@partial(jax.jit, static_argnames=("num_cells", "subsample"))
+def write_exact_v6(det_features, masks_pm_bool, det_valid, proj_indices,
+                   num_cells, subsample=8, obs_visibility=None):
+    """v5 with the two selected-pixel GATHERS replaced by one-hot MXU
+    matmuls: the (t+1)-th observed pixel of a row is the unique column with
+    observed & incl == t+1, so the selection one-hot comes straight from
+    the cumsum (no pos array), and m_sel / seg_idx are batched per-row
+    matmuls against it. Sums have at most one nonzero term -> exact."""
+    h, w, n = masks_pm_bool.shape
+    s = subsample
+    j_cap = -(-w // s)
+    masks = masks_pm_bool & det_valid[None, None, :]
+    observed = jnp.any(masks, axis=-1)                  # [H, W]
+    incl = jnp.cumsum(observed.astype(jnp.int32), axis=1)
+    row_count = incl[:, -1]
+    row_start = jnp.cumsum(row_count) - row_count
+    t0 = (-row_start) % s
+    targets = t0[:, None] + s * jnp.arange(j_cap, dtype=jnp.int32)[None, :]
+    slot_valid = (targets < row_count[:, None]).reshape(-1)
+    onehot = ((incl[:, None, :] == (targets + 1)[:, :, None]) &
+              observed[:, None, :])                     # [H, J, W]
+    oh_b = onehot.astype(jnp.bfloat16)
+    m_sel = jnp.einsum("hjw,hwn->hjn", oh_b, masks.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32
+                       ).reshape(h * j_cap, n)          # exact 0/1
+    c_sel = jnp.sum(m_sel, axis=1)
+    seg_idx = jnp.einsum("hjw,hw->hj", onehot.astype(jnp.float32),
+                         proj_indices.astype(jnp.float32),
+                         preferred_element_type=jnp.float32
+                         ).reshape(-1).astype(jnp.int32)
+    seg_idx = jnp.where(slot_valid, seg_idx, 0)
+    sel_f = slot_valid.astype(jnp.float32)
+    pix_w = jnp.where(slot_valid[:, None],
+                      m_sel / jnp.maximum(c_sel, 1.0)[:, None], 0.0)
+    aug = jnp.concatenate([pix_w, sel_f[:, None]], axis=1)
+    acc = jax.ops.segment_sum(aug, seg_idx, num_segments=num_cells)
+    a, cell_count = acc[:, :-1], acc[:, -1]
     cell_sum = jnp.dot(a, det_features.astype(jnp.float32),
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
@@ -309,11 +358,15 @@ def main():
     t_wv5 = bench(partial(write_exact_v5, num_cells=CELLS, subsample=S,
                           obs_visibility=vis),
                   feats, masks_pmb, valid, proj, label="write_exact_v5")
+    t_wv6 = bench(partial(write_exact_v6, num_cells=CELLS, subsample=S,
+                          obs_visibility=vis),
+                  feats, masks_pmb, valid, proj, label="write_exact_v6")
     # correctness cross-check vs old formulation
     ref, _ = write_exact_old(feats, jnp.moveaxis(masks_pmb, -1, 0), valid,
                              proj, num_cells=CELLS, subsample=S,
                              obs_visibility=vis)
-    for name, fn in (("v4", write_exact_v4), ("v5", write_exact_v5)):
+    for name, fn in (("v4", write_exact_v4), ("v5", write_exact_v5),
+                     ("v6", write_exact_v6)):
         got, _ = fn(feats, masks_pmb, valid, proj, num_cells=CELLS,
                     subsample=S, obs_visibility=vis)
         err = float(jnp.abs(ref - got).max())
@@ -322,7 +375,7 @@ def main():
     print(f"\nchains: fast {t_ps + t_wfast:.3f}  old {t_pf + t_wold:.3f}  "
           f"new {t_pf + t_wnew:.3f}  old_pm {t_ppm + t_wpm_old:.3f}  "
           f"v3_pm {t_ppm + t_wpm_v3:.3f}  v4_pm_bool {t_ppmb + t_wv4:.3f}  "
-          f"v5_pm_bool {t_ppmb + t_wv5:.3f} ms")
+          f"v5_pm_bool {t_ppmb + t_wv5:.3f}  v6_pm_bool {t_ppmb + t_wv6:.3f} ms")
 
 
 if __name__ == "__main__":
