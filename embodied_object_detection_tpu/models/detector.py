@@ -301,7 +301,8 @@ class EmbodiedDetector(nn.Module):
                     proj_indices: jax.Array, gt,
                     sample_rng: "jax.Array | None" = None,
                     defer_centernet_norm: bool = False,
-                    fed_freq_weight: "jax.Array | None" = None) -> dict:
+                    fed_freq_weight: "jax.Array | None" = None,
+                    ego: "jax.Array | None" = None) -> dict:
         """Per-frame training losses.
 
         ref: CustomRCNNRecurrent training branch (custom_rcnn.py:444-464 +
@@ -329,9 +330,14 @@ class EmbodiedDetector(nn.Module):
         # same memory-type set as frame_step: the GT-memory baselines
         # (semantic_gt / map_gt / explicit_map) must TRAIN through the
         # fusion convs they evaluate through, or the merge projections
-        # stay random while eval routes the table through them
+        # stay random while eval routes the table through them.
+        # A caller batching frames may pass a precomputed `ego` (one flat
+        # memory_read_batched gather over the batch — vmapping the read in
+        # here lowers a ~3.4x slower batched gather; ops/memory_ops.py).
         use_memory = cfg.memory.reads_memory()
-        ego = memory_read(mem_features, mem_obs, proj_indices) if use_memory else None
+        if ego is None:
+            ego = memory_read(mem_features, mem_obs, proj_indices) \
+                if use_memory else None
         if cfg.backbone.train_remat:
             # trade recompute for activation bytes on the memory-bound step
             feats_fn = nn.remat(type(self)._features, static_argnums=(3,))

@@ -5,7 +5,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from embodied_object_detection_tpu.ops.memory_ops import (
-    normalize_memory, memory_read, pyramid_pool, memory_write, semmap_classes)
+    normalize_memory, memory_read, memory_read_batched, pyramid_pool,
+    memory_write, semmap_classes)
 
 
 def test_normalize_memory_strict_gt1():
@@ -29,6 +30,19 @@ def test_memory_read_gather_and_pool():
     assert out.shape == (2, 2, d)
     np.testing.assert_allclose(out[0, 0], 8.0)
     np.testing.assert_allclose(out[0, 1], 0.0)
+
+
+def test_memory_read_batched_bitexact(rng):
+    """The flat-offset batched read (the train step's hoisted gather) must
+    be bit-identical per sample to memory_read."""
+    b, cells, d, h, w = 3, 24, 8, 16, 8
+    feats = jnp.asarray(rng.randn(b, cells, d).astype(np.float32))
+    obs = jnp.asarray(rng.randint(0, 4, (b, cells)).astype(np.float32))
+    proj = jnp.asarray(rng.randint(0, cells, (b, h, w)).astype(np.int32))
+    got = memory_read_batched(feats, obs, proj, pool=4)
+    for i in range(b):
+        want = memory_read(feats[i], obs[i], proj[i], pool=4)
+        assert (np.asarray(got[i]) == np.asarray(want)).all()
 
 
 def test_pyramid_pool_shapes():
