@@ -182,7 +182,6 @@ def memory_write(det_features: jax.Array, det_masks: jax.Array,
         h, w, n = det_masks.shape
     else:
         n, h, w = det_masks.shape
-    d = det_features.shape[-1]
     p = h * w
     idx = proj_indices.reshape(p)
 
